@@ -1,0 +1,396 @@
+"""Aggregation operators — SURVEY.md §2.4 A1-A15.
+
+Reference parity: Redshift's GROUP BY / aggregate-function surface (public
+semantics; /root/reference is empty — SURVEY.md §0).
+
+Scale notes (100 TB):
+- Spark's hash aggregate is automatically two-phase (partial map-side combine
+  → shuffle on group keys → final merge), so high-cardinality group-bys scale
+  without manual work; verify with .explain → two HashAggregate nodes.
+- COUNT(DISTINCT) expands + re-aggregates (also automatic two-phase).
+- `q_agg_salted` (A15) demonstrates the explicit salting pattern for the one
+  case AQE can't fix alone: a single hot key whose *final* aggregation still
+  lands on one reducer.
+- approx_count_distinct / percentile_approx are the constant-memory
+  at-scale variants of their exact twins (sketches merge associatively).
+
+Float discipline (registry.rnd): double SUMs are rounded at the data's
+decimal granularity on both sides; AVGs are expressed as rounded-sum / count
+(bit-identical IEEE division) — never a rounded quotient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, rnd
+from ..sources.io import load_table
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(l_quantity), 2) / COUNT(*)      AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
+           ROUND(SUM(l_discount), 2) / COUNT(*)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + flagship (TPC-H Q1 shape): filter → hash group-by → sums/avgs.
+
+    The canonical warehouse aggregate: one scan, map-side partial agg, tiny
+    shuffle (6 groups), final agg. At 100 TB this is scan-bound — exactly
+    what you want.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity")).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice")).alias("sum_base_price"),
+            rnd(F.sum(disc_price)).alias("sum_disc_price"),
+            rnd(F.sum(charge)).alias("sum_charge"),
+            (rnd(F.sum("l_quantity")) / cnt).alias("avg_qty"),
+            (rnd(F.sum("l_extendedprice")) / cnt).alias("avg_price"),
+            (rnd(F.sum("l_discount")) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global (no-key) aggregate. min/max are order-insensitive exact, so
+    they pass through unrounded."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    return o.agg(
+        cnt.alias("n_rows"),
+        rnd(F.sum("o_totalprice")).alias("sum_price"),
+        (rnd(F.sum("o_totalprice")) / cnt).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderstatus) AS n_status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact COUNT(DISTINCT) per group (Spark plans Expand + two-phase)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: approx_count_distinct (HyperLogLog++) — the 100 TB-scale variant of
+    A3: constant memory, mergeable sketch, no expand. Values are
+    implementation-defined so the driver records a rows-only check; the pytest
+    suite asserts the estimate is within tolerance of the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(stddev_pop(l_extendedprice), 4)  AS sdp_price,
+           ROUND(var_samp(l_quantity), 4)         AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: statistical aggregates (stddev/variance/corr/covar). Outputs are
+    continuous-valued (not on a decimal grid), so plain rounding is safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        rnd(F.stddev_pop("l_extendedprice"), 4).alias("sdp_price"),
+        rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4)       AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price,
+           ROUND(median(l_quantity), 4) AS med2_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact PERCENTILE_CONT / median (linear interpolation).
+
+    Exact percentiles buffer each group — fine for oracle-checked small-sf
+    runs; the at-scale variant is q_agg_approx_pct (quantile sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        rnd(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        rnd(F.percentile("l_extendedprice", 0.90), 4).alias("p90_price"),
+        rnd(F.median("l_quantity"), 4).alias("med2_qty"),
+    )
+
+
+@query("q_agg_approx_pct")  # rows-only: sketch quantiles are implementation-defined
+def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: approx percentile — bounded-memory quantile sketch, the 100 TB
+    path (mergeable across partitions, no per-group buffering)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 40
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: HAVING — post-aggregation filter (on the exact integer count, so no
+    float-boundary risk in the predicate)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            rnd(F.sum("c_acctbal")).alias("sum_bal"),
+        )
+        .filter(F.col("n_cust") >= 40)
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0::DOUBLE END), 2) AS finished_value,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           ROUND(SUM(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice ELSE 0.0::DOUBLE END), 2)
+             / COUNT(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN 1 END) AS avg_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: conditional aggregation — SUM/COUNT/AVG over CASE (pivot-style
+    measures, the core ETL reporting idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    is_big = F.col("o_totalprice") > 100000.0
+    return o.groupBy("o_orderpriority").agg(
+        rnd(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))).alias(
+            "finished_value"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
+        (
+            rnd(F.sum(F.when(is_big, F.col("o_totalprice")).otherwise(0.0)))
+            / F.count(F.when(is_big, F.lit(1)))
+        ).alias("avg_big"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+           array_to_string(list_sort(list_distinct(list(CAST(l_quantity AS BIGINT)))), ',') AS qty_domain
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: collect_set → sorted array per group (sorted for determinism —
+    collect order is partition-order-dependent; SURVEY.md §5.3). The array is
+    serialized to a CSV string because oracle-checked outputs stay scalar
+    primitives (numpy arrays vs python lists hash differently across pandas
+    bridges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("l_quantity").cast("bigint"))), ","
+        ).alias("qty_domain"),
+    )
+
+
+@query(
+    "q_agg_maxby",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_custkey, o_orderkey) AS latest_cust,
+           arg_min(o_custkey, o_orderkey) AS earliest_cust,
+           MAX(o_orderkey) AS max_okey,
+           MIN(o_orderkey) AS min_okey
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: max_by/min_by (argmax/argmin) — keyed on the unique o_orderkey so
+    the result is deterministic (ties in the ordering value would be
+    engine-arbitrary)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
+        F.min_by("o_custkey", "o_orderkey").alias("earliest_cust"),
+        F.max("o_orderkey").alias("max_okey"),
+        F.min("o_orderkey").alias("min_okey"),
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM counts
+    )
+    SELECT user_id, event_type AS mode_event, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: per-group mode. Built deterministically (count + window, ties
+    broken by value asc) rather than F.mode, whose tie-breaking is
+    engine-arbitrary and would not hash-match any oracle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("cnt").alias("mode_count"))
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: pivot (rows → columns on a small closed domain). Explicit value
+    list so the plan is one pass (no distinct-collect on the driver);
+    missing cells coalesced to 0 to match SQL's COUNT FILTER."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        e.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select("day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds])
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: skew-safe two-phase aggregation via explicit salting.
+
+    Phase 1 groups by (key, salt) so a hot key's rows spread over N_SALT
+    reducers; phase 2 merges the partials. Result is identical to a plain
+    group-by (the oracle) — the point is the plan shape at 100 TB with a
+    skewed key. Counts re-aggregate with SUM; sums with SUM; avg would carry
+    (sum, count) pairs.
+    """
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(n_salt)))
+        .groupBy("l_suppkey", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("l_extendedprice").alias("_s"),
+        )
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("_n").alias("n_items"),
+        rnd(F.sum("_s")).alias("sum_price"),
+    )

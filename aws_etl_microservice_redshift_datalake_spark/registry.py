@@ -1,0 +1,94 @@
+"""Query registry: the single source for the driver contract.
+
+Every operator from SURVEY.md §2 registers itself here with
+
+    @query("q_name", oracle="SELECT ... -- equivalent DuckDB SQL")
+    def q_name(spark, sf_dir) -> DataFrame: ...
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over this
+registry. Queries with no SQL-expressible oracle pass ``oracle=None`` and get
+the driver's weaker rows-only check (SURVEY.md §5.3).
+
+Oracle discipline helpers (SURVEY.md §5.3, §7.4) live here too so every
+operator module applies the same float/timestamp hashing rules:
+
+- Raw doubles read from parquet and per-row IEEE arithmetic are bit-identical
+  between Spark and DuckDB — pass them through untouched (but force DuckDB
+  literals to ``::DOUBLE`` so DuckDB doesn't do DECIMAL math).
+- Any ORDER-NONDETERMINISTIC double reduction (sum/avg/stddev/corr/...) must
+  be wrapped with :func:`dec` on the Spark side and ``CAST(ROUND(x, s) AS
+  DECIMAL(p,s))`` in the oracle: rounding kills last-ulp differences from
+  addition order, and the decimal cast kills representation differences
+  between the two engines' round() implementations.
+- Timestamps that came from parquet ``timestamp[ns]`` (events.ts) must pass
+  through ``date_trunc('second', ...)`` (or coarser) on both sides.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: OrderedDict[str, QueryFn] = OrderedDict()
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a driver-contract query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# float-hash discipline helpers
+# --------------------------------------------------------------------------
+
+def rnd(col: Column, scale: int = 2) -> Column:
+    """Stabilize an order-nondeterministic double reduction for value-hashing.
+
+    Both engines' round(x, s) return the double nearest to k/10^s, so after
+    rounding, sums that differ only in last-ulp addition-order noise become
+    bit-identical. Safe because the test data's money columns are exact
+    2-decimal rationals (verified in FIXTURES.md), so true sums sit ON the
+    rounding grid, never at a .5 boundary. Oracle twin: ``ROUND(x, s)``.
+
+    For averages/ratios do NOT round the quotient (a rational p/(100n) can sit
+    exactly on a rounding boundary where the engines' round implementations
+    disagree) — divide stabilized parts instead: ``rnd(sum)/count``, which is
+    a correctly-rounded IEEE division of bit-identical operands on both sides.
+    """
+    return F.round(col, scale)
+
+
+def dec(col: Column, scale: int = 2, precision: int = 22) -> Column:
+    """Decimal-typed variant (Redshift DECIMAL money semantics, F9/P6 only —
+    elsewhere prefer :func:`rnd`, which keeps DOUBLE and avoids any
+    decimal-representation ambiguity in the driver's value hash)."""
+    return F.round(col, scale).cast(T.DecimalType(precision, scale))
+
+
+def o_dec(expr: str, scale: int = 2, precision: int = 22) -> str:
+    """DuckDB-side twin of :func:`dec` for building oracle SQL strings."""
+    return f"CAST(ROUND({expr}, {scale}) AS DECIMAL({precision},{scale}))"

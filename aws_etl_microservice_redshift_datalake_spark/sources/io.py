@@ -1,0 +1,174 @@
+"""Batch sources & sinks — SURVEY.md §2.1 S1-S8.
+
+Reference parity (public Redshift ETL semantics; /root/reference is empty,
+SURVEY.md §0): these are the Spark-native analogs of the COPY / UNLOAD /
+Spectrum-external-table surface an ETL microservice drives:
+
+- S1 load_table          <- lake table scan (Spectrum / COPY source)
+- S2 ingest_csv          <- COPY ... FORMAT CSV (declared DDL, bad-row mode)
+- S3 ingest_json         <- COPY ... FORMAT JSON
+- S4 read_jdbc           <- warehouse pull (Redshift via JDBC)
+- S5 write_jdbc          <- warehouse push
+- S6 unload              <- UNLOAD ... PARTITION BY ... MAXFILESIZE
+- S7 unload_csv          <- UNLOAD ... CSV GZIP
+- S8 register_all        <- external-table/catalog registration
+
+Scale notes: everything here is declarative `spark.read`/`df.write`, so the
+same code drives s3a:// URIs on a cluster — Parquet scans get predicate
+pushdown + row-group skipping (the zone-map analog) for free; `unload`'s
+partitionBy + maxRecordsPerFile reproduces slice-parallel UNLOAD layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: Parquet lake scan. Columnar, self-describing schema, pushdown-able.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects by
+    default — read it as a nanos long (legacy conf, runtime-settable) and
+    convert to a microsecond TimestampType so the declared schema holds.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer div, not /: the float quotient loses sub-µs exactness at 1e18 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """S8: register every driver table as a temp view (external-table analog).
+
+    After this, the full SQL surface works via ``spark.sql``.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+    header: bool = True,
+    delimiter: str = ",",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """S2: schema-enforced CSV ingest (COPY ... FORMAT CSV analog).
+
+    ``mode='PERMISSIVE'`` + a corrupt-record column reproduces COPY's
+    MAXERROR-style bad-row tolerance; ``mode='FAILFAST'`` reproduces strict
+    loads. Declared schema, never inference — mirrors COPY's target DDL.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", mode)
+    )
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.csv(path)
+
+
+def ingest_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """S3: newline-delimited JSON ingest (COPY ... FORMAT JSON analog)."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """S4: JDBC source (Redshift/warehouse pull).
+
+    With a numeric ``partition_column`` Spark issues ``num_partitions``
+    range-predicated queries in parallel — the slice-parallel UNLOAD-read
+    analog. No JDBC endpoint exists in the test container; covered by unit
+    tests at the plan level and exercised for real on a cluster.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """S5: JDBC sink (warehouse push)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def unload(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """S6: partitioned Parquet sink (UNLOAD ... PARTITION BY analog).
+
+    partitionBy gives hive-style lake layout (enables partition pruning +
+    dynamic partition pruning downstream); maxRecordsPerFile bounds file size
+    like UNLOAD MAXFILESIZE.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def unload_csv(df: DataFrame, path: str, codec: str = "gzip", header: bool = True,
+               mode: str = "overwrite") -> None:
+    """S7: compressed CSV sink (UNLOAD ... CSV GZIP analog)."""
+    (
+        df.write.mode(mode)
+        .option("compression", codec)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def write_sorted_table(
+    df: DataFrame, path: str, dist_col: str, sort_cols: list[str], buckets: int | None = None
+) -> None:
+    """DISTKEY/SORTKEY analog: repartition by the distribution key and sort
+    within partitions before writing, so Parquet row-group min/max stats act
+    as zone maps for downstream scans (SURVEY.md §4.2)."""
+    out = df.repartition(dist_col).sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(path)

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark runner: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: one representative per heavy operator family (scan-agg, star
+join, window, dedup, ANN, events sessionization) — the queries whose plans
+matter at 100 TB. Results are forced with a count() (materializes the whole
+result without driver-side collect overhead distorting the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_star_join",
+    "q_join_inner",
+    "q_agg_salted",
+    "q_agg_count_distinct",
+    "q_pivot",
+    "q_topk",
+    # appended as they land:
+    "q_window_topk",
+    "q_join_asof",
+    "q_dedup_minhash_pairs",
+    "q_ann_topk",
+    "q_sessionize",
+    "q_tfidf_top_terms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from aws_etl_microservice_redshift_datalake_spark import all_queries, get_session
+
+    spark = get_session("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    qs[names[0]](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

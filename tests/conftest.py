@@ -1,0 +1,104 @@
+"""Shared fixtures: one SparkSession + one DuckDB connection per test run,
+plus the oracle-comparison helper replicating the driver's t2 gate
+(row-count + column-name schema + order-insensitive value compare)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from aws_etl_microservice_redshift_datalake_spark import get_session
+
+    s = get_session("engine-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
+def _canon_cell(v):
+    """Normalize a cell for comparison: numpy scalars → python, arrays → tuples,
+    NaN/None unified, timestamps → pandas Timestamp (ns)."""
+    if v is None:
+        return None
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, decimal.Decimal):
+        return v.normalize()
+    return v
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    """Columns sorted by name, every row canonicalized, rows sorted."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_cell(v) for v in row))
+    return sorted(out, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    s_rows = canonicalize(spark_pdf)
+    d_rows = canonicalize(duck_pdf)
+    if s_rows != d_rows:
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs (spark vs duck): "
+            + "\n".join(f"row {i}:\n  S={a}\n  D={b}" for i, a, b in diffs)
+        )
+
+
+def run_compare(spark, duck, name: str, fn, sql: str, sf_dir: str) -> None:
+    duck_views(duck, sf_dir)
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(sql).arrow().to_pandas()
+    compare_frames(spark_pdf, duck_pdf, name)
