@@ -36,6 +36,9 @@ from .operators import projection as _projection  # noqa: F401
 from .operators import aggregates as _aggregates  # noqa: F401
 from .operators import joins as _joins  # noqa: F401
 from .operators import setops as _setops  # noqa: F401
+from .operators import windows as _windows  # noqa: F401
+from .operators import multidim as _multidim  # noqa: F401
+from .functions import families as _families  # noqa: F401
 
 __all__ = [
     "SCHEMAS",

@@ -1,0 +1,240 @@
+"""Window-function operators — SURVEY.md §2.5 W1-W8.
+
+Reference parity: Redshift window-function SQL surface (public semantics;
+/root/reference is empty — SURVEY.md §0).
+
+Scale notes (100 TB): a window = one shuffle on partitionBy keys + one sort
+within partitions. Partition keys here (user_id, nation, priority) have
+enough cardinality to spread; a window with NO partitionBy would serialize
+the world through one task and is banned in this codebase.
+
+Determinism: every orderBy whose order is observable carries a unique
+tie-breaking key (SURVEY.md §5.3); rank/dense_rank are exercised on a
+deliberately tied key (year) where their semantics are still deterministic.
+Windowed double sums are rounded at data granularity (DuckDB's segment-tree
+accumulation order differs from Spark's running accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query, rnd
+from ..sources.io import load_table
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           RANK()       OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate)) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate)) AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate), o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number / rank / dense_rank. rank and dense_rank run on a tied
+    key (order year); row_number gets a unique tiebreaker."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    w_tied = Window.partitionBy("o_orderpriority").orderBy(yr)
+    w_uniq = Window.partitionBy("o_orderpriority").orderBy(yr, "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        yr.alias("yr"),
+        F.rank().over(w_tied).alias("rnk"),
+        F.dense_rank().over(w_tied).alias("drnk"),
+        F.row_number().over(w_uniq).alias("rn"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4)       OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS quartile,
+           PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS pct_rank,
+           CUME_DIST()    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS cume
+    FROM orders
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ntile / percent_rank / cume_dist over a unique ordering.
+    percent_rank/cume_dist are exact integer ratios → IEEE division is
+    bit-identical on both engines, no rounding needed."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value,
+           epoch(date_trunc('second', ts))::BIGINT
+             - LAG(epoch(date_trunc('second', ts))::BIGINT)
+               OVER (PARTITION BY user_id ORDER BY event_id) AS gap_seconds
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag/lead — prior/next row per user, plus the inter-event gap in
+    seconds (the sessionization input; epoch truncated to seconds on both
+    sides because of the ns/µs parquet precision split)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    secs = F.unix_timestamp("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (secs - F.lag(secs).over(w)).alias("gap_seconds"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id)  OVER w AS last_event,
+           NTH_VALUE(event_id, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: first_value / last_value / nth_value with an explicit full frame
+    (the default frame stops at CURRENT ROW, which makes last_value a
+    footgun — both engines get the explicit frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: running total (cumulative frame). The double sum is rounded at the
+    data's 2-decimal grid: engines accumulate in different orders internally."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        rnd(F.sum("value").over(w)).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "q_window_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER w3, 2) AS moving_sum,
+           ROUND(SUM(value) OVER w3, 2) / (COUNT(*) OVER w3) AS moving_avg
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: sliding k-row aggregate (3-row moving sum/average). The average is
+    rounded-sum / frame-count — an exact IEEE division, per the registry
+    float discipline."""
+    e = load_table(spark, sf_dir, "events")
+    w3 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, Window.currentRow)
+    msum = rnd(F.sum("value").over(w3))
+    return e.select(
+        "event_id",
+        "user_id",
+        msum.alias("moving_sum"),
+        (msum / F.count(F.lit(1)).over(w3)).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))::BIGINT
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_value
+    FROM events
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: RANGE frame over event-time — per-user trailing-1-hour value sum
+    (time-windowed running aggregate on the epoch-seconds axis)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        rnd(F.sum("value").over(w)).alias("hour_value"),
+    )
+
+
+@query(
+    "q_window_topk",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) t WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: top-k per group (rank-then-filter) — the distributed top-k idiom:
+    no global sort, one shuffle on the group key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
