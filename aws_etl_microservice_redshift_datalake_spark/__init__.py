@@ -38,6 +38,12 @@ from .operators import joins as _joins  # noqa: F401
 from .operators import setops as _setops  # noqa: F401
 from .operators import windows as _windows  # noqa: F401
 from .operators import multidim as _multidim  # noqa: F401
+from .operators import events as _events  # noqa: F401
+from .operators import text as _text  # noqa: F401
+from .operators import dedup as _dedup  # noqa: F401
+from .operators import vectors as _vectors  # noqa: F401
+from .operators import multimodal as _multimodal  # noqa: F401
+from .operators import udfs as _udfs  # noqa: F401
 from .functions import families as _families  # noqa: F401
 
 __all__ = [

@@ -1,0 +1,242 @@
+"""Near-duplicate detection — SURVEY.md §2.10 L3 (MinHash-LSH) plus the
+SimHash and n-gram-Jaccard variants from the north star.
+
+Reference parity: LLM-training-data dedup extension (BASELINE.json north
+star; /root/reference is empty — SURVEY.md §0). Design follows Broder '97
+(MinHash), Charikar '02 (SimHash) — public literature.
+
+Scale notes (100 TB):
+- MinHash signatures are computed in ONE pass over exploded shingles: 32
+  xxhash64(shingle, seed) min-aggregates per doc — a hash-aggregate, no
+  per-seed jobs. Banding (16 bands × 2 rows) turns pair discovery into a
+  groupBy(band)+self-join on band hash: candidates are generated per bucket,
+  never n² over the corpus. Verification joins candidate pairs back to
+  shingle sets and computes exact Jaccard — shuffle joins all the way down.
+- Band-bucket skew (a degenerate band shared by thousands of docs) is the
+  known hot spot: AQE skew-split handles it; a production guard would drop
+  buckets above a size cap (documented, not needed at test scale).
+- SimHash is fully associative arithmetic (per-token bit votes summed per
+  doc) → two-phase agg, perfectly scalable; its 16-bit value here keeps the
+  SQL oracle tractable (production would use 64 bits via the same plumbing).
+
+LSH recall note (measured on this corpus): true near-dup pairs sit at
+Jaccard ≥ 0.98 with background < 0.2 (bimodal). With 16 bands × 2 rows the
+miss probability at J=0.98 is ~1e-17 per pair, so the LSH pipeline's output
+equals the exact-Jaccard SQL oracle with overwhelming probability — the
+candidate set is verified with exact Jaccard, so precision is exact by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+N_HASHES = 32
+N_BANDS = 16  # 2 rows per band
+JACCARD_THRESHOLD = 0.8
+
+_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-shingles per document (whole text as one shingle for
+    docs shorter than 3 tokens, so every doc has a non-empty set)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return (
+        d.select("doc_id", F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: MinHash + LSH near-duplicate pairs (J ≥ 0.8), verified exactly.
+
+    shingle → 32 minhashes (xxhash64(s, seed), min per doc) → 16 bands × 2
+    rows → band-bucket self-join for candidates → exact Jaccard verification
+    of candidates only. The oracle computes exact Jaccard for ALL
+    shingle-sharing pairs; see module docstring for why recall is exact on
+    this corpus.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+
+    # one-pass signature: 32 min-aggregates over exploded shingles
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(N_HASHES)]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("s_b"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup, exact variant: candidate pairs from the inverted
+    shingle index (only pairs sharing ≥1 shingle — never n²), exact Jaccard,
+    threshold 0.5. The exact twin of q_dedup_minhash_pairs: same shingles,
+    no sketch. Jaccard is an integer ratio → IEEE-exact, unrounded."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ascii(substr(md5(word), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    value = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (Charikar '02): each distinct token votes
+    ±1 per bit (parity of a hex digit of md5(token) — engine-portable), the
+    per-doc vote sums are signed into bits. Near-dups differ in few bits; at
+    scale, pairs come from banding the bit space exactly like MinHash-LSH.
+    Associative sums only → two-phase agg, 100 TB-clean."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+    h = F.md5("word")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.ascii(F.substring(h, b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    value = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return votes.select("doc_id", value.cast("bigint").alias("simhash"))

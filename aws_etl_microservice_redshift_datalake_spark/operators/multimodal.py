@@ -1,0 +1,148 @@
+"""Multimodal column handling — SURVEY.md §2.10 L10.
+
+Reference parity: LLM-data-pipeline extension (BASELINE.json north star;
+/root/reference is empty — SURVEY.md §0).
+
+Design: media assets are opaque BinaryType payloads + a typed StructType
+metadata column — no custom Spark type (SURVEY.md §1.2). The test container
+has no image/audio codecs, so the *decode kernel* is stubbed two ways:
+- `decode_image_real` raises NotImplementedError behind an import-try (the
+  documented production hook for PIL/ffmpeg);
+- the pipeline queries use a deterministic fake decode (byte stats) so the
+  Spark-side plumbing — schema, Arrow batching, mapInPandas signature,
+  partition behavior — is fully real and oracle-checked.
+
+Scale notes (100 TB): payloads travel as Arrow binary batches into
+mapInPandas — the only sane shape for per-asset Python kernels; metadata
+predicates (width/format filters) are plain columns, so Catalyst prunes and
+pushes them down BEFORE bytes ever reach Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Production decode hook. Requires an image codec, which this container
+    does not ship — gate stays explicit rather than silently faking."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - codec not in container
+        raise NotImplementedError(
+            "image decode requires pillow; install it on the cluster image"
+        ) from exc
+    raise NotImplementedError("real decode wired on clusters with codecs")
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dressed as media assets: binary payload + struct metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            ((F.col("doc_id") * 37) % 480 + 1).cast("int").alias("height"),
+            F.element_at(
+                F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("fmt"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+           CAST((doc_id * 37) % 480 + 1 AS INTEGER) AS height,
+           ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INTEGER)] AS fmt
+    FROM documents
+    WHERE n_chars % 640 + 1 > 100 AND doc_id % 3 = 0
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10a: metadata-predicate scan over binary assets — filter on struct
+    fields (width, format), project byte length. The payload bytes are never
+    opened; Catalyst prunes to the metadata columns."""
+    a = _assets(spark, sf_dir)
+    return a.filter(
+        (F.col("meta.width") > 100) & (F.col("meta.fmt") == "png")
+    ).select(
+        "asset_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.fmt").alias("fmt"),
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(list_sum(list_transform(generate_series(1, 8),
+                                        i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_checksum
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10b: the decode/feature-extract pipeline over mapInPandas — Arrow
+    binary batches into Python, per-asset kernel, typed schema out. The
+    kernel here is the deterministic fake (byte stats) so the oracle can
+    check the plumbing exactly; swap `_fake_decode_batch` for a real codec
+    kernel (decode_image_real) on a cluster image with codecs."""
+    a = _assets(spark, sf_dir).select("asset_id", "payload")
+
+    def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "head_checksum": payloads.map(lambda b: sum(b[:8])).astype("int64"),
+                }
+            )
+
+    return a.mapInPandas(
+        _fake_decode_batch,
+        schema="asset_id long, n_bytes long, first_byte int, head_checksum long",
+    )
+
+
+@query("q_multimodal_frames")  # rows-only: frame-sampling layout is engine-internal
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10c: frame sampling — one row per sampled 'frame' (fixed-stride byte
+    windows standing in for video frames; posexplode gives frame indices).
+    Demonstrates the 1→N multimodal expansion with bounded fan-out."""
+    a = _assets(spark, sf_dir)
+    frames = a.select(
+        "asset_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.least(F.floor(F.length("payload") / 64), F.lit(7))),
+                lambda i: F.substring(F.col("payload").cast("string"), i * 64 + 1, 64),
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    )
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

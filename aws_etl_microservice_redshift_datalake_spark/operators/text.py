@@ -1,0 +1,391 @@
+"""Text-analysis operators over the documents corpus — SURVEY.md §2.10
+L1/L2/L6-L9 plus the training-data-pipeline extensions (language ID, quality
+scoring, regex tokenization, document fingerprinting).
+
+Reference parity: the reference class is ETL orchestration (public semantics;
+/root/reference is empty — SURVEY.md §0); these operators are the
+LLM-data-pipeline extension the north star mandates (BASELINE.json).
+
+Scale notes (100 TB):
+- Everything is explode → hash-aggregate → window: fully shuffle-parallel, no
+  driver-side state, no Python in the hot path (all Spark built-ins).
+- Exact dedup at scale keys on md5(normalized text) (L2) so the shuffle key
+  is 16 bytes, not the document body (L1 groups by raw text to demonstrate
+  the naive variant; prefer L2 beyond toy scale).
+- The language-ID lexicon is itself derived distributively (top-k tokens per
+  language via window rank), then joined back — a two-pass model-fit/predict
+  pipeline with no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query, rnd
+from ..sources.io import load_table
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup — one surviving row per distinct text (keep lowest
+    doc_id). sf0.1 contains 8 duplicated texts by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
+@query(
+    "q_dedup_hash",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: hash dedup — group on md5 of normalized text. The at-scale exact
+    dedup: constant-width shuffle key regardless of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim("text")))
+    return d.groupBy(key.alias("text_key")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    WITH t AS (SELECT lang, source, n_chars, len(string_split(text, ' ')) AS n_toks,
+                      length(text) = n_chars AS len_ok
+               FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks) AS chars_per_token,
+           COUNT(DISTINCT source) AS n_sources,
+           BOOL_AND(len_ok) AS n_chars_consistent
+    FROM t
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: corpus text statistics per language — token totals (whitespace
+    tokenization; the vocab is space-separated by construction), chars/token,
+    source diversity, and an n_chars==length(text) consistency audit."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    return (
+        d.select(
+            "lang",
+            "source",
+            "n_chars",
+            n_toks.alias("n_toks"),
+            (F.length("text") == F.col("n_chars")).alias("len_ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.sum("n_toks")).alias("chars_per_token"),
+            F.countDistinct("source").alias("n_sources"),
+            F.bool_and("len_ok").alias("n_chars_consistent"),
+        )
+    )
+
+
+@query(
+    "q_word_freq",
+    oracle="""
+    SELECT word, cnt FROM (
+        SELECT word, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ) WHERE rn <= 20
+    """,
+)
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: corpus term frequency, top-20 terms (count desc, term asc —
+    deterministic cut). Explode → partial-agg → tiny final top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).select(
+        "word", "cnt"
+    )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf_cnt FROM toks GROUP BY doc_id, word
+    ), dl AS (
+        SELECT doc_id, SUM(tf_cnt) AS doc_len FROM tf GROUP BY doc_id
+    ), df AS (
+        SELECT word, COUNT(*) AS df_cnt FROM tf GROUP BY word
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND((CAST(tf.tf_cnt AS DOUBLE) / dl.doc_len)
+                     * ln((n.n_docs + 1.0::DOUBLE) / (df.df_cnt + 1.0::DOUBLE)), 6) AS tfidf
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN n
+        WHERE tf.doc_id < 50
+    )
+    SELECT doc_id, word, tfidf FROM (
+        SELECT doc_id, word, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: TF-IDF (smooth idf = ln((N+1)/(df+1))), top-3 terms per document
+    for doc_id < 50. Pure DataFrame joins (no MLlib): tf ⋈ doc-length ⋈
+    document-frequency ⋈ corpus size. Scores are rounded BEFORE ranking so
+    the cut is deterministic across engines (ln differs in last ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n_docs = d.count()  # scalar; one job, fine for a corpus-level constant
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(dl, "doc_id")
+        .join(df_, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("tf_cnt").cast("double") / F.col("doc_len"))
+                * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_cnt") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "doc_id", "word", "tfidf"
+    )
+
+
+@query(
+    "q_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, cnt FROM (
+        SELECT bigram, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+        FROM grams GROUP BY bigram
+    ) WHERE rn <= 20
+    """,
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: bigram extraction + top-20 corpus bigrams. Spark side builds
+    n-grams with transform-over-sequence (guarded: sequence(0,-1) would go
+    DESCENDING on short docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split("text", " ").alias("toks")).filter(F.size("toks") >= 2)
+    grams = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)),
+            )
+        ).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).select(
+        "bigram", "cnt"
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), lex AS (
+        SELECT lang AS lex_lang, word FROM (
+            SELECT lang, word, ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY COUNT(*) DESC, word ASC) AS rn
+            FROM toks GROUP BY lang, word
+        ) WHERE rn <= 20
+    ), overlap AS (
+        SELECT t.doc_id, l.lex_lang, COUNT(*) AS n_hits
+        FROM (SELECT DISTINCT doc_id, word FROM toks) t
+        JOIN lex l USING (word)
+        GROUP BY t.doc_id, l.lex_lang
+    ), pred AS (
+        SELECT doc_id, lex_lang AS pred_lang FROM (
+            SELECT doc_id, lex_lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY n_hits DESC, lex_lang ASC) AS rn
+            FROM overlap
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang, COALESCE(p.pred_lang, 'unknown') AS pred_lang,
+           d.lang = COALESCE(p.pred_lang, 'unknown') AS is_correct
+    FROM documents d LEFT JOIN pred p USING (doc_id)
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: fit a per-language lexicon (top-20 tokens by
+    document frequency) distributively, then classify each doc by maximum
+    lexicon overlap (ties → lang asc). A full fit/predict pipeline in pure
+    DataFrame ops — the shape of n-gram language ID at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    lex_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    lex = (
+        toks.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(lex_w))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("lex_lang"), "word")
+    )
+    overlap = (
+        toks.select("doc_id", "word")
+        .distinct()
+        .join(lex, "word")
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    pred_w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
+    pred = (
+        overlap.withColumn("rn", F.row_number().over(pred_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lex_lang").alias("pred_lang"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            (F.col("lang") == F.coalesce("pred_lang", F.lit("unknown"))).alias("is_correct"),
+        )
+    )
+
+
+_STOPWORDS = ("key", "row", "value", "table", "scan")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len,
+           CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE) / len(toks) AS stop_ratio,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE) / len(toks) AS digit_ratio,
+           2.0::DOUBLE * (CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE) / len(toks))
+             + 0.1::DOUBLE * (CAST(n_chars AS DOUBLE) / len(toks))
+             + 0.001::DOUBLE * n_chars AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio, digit
+    ratio, and a linear quality score. All arithmetic is per-row exact IEEE
+    (ratios of integers) — bit-identical cross-engine, no rounding needed."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", "n_chars", toks.alias("toks"))
+    n = F.size("toks")
+    stop_hits = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS)))
+    digit_hits = F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$")))
+    mean_len = F.col("n_chars").cast("double") / n
+    stop_ratio = stop_hits.cast("double") / n
+    return t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        (digit_hits.cast("double") / n).alias("digit_ratio"),
+        (F.lit(2.0) * stop_ratio + F.lit(0.1) * mean_len + F.lit(0.001) * F.col("n_chars")).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "q_token_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INTEGER) AS n_distinct
+    FROM documents
+    """,
+)
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
+    runs, single punctuation) — the standard LLM-pipeline token estimator.
+    Pattern kept in the RE2 ∩ Java-regex common dialect."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    toks = F.regexp_extract_all("text", F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical bag-of-words fingerprint —
+    md5 over the sorted distinct token set. Invariant under token reordering
+    and repetition, so it catches shuffled/duplicated-word variants that
+    exact dedup (L1/L2) misses."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

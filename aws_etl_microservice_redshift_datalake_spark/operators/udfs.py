@@ -1,0 +1,152 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.8 U1-U4.
+
+Reference parity: Redshift's Python-UDF surface (public semantics;
+/root/reference is empty — SURVEY.md §0), re-expressed in Spark's three
+Python extension points.
+
+Scale notes (100 TB): the performance ladder is explicit here —
+- U1 row UDF: per-row Python round-trips; correctness escape hatch ONLY.
+- U2/U3 pandas UDF / applyInPandas: Arrow-batched, 10-100× U1; the sanctioned
+  path for custom numeric kernels.
+- U4 UDTF: Python table function for 1→N expansion.
+Each query's kernel is deterministic, so even the Python paths carry exact
+SQL oracles — the oracle is the semantic spec the UDF must reproduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.io import load_table
+
+
+def _digitsum_oracle_expr(col: str, digits: int = 8) -> str:
+    return " + ".join(f"(({col} // {10 ** i}) % 10)" for i in range(digits))
+
+
+@query(
+    "q_udf_digitsum",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_digitsum_oracle_expr("o_orderkey")} AS INTEGER) AS digit_sum
+    FROM orders
+    """,
+)
+def q_udf_digitsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: row-at-a-time Python scalar UDF (digit sum of the order key).
+    Deliberately trivial — the point is the extension surface; anything hot
+    belongs in U2's Arrow path."""
+
+    @F.udf(returnType=T.IntegerType())
+    def digit_sum(x: int) -> int:
+        return sum(int(c) for c in str(x))
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", digit_sum("o_orderkey").alias("digit_sum"))
+
+
+def _basis_weight(i: int) -> float:
+    return ((i % 3) - 1) / 8.0
+
+
+_BASIS = [_basis_weight(i) for i in range(64)]
+
+
+@query(
+    "q_pandas_udf_dot",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(list_inner_product(embedding::DOUBLE[],
+                                    {_BASIS!r}::DOUBLE[]), 6) AS basis_dot
+    FROM embeddings
+    """,
+)
+def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: vectorized (Arrow) pandas UDF — dot product of each embedding with
+    a fixed deterministic basis vector, computed with numpy over whole
+    batches. The 10-100×-faster sanctioned shape for custom numeric kernels."""
+    basis = np.array(_BASIS, dtype=np.float64)
+
+    @F.pandas_udf(T.DoubleType())
+    def basis_dot(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        return pd.Series(np.round(mat @ basis, 6))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", basis_dot("embedding").alias("basis_dot"))
+
+
+@query(
+    "q_pandas_udaf_centroid",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(embedding[1]::DOUBLE), 6) AS c1,
+           ROUND(AVG(embedding[2]::DOUBLE), 6) AS c2,
+           ROUND(AVG(embedding[3]::DOUBLE), 6) AS c3
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: grouped custom aggregate via applyInPandas — per-label centroid
+    (first three dimensions). Each label group arrives as one pandas frame;
+    at scale this shuffles on the group key exactly like a built-in agg."""
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        c = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "c1": [round(c[0], 6)],
+                "c2": [round(c[1], 6)],
+                "c3": [round(c[2], 6)],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        centroid, schema="label int, n long, c1 double, c2 double, c3 double"
+    )
+
+
+@query(
+    "q_udtf_bigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 20)
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+    """,
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: Python UDTF (Spark 4.x) — a table function expanding each document
+    into its bigrams (1→N), applied via LATERAL join in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class BigramUDTF:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    spark.udtf.register("bigram_udtf", BigramUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram
+        FROM documents d, LATERAL bigram_udtf(d.text) b
+        WHERE d.doc_id < 20
+        """
+    )
