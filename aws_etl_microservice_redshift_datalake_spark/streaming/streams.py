@@ -1,0 +1,496 @@
+"""Structured Streaming operators — SURVEY.md §2.1 S9/S10, §2.9 T1-T9.
+
+Reference parity: the streaming half of a lake/warehouse ETL service
+(public Kinesis→Redshift / Spark Structured Streaming semantics;
+/root/reference is empty — SURVEY.md §0).
+
+Every operator here is REAL Structured Streaming — ``readStream`` file
+source, event-time watermarks, streaming state stores, ``availableNow``
+trigger — not a batch query dressed up. The driver can still hash-check
+them because each query runs the stream to completion over the static
+events table and returns the sink contents; SURVEY.md §2.9's batch-first
+discipline then gives each one a DuckDB oracle:
+
+- complete-mode aggregations equal their batch twin exactly (T1/T2/T6);
+- append-mode operators emit exactly the rows whose event-time window /
+  session closed before the final watermark (max event ts - delay), a
+  condition the oracle states explicitly (T3/T4);
+- stream-stream joins and streaming dedup over a finite stream equal
+  their batch joins/DISTINCT (T5/T7);
+- arbitrary stateful processing (T8) emits per-key final state = the
+  batch per-key aggregate.
+
+Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); Spark reads
+it as a nanos long (legacy conf) and converts to µs TimestampType, while
+DuckDB keeps ns. Oracles therefore truncate to µs (grouping/join
+arithmetic) or seconds (hashed outputs) — SURVEY.md §5.3/§7.4.
+
+Scale notes (100 TB):
+- The file source is incremental: on a cluster the same code tails an
+  S3 prefix; ``maxFilesPerTrigger`` bounds per-batch volume.
+- Watermarks bound state: windowed/session state older than the
+  watermark is evicted from the state store — without them, T3/T7/T8
+  state grows with the stream. Every stateful query here carries one.
+- The memory sink is the test/driver harness only; `stream_to_parquet`
+  (S10) is the production sink path (checkpointed, exactly-once file
+  sink), and `foreachBatch` covers upsert/JDBC fan-out.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query, rnd
+
+SCRATCH = "/root/repo/.tmp"
+
+# events.parquet is TIMESTAMP(NANOS): declare ts as a long and convert
+# (see sources.io.load_table, the batch twin of this read path).
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _source_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; stage a symlink to the
+    (read-only) events parquet in repo-local scratch. One file → availableNow
+    processes the whole table in a single micro-batch, so no event can be
+    late relative to an earlier batch's watermark (initial watermark is 0)."""
+    tag = sf_dir.strip("/").replace("/", "-")
+    d = f"{SCRATCH}/stream-src-{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the events table as a Structured Streaming source with µs
+    event-time ``ts`` (integer ns→µs division — float loses exactness)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(_source_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
+    """S10 (harness half): run a streaming DataFrame to completion with
+    ``trigger(availableNow=True)`` into a memory sink; return the sink
+    contents as a batch DataFrame. Checkpointed like any production query."""
+    spark = sdf.sparkSession
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = f"{SCRATCH}/ckpt-{name}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+def stream_to_parquet(
+    sdf: DataFrame, path: str, checkpoint: str, partition_cols: list[str] | None = None
+) -> None:
+    """S10 (production half): exactly-once checkpointed Parquet file sink —
+    the streaming UNLOAD analog. Append-mode only, like the real thing."""
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    q = w.start()
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+
+def stream_foreach_batch(sdf: DataFrame, fn, checkpoint: str) -> None:
+    """S10 (upsert half): ``foreachBatch`` — the micro-batch escape hatch for
+    idempotent MERGE/JDBC sinks (batch_id makes retries idempotent)."""
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+
+# --------------------------------------------------------------------------
+# T1/T2 — tumbling & sliding event-time windows (complete mode == batch twin)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: streaming tumbling 10-minute windows per event type, complete
+    mode — over a finite stream this equals the batch twin
+    (operators/events.q_tumbling_window) row for row."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value"))
+    )
+    out = run_stream(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH exploded AS (
+        SELECT unnest([
+                 CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP),
+                 CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) - INTERVAL 5 MINUTE
+               ]) AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM exploded
+    GROUP BY window_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: streaming sliding windows (10 min length, 5 min slide), complete
+    mode; each event lands in exactly two windows."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value"))
+    )
+    out = run_stream(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+
+
+# --------------------------------------------------------------------------
+# T3 — session windows (append mode: emitted sessions are watermark-closed)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, date_trunc('microseconds', ts) AS ts
+        FROM events
+    ), seq AS (
+        SELECT user_id, value, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM e
+    ), tagged AS (
+        SELECT user_id, value, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM tagged
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT date_trunc('microseconds', MAX(ts)) FROM events)
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: native ``session_window`` (30-minute gap) streaming aggregation.
+
+    Append mode + zero-delay watermark: a session is emitted once the
+    watermark (= max event ts after the final batch) passes its end
+    (last event + gap). The oracle sessionizes with the classic
+    lag-gap-cumsum idiom — a new session starts when the gap is >= the
+    30-minute gap duration, matching Spark's merge rule (an event merges
+    only while strictly inside the open session window) — and keeps
+    exactly the watermark-closed sessions via the HAVING clause.
+    """
+    s = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("session_value")
+    )
+    out = run_stream(agg, "append")
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.col("w.start")).alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# T4 — watermark semantics (append mode drops/holds unfinalized windows)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_watermark",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    HAVING CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) + INTERVAL 10 MINUTE
+           <= (SELECT date_trunc('microseconds', MAX(ts)) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: tumbling windows under a 1-hour watermark, append mode — only
+    windows whose end precedes the final watermark (max ts - 1h) are
+    finalized and emitted; the trailing hour of windows is withheld as
+    open state. The oracle's HAVING clause states that bound exactly."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream(agg, "append")
+    return out.select(F.col("w.start").alias("window_start"), "n_events")
+
+
+# --------------------------------------------------------------------------
+# T5 — streaming dedup within watermark
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: ``dropDuplicatesWithinWatermark`` on (user_id, event_type) —
+    exact streaming dedup with watermark-bounded state (the streaming twin
+    of operators/dedup). Only the keys are returned: 'first occurrence'
+    payloads depend on arrival order, keys do not."""
+    dd = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream(dd, "append")
+
+
+# --------------------------------------------------------------------------
+# T6 — stream-static join (dimension enrichment)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: stream-static join — events enriched with the (broadcast) customer
+    → nation dimension chain, aggregated per nation in complete mode. The
+    static side is re-planned per micro-batch, so dim updates are picked up
+    between batches on a live cluster."""
+    from ..sources.io import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(load_table(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    joined = stream_events(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value")
+    )
+    return run_stream(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# T7 — stream-stream join (time-bounded self join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+               FROM events)
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: stream-stream inner join — clicks joined to purchases by the same
+    user within the following 10 minutes. Both sides carry watermarks and the
+    join condition is time-bounded, so the state store evicts rows once they
+    can no longer match (the 100 TB-safe shape); over the finite stream the
+    result equals the batch time-bounded self-join."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    return run_stream(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# T8 — arbitrary stateful processing (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+_T8_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_gap_s", T.LongType()),
+    ]
+)
+_T8_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("last_s", T.LongType()),
+        T.StructField("max_gap", T.LongType()),
+    ]
+)
+
+
+def _t8_fn(key, pdf_iter, state: GroupState):
+    """Per-user running state machine: event count, value sum, and the
+    maximum whole-second gap between consecutive events. State persists
+    across micro-batches in the state store; with NoTimeout the final
+    per-key emission over a finite stream is the per-key total."""
+    n, s, last_s, max_gap = state.get if state.exists else (0, 0.0, None, 0)
+    secs = []
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        # Arrow may hand us datetime64[us] or [ns] — normalize before flooring
+        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+        secs.append(ts_ns // 1_000_000_000)
+    if secs:
+        allsecs = pd.concat(secs).sort_values()
+        if last_s is not None and allsecs.iloc[0] - last_s > max_gap:
+            max_gap = int(allsecs.iloc[0] - last_s)
+        gaps = allsecs.diff().dropna()
+        if len(gaps) and int(gaps.max()) > max_gap:
+            max_gap = int(gaps.max())
+        last_s = int(allsecs.iloc[-1])
+    state.update((n, s, last_s, max_gap))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 2)],
+            "max_gap_s": [max_gap],
+        }
+    )
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, epoch(date_trunc('second', ts))::BIGINT AS ts_s
+        FROM events
+    ), gaps AS (
+        SELECT user_id, value, ts_s,
+               ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS gap
+        FROM e
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           COALESCE(MAX(gap), 0) AS max_gap_s
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: arbitrary stateful streaming via ``applyInPandasWithState`` — a
+    per-user state machine tracking count / sum / max inter-event gap,
+    Arrow-batched (U2-class performance, not row-at-a-time). Over the finite
+    stream the last emission per key equals the batch per-user aggregate;
+    dedup to the final state per user below covers the multi-batch case."""
+    out = stream_events(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
+        _t8_fn, _T8_OUT, _T8_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+    res = run_stream(out, "append")
+    # one emission per key per micro-batch → keep the final (max n_events) row
+    return res.groupBy("user_id").agg(
+        F.max_by("n_events", "n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+        F.max_by("max_gap_s", "n_events").alias("max_gap_s"),
+    )
