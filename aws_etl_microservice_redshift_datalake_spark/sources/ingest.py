@@ -1,0 +1,116 @@
+"""Oracle-checked roundtrips for the ingest/unload surface — SURVEY.md §2.1
+S2/S3/S6/S7 as driver-contract queries.
+
+Reference parity: COPY (CSV/JSON with declared DDL and bad-row tolerance)
+and UNLOAD (partitioned parquet, compressed CSV) are the reference service's
+data-movement verbs (public Redshift semantics; /root/reference is empty —
+SURVEY.md §0). Each query here UNLOADs a driver table to repo-local scratch,
+ingests it back through the declared-schema reader, and returns a result the
+DuckDB oracle computes from the original table — so the hash match proves
+the full write→read cycle is lossless, not just that the reader ran.
+
+Scale notes (100 TB):
+- `unload` writes hive-partitioned parquet (partition pruning + DPP for
+  downstream readers) with `maxRecordsPerFile` bounding file sizes like
+  UNLOAD MAXFILESIZE; the re-read proves the layout is self-describing.
+- CSV/JSON ingest use DECLARED schemas (COPY's target-DDL semantics), never
+  inference — inference at 100 TB is a full extra pass over the data.
+- Parquet roundtrips are bit-exact for doubles; text formats (CSV/JSON) use
+  shortest-roundtrip formatting, so money aggregates still follow the §5.3
+  rounding discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, rnd
+from ..schemas import SCHEMAS
+from .io import ingest_csv, ingest_json, load_table, unload, unload_csv
+
+SCRATCH = "/root/repo/.tmp"
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "-")
+
+
+@query(
+    "q_unload_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: UNLOAD ... PARTITION BY analog — orders written as hive-partitioned
+    parquet (partitioned by status, file size bounded), re-read, aggregated.
+    The hash match against the *original* table proves losslessness; the
+    status filter below proves partition pruning works on the layout."""
+    path = f"{SCRATCH}/unload-orders-{_tag(sf_dir)}"
+    src = load_table(spark, sf_dir, "orders")
+    unload(src, path, partition_cols=["o_orderstatus"], max_records_per_file=100_000)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "q_ingest_csv_roundtrip",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + S2: UNLOAD ... CSV GZIP analog, then COPY ... FORMAT CSV analog —
+    nation and region written as gzip CSV with headers, ingested back through
+    their DECLARED schemas (no inference), then joined."""
+    np_, rp = (
+        f"{SCRATCH}/csv-nation-{_tag(sf_dir)}",
+        f"{SCRATCH}/csv-region-{_tag(sf_dir)}",
+    )
+    unload_csv(load_table(spark, sf_dir, "nation"), np_, codec="gzip")
+    unload_csv(load_table(spark, sf_dir, "region"), rp, codec="gzip")
+    nation = ingest_csv(spark, np_, SCHEMAS["nation"], mode="FAILFAST")
+    region = ingest_csv(spark, rp, SCHEMAS["region"], mode="FAILFAST")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+
+
+@query(
+    "q_ingest_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: COPY ... FORMAT JSON analog — events written as newline-delimited
+    JSON (sans the ns timestamp, which JSON cannot carry losslessly), ingested
+    back through a declared schema, aggregated per event type."""
+    path = f"{SCRATCH}/json-events-{_tag(sf_dir)}"
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    src.write.mode("overwrite").json(path)
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    from pyspark.sql.types import _parse_datatype_string
+
+    back = ingest_json(spark, path, _parse_datatype_string(schema))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        rnd(F.sum("value")).alias("sum_value"),
+    )
