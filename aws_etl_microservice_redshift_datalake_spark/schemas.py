@@ -65,7 +65,8 @@ SCHEMAS: dict[str, T.StructType] = {
         ("o_custkey", T.LongType()),
         ("o_orderstatus", T.StringType()),
         ("o_totalprice", T.DoubleType()),
-        ("o_orderdate", T.TimestampType()),
+        # parquet isAdjustedToUTC=false → Spark 4 reads TIMESTAMP_NTZ
+        ("o_orderdate", T.TimestampNTZType()),
         ("o_orderpriority", T.StringType()),
     ]),
     "lineitem": _s([
@@ -79,7 +80,7 @@ SCHEMAS: dict[str, T.StructType] = {
         ("l_tax", T.DoubleType()),
         ("l_returnflag", T.StringType()),
         ("l_linestatus", T.StringType()),
-        ("l_shipdate", T.TimestampType()),
+        ("l_shipdate", T.TimestampNTZType()),  # see o_orderdate
     ]),
     "events": _s([
         ("event_id", T.LongType()),

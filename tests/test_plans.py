@@ -1,0 +1,107 @@
+"""Physical-plan audits: lock in the plan shapes that matter at 100 TB
+(SURVEY.md §4). These tests fail if a future change silently regresses
+pushdown, pruning, broadcast strategy, shuffle count, or lets row-at-a-time
+Python into a hot path."""
+
+from __future__ import annotations
+
+import pytest
+
+import aws_etl_microservice_redshift_datalake_spark as engine
+from aws_etl_microservice_redshift_datalake_spark.plans import audit
+
+from tests.conftest import SF_MED
+
+QS = engine.all_queries()
+
+# queries whose plans intentionally run Python (the declared UDF surface and
+# pandas-powered operators) — everything else must stay JVM-only
+PYTHON_ALLOWED = {
+    "q_udf_digitsum",       # U1: the deliberate row-UDF demo
+    "q_pandas_udf_dot",     # U2: Arrow-batched
+    "q_pandas_udaf_centroid",  # U3: Arrow-batched
+    "q_udtf_bigrams",       # U4
+    "q_multimodal_decode",  # mapInPandas plumbing
+    "q_multimodal_frames",  # mapInPandas plumbing
+    "q_stream_stateful",    # applyInPandasWithState
+}
+
+# streaming queries execute inside run_stream (can't audit lazily here)
+SKIP_LAZY_AUDIT = {n for n in QS if n.startswith("q_stream_")} | {
+    # these run jobs at build time (unload/ingest roundtrips write files)
+    "q_unload_roundtrip",
+    "q_ingest_csv_roundtrip",
+    "q_ingest_json_roundtrip",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in QS if n not in SKIP_LAZY_AUDIT and n not in PYTHON_ALLOWED]
+)
+def test_no_row_python_anywhere(spark, name):
+    df = QS[name](spark, SF_MED)
+    audit.assert_no_row_python(df)
+    assert "ArrowEvalPython" not in audit.python_eval_modes(df) or name in PYTHON_ALLOWED
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    """Flagship: shipdate filter reaches the scan; unused money columns are
+    not read."""
+    df = QS["q_pricing_summary"](spark, SF_MED)
+    audit.assert_filter_pushed(df, "l_shipdate")
+    audit.assert_scan_pruned(df, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """TPC-H Q5 shape: every dimension joins as broadcast, the fact table
+    never shuffles before aggregation → exactly one hash-agg exchange."""
+    df = QS["q_star_join"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 4
+    # lineitem side: only the final groupBy may shuffle (AQE can only shrink)
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_join_broadcast_hint_respected(spark):
+    df = QS["q_join_broadcast"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 1
+    assert not audit.has_sort_merge_join(df)
+
+
+def test_minhash_no_signature_shuffle(spark):
+    """MinHash signatures are per-row: the plan's exchanges are the band
+    join + candidate joins + final agg only (≤5), never a per-seed shuffle."""
+    df = QS["q_dedup_minhash_pairs"](spark, SF_MED)
+    assert audit.count_exchanges(df) <= 5
+
+
+def test_ann_topk_broadcasts_queries_not_targets(spark):
+    """The (small) query-vector side broadcasts; the target side must not."""
+    df = QS["q_ann_topk"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 1
+    p = audit.plan_str(df)
+    # the only rows shuffled are the scored top-k candidates for the window
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_filter_query_prunes_columns(spark):
+    df = QS["q_filter"](spark, SF_MED)
+    schemas = audit.read_schemas(df)
+    assert schemas, "expected a parquet scan"
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """As-of join: union-tag + one window — the plan sorts once per key
+    partition; no nested-loop join anywhere."""
+    df = QS["q_join_asof"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_is_equi_not_bnlj(spark):
+    """Range join via bucket explode: must plan as an equi-join on the
+    bucket, not a broadcast-nested-loop over the raw inequality."""
+    df = QS["q_join_range"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
