@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query, rnd
@@ -28,6 +28,82 @@ from ..sources.io import load_table
 
 _RANGE_DAYS = 60
 _BUCKET_S = _RANGE_DAYS * 86400
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """J9 as a reusable operator: enrich each probe row with the latest build
+    row whose ``build_ts`` <= its ``probe_ts`` (per key) — DuckDB/kdb ASOF
+    semantics, inclusive.
+
+    Shape: union-tag both sides, one window ``last(_, ignorenulls=True)``
+    ordered by (ts, side) per key — build rows sort before probe rows at
+    equal ts, so an exact-tie build row IS visible to the probe row. The
+    caller must pre-dedupe build to one row per (key, ts) if ties need to be
+    deterministic. One shuffle + one sort, O(n log n), no per-row probing —
+    100 TB-safe (SURVEY.md §7.3).
+
+    Returns the probe rows with ``value_cols`` appended (null where no build
+    row precedes).
+    """
+    b = build.select(
+        F.col(key).alias("__k"),
+        F.col(build_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+    )
+    probe_cols = probe.columns
+    p = probe.select(
+        F.col(key).alias("__k"),
+        F.col(probe_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in probe_cols],
+    )
+    for c in value_cols:
+        p = p.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = b.unionByName(p, allowMissingColumns=True)
+    enriched = unioned.select(
+        "__side",
+        *probe_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    return enriched.filter(F.col("__side") == 1).drop("__side")
+
+
+def sessionize(
+    df: DataFrame, key: str, ts_seconds: Column, gap_s: int, order_col: str | None = None
+) -> DataFrame:
+    """T3's batch sessionizer as a reusable operator: assigns a per-key
+    ``session_id`` (1-based, in ``order_col`` order — defaults to time order)
+    where a gap > ``gap_s`` seconds starts a new session. Classic lag →
+    new-session flag → running sum: two window passes over ONE partitioning,
+    no self-join, state bounded by the partition sort."""
+    order = order_col or "__ts_s"
+    w = Window.partitionBy(key).orderBy(order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("__ts_s", ts_seconds)
+    out = out.withColumn(
+        "__new",
+        F.when(
+            (F.col("__ts_s") - F.lag("__ts_s").over(w) > gap_s)
+            | F.lag("__ts_s").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return out.withColumn(
+        "session_id", F.sum("__new").over(wrun).cast("bigint")
+    ).drop("__new")
 
 
 @query(
@@ -115,40 +191,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_totalprice").alias("best_price"))
         .select(
-            F.col("o_custkey").alias("k"),
-            F.col("o_orderdate").alias("t"),
-            F.col("o_orderdate").alias("b_date"),
-            F.col("best_price").alias("b_price"),
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("o_ts"),
+            F.col("o_orderdate").alias("date"),
+            F.col("best_price").alias("price"),
         )
     )
-    probe = e.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(None).cast("timestamp").alias("b_date"),
-        F.lit(None).cast("double").alias("b_price"),
-        F.lit(1).alias("side"),
-        "event_id",
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    enriched = build.unionByName(probe).select(
-        "k",
-        "side",
-        "event_id",
-        F.last("b_date", ignorenulls=True).over(w).alias("asof_date"),
-        F.last("b_price", ignorenulls=True).over(w).alias("asof_price"),
-    )
-    return enriched.filter(F.col("side") == 1).select(
-        "event_id",
-        F.col("k").alias("user_id"),
-        "asof_date",
-        F.col("asof_price").alias("asof_price"),
-    )
+    probe = e.select("event_id", "user_id", "ts")
+    return asof_join(
+        probe, build, key="user_id", probe_ts="ts", build_ts="o_ts",
+        value_cols=["date", "price"],
+    ).select("event_id", "user_id", "asof_date", "asof_price")
 
 
 @query(
@@ -246,25 +299,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the classic lag → new-session flag → running-sum idiom. Batch twin of
     F.session_window; seconds derived from date_trunc('second') on both sides
     (ns/µs parquet split)."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ts_s = F.unix_timestamp("ts")
-    seq = e.select(
-        "user_id",
-        "value",
-        "event_id",
-        ts_s.alias("ts_s"),
-        F.when(
-            (ts_s - F.lag(ts_s).over(w) > 1800) | F.lag("event_id").over(w).isNull(),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
+    e = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id", "ts")
+    tagged = sessionize(
+        e, key="user_id", ts_seconds=F.unix_timestamp("ts"), gap_s=1800,
+        order_col="event_id",
     )
-    tagged = seq.withColumn("session_id", F.sum("new_session").over(wrun).cast("bigint"))
     return tagged.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        (F.max("__ts_s") - F.min("__ts_s")).alias("duration_s"),
         rnd(F.sum("value")).alias("session_value"),
     )

@@ -213,3 +213,23 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, l.l_orderkey, l.l_quantity
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 49.0::DOUBLE) l
+    RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (right half): right outer join — every large part survives even
+    with no max-quantity shipment; planner treats it as the mirrored left
+    join, so the same broadcast/shuffle strategies apply."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.0)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return li.join(p, li.l_partkey == p.p_partkey, "right").select(
+        "p_partkey", "p_name", "l_orderkey", "l_quantity"
+    )

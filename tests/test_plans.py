@@ -105,3 +105,23 @@ def test_range_join_is_equi_not_bnlj(spark):
     p = audit.plan_str(df)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_unload_layout_enables_partition_pruning(spark):
+    """S6's hive-partitioned layout must let a status predicate prune
+    partitions at plan time (PartitionFilters on the scan) — the lake-side
+    partition-pruning contract UNLOAD ... PARTITION BY exists for."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table, unload
+
+    path = "/root/repo/.tmp/unload-prune-audit"
+    unload(
+        load_table(spark, SF_MED, "orders"),
+        path,
+        partition_cols=["o_orderstatus"],
+    )
+    back = spark.read.parquet(path).filter("o_orderstatus = 'F'")
+    p = audit.plan_str(back)
+    assert "PartitionFilters" in p and "o_orderstatus" in p.split("PartitionFilters", 1)[1][:200]
+    # and the partition column is NOT read from the files themselves
+    for s in audit.read_schemas(back):
+        assert "o_orderstatus" not in s

@@ -1,0 +1,139 @@
+"""Property-based tests (SURVEY.md §5.2 layer 5): the reusable operators
+(asof_join, sessionize) checked against brute-force Python reference
+implementations on random inputs, plus algebraic invariants. Hypothesis is
+configured small and derandomized — each example round-trips through Spark."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from aws_etl_microservice_redshift_datalake_spark.operators.events import (
+    asof_join,
+    sessionize,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts) pairs on tiny domains so collisions/ties are common — ties are
+# exactly where as-of/session semantics go wrong
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=25
+)
+_builds = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(-100, 100)),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _brute_asof(probe, build):
+    """Reference: latest build value with b_ts <= p_ts per key; ties on b_ts
+    resolved to the row with max value (mirroring the pre-dedup the operator
+    requires)."""
+    out = {}
+    for i, (k, t) in enumerate(probe):
+        best = None
+        for bk, bt, bv in build:
+            if bk == k and bt <= t:
+                cand = (bt, bv)
+                if best is None or cand > best:
+                    best = cand
+        out[i] = None if best is None else best[1]
+    return out
+
+
+@given(probe=_events, build=_builds)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, probe, build):
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probe)] or [(None, None, None)],
+        "row_id long, k long, t long",
+    ).filter(F.col("row_id").isNotNull())
+    # dedupe build per (key, ts): keep max value (documented requirement)
+    bdf = (
+        spark.createDataFrame(
+            [(k, t, v) for k, t, v in build] or [(None, None, None)],
+            "k long, bt long, v long",
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("k", "bt")
+        .agg(F.max("v").alias("v"))
+    )
+    got = {
+        r["row_id"]: r["asof_v"]
+        for r in asof_join(
+            pdf, bdf.withColumnRenamed("v", "v").select("k", "bt", F.col("v")),
+            key="k", probe_ts="t", build_ts="bt", value_cols=["v"],
+        ).collect()
+    }
+    want = _brute_asof(probe, build)
+    assert got == want
+
+
+def _brute_sessions(events, gap):
+    """Reference sessionizer: per key, sort by ts (stable by input order for
+    ties is NOT required — we only compare session-count multisets)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t in events:
+        by_key[k].append(t)
+    sizes = []
+    for k, ts in by_key.items():
+        ts.sort()
+        cur = 1
+        for a, b in zip(ts, ts[1:]):
+            if b - a > gap:
+                sizes.append(cur)
+                cur = 1
+            else:
+                cur += 1
+        sizes.append(cur)
+    return sorted(sizes)
+
+
+@given(events=_events, gap=st.integers(1, 10))
+@settings(**_SETTINGS)
+def test_sessionize_matches_bruteforce(spark, events, gap):
+    df = spark.createDataFrame(
+        [(k, t) for k, t in events] or [(None, None)], "k long, t long"
+    ).filter(F.col("k").isNotNull())
+    tagged = sessionize(df, key="k", ts_seconds=F.col("t"), gap_s=gap)
+    got = sorted(
+        r["n"] for r in tagged.groupBy("k", "session_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    assert got == _brute_sessions(events, gap)
+
+
+@given(xs=st.lists(st.integers(-5, 5), max_size=30), ys=st.lists(st.integers(-5, 5), max_size=30))
+@settings(**_SETTINGS)
+def test_union_all_counts(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs] or [(None,)], "v long").filter(
+        F.col("v").isNotNull()
+    )
+    b = spark.createDataFrame([(y,) for y in ys] or [(None,)], "v long").filter(
+        F.col("v").isNotNull()
+    )
+    assert a.unionAll(b).count() == len(xs) + len(ys)
+    assert a.union(b).distinct().count() == len(set(xs) | set(ys))
+    assert a.intersect(b).count() == len(set(xs) & set(ys))
+
+
+@given(xs=st.lists(st.integers(0, 8), max_size=30))
+@settings(**_SETTINGS)
+def test_distinct_idempotent_and_exact(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs] or [(None,)], "v long").filter(
+        F.col("v").isNotNull()
+    )
+    d1 = df.distinct()
+    assert d1.count() == len(set(xs))
+    assert d1.distinct().count() == len(set(xs))
