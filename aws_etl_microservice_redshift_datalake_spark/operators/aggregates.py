@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import exact_sum, o_exact_sum, query, rnd
 from ..sources.io import load_table
 
 
@@ -34,8 +34,8 @@ from ..sources.io import load_table
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)      AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax)), 2) AS sum_charge,
+           {disc} AS sum_disc_price,
+           {charge} AS sum_charge,
            ROUND(SUM(l_quantity), 2) / COUNT(*)      AS avg_qty,
            ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
            ROUND(SUM(l_discount), 2) / COUNT(*)      AS avg_disc,
@@ -43,7 +43,10 @@ from ..sources.io import load_table
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
+    """.format(
+        disc=o_exact_sum("l_extendedprice * (1.0::DOUBLE - l_discount)", 4),
+        charge=o_exact_sum("l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax)", 6),
+    ),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + flagship (TPC-H Q1 shape): filter → hash group-by → sums/avgs.
@@ -62,8 +65,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rnd(F.sum("l_quantity")).alias("sum_qty"),
             rnd(F.sum("l_extendedprice")).alias("sum_base_price"),
-            rnd(F.sum(disc_price)).alias("sum_disc_price"),
-            rnd(F.sum(charge)).alias("sum_charge"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
             (rnd(F.sum("l_quantity")) / cnt).alias("avg_qty"),
             (rnd(F.sum("l_extendedprice")) / cnt).alias("avg_price"),
             (rnd(F.sum("l_discount")) / cnt).alias("avg_disc"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import exact_sum, o_exact_sum, query, rnd
 from ..sources.io import load_table
 
 
@@ -172,7 +172,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_star_join",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1.0::DOUBLE - l.l_discount)), 2) AS revenue,
+           {rev} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -185,7 +185,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n.n_name
-    """,
+    """.format(rev=o_exact_sum("l.l_extendedprice * (1.0::DOUBLE - l.l_discount)", 4)),
 )
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10: multi-way star join (TPC-H Q5 shape): fact⋈fact shuffle join on
@@ -209,7 +209,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            rnd(F.sum(revenue)).alias("revenue"),
+            exact_sum(revenue, 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

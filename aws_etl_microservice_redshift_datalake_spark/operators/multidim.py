@@ -92,7 +92,7 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0::DOUBLE - l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -114,7 +114,7 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1.0D - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0D - l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
                o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -125,5 +125,80 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+        """
+    )
+
+
+@query(
+    "q_sql_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1.0::DOUBLE - l.l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND l.l_returnflag = 'R'
+      AND c.c_nationkey = n.n_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 end-to-end (TPC-H Q10 shape, reduced to existing columns): the
+    returned-item revenue report — customers who returned the most, with
+    their nation, over one quarter. Raw SQL through the parser; revenue
+    rounded before ORDER BY for a deterministic top-20 (custkey ties)."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1.0D - l.l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c, orders o, lineitem l, nation n
+        WHERE c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+          AND c.c_nationkey = n.n_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "q_sql_priority_class",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_open,
+           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 end-to-end (TPC-H Q12/Q4 flavor): order-priority service-class
+    report — finished vs open order counts per priority over a year, via
+    conditional aggregation in raw SQL."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_open,
+               ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
         """
     )

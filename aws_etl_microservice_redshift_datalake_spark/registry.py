@@ -92,3 +92,30 @@ def dec(col: Column, scale: int = 2, precision: int = 22) -> Column:
 def o_dec(expr: str, scale: int = 2, precision: int = 22) -> str:
     """DuckDB-side twin of :func:`dec` for building oracle SQL strings."""
     return f"CAST(ROUND({expr}, {scale}) AS DECIMAL({precision},{scale}))"
+
+
+def exact_sum(col: Column, grid: int, out_scale: int = 2) -> Column:
+    """Deterministic SUM of a money *product* expression (e.g.
+    ``l_extendedprice * (1 - l_discount)``), output DOUBLE.
+
+    :func:`rnd` is only safe when the true per-row values sit on the
+    2-decimal grid (then the true sum is on the grid too, never at a .xx5
+    rounding boundary). A PRODUCT of 2-decimal columns lives on a 4- or
+    6-decimal grid, so its sum CAN land exactly on .xx5 — where the two
+    engines' order-dependent double sums round in opposite directions
+    (observed: 261471.225 → .22 vs .23). Fix: round each row to its exact
+    grid, cast to DECIMAL, sum EXACTLY (both engines' decimal sums are
+    exact), round the decimal, and hand back a canonical DOUBLE. ``grid``
+    is the product's decimal grid: 4 for price×(1−disc), 6 with ×(1+tax).
+    Oracle twin: :func:`o_exact_sum` with the same ``grid``.
+    """
+    per_row = F.round(col, grid).cast(T.DecimalType(27, grid))
+    return F.round(F.sum(per_row), out_scale).cast("double")
+
+
+def o_exact_sum(expr: str, grid: int, out_scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`exact_sum`."""
+    return (
+        f"CAST(ROUND(SUM(CAST(ROUND({expr}, {grid}) AS DECIMAL(27,{grid}))),"
+        f" {out_scale}) AS DOUBLE)"
+    )
