@@ -45,17 +45,25 @@ def read_schemas(df: DataFrame) -> list[str]:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators (excludes broadcast exchanges).
     Every one of these is a full data movement at scale — the audit number
-    to hold at the plan's designed minimum."""
-    p = plan_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", p))
+    to hold at the plan's designed minimum.
+
+    Counts on the SIMPLE-mode plan: formatted mode moves an Exchange's
+    partitioning spec to the details section, which silently zeroes a naive
+    regex count (found the hard way — keep this on simple mode)."""
+    p = plan_str(df, "simple")
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", p
+        )
+    )
 
 
 def count_broadcast_joins(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan_str(df)))
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan_str(df, "simple")))
 
 
 def has_sort_merge_join(df: DataFrame) -> bool:
-    return "SortMergeJoin" in plan_str(df)
+    return "SortMergeJoin" in plan_str(df, "simple")
 
 
 def python_eval_modes(df: DataFrame) -> set[str]:
@@ -71,8 +79,10 @@ def python_eval_modes(df: DataFrame) -> set[str]:
 
 def codegen_stage_count(df: DataFrame) -> int:
     """Whole-stage-codegen span count — fewer, wider spans = more of the plan
-    runs as fused JVM bytecode."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_str(df))))
+    runs as fused JVM bytecode. Simple mode marks codegen stages as `*(N)`.
+    NOTE: under AQE the marks only appear once the plan is finalized (i.e.
+    after an action) — a lazy DataFrame reports 0."""
+    return len(set(re.findall(r"\*\((\d+)\)", plan_str(df, "simple"))))
 
 
 def assert_scan_pruned(df: DataFrame, must_not_read: list[str]) -> None:
