@@ -49,8 +49,17 @@ def count_exchanges(df: DataFrame) -> int:
 
     Counts on the SIMPLE-mode plan: formatted mode moves an Exchange's
     partitioning spec to the details section, which silently zeroes a naive
-    regex count (found the hard way — keep this on simple mode)."""
+    regex count (found the hard way — keep this on simple mode). Distinct
+    plan_ids only: a materialized InMemoryRelation re-renders its build plan
+    once per reference, so a raw line count over-reports cached subtrees."""
     p = plan_str(df, "simple")
+    hits = re.findall(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+        r"[^\n]*?\[plan_id=(\d+)\]",
+        p,
+    )
+    if hits:
+        return len(set(hits))
     return len(
         re.findall(
             r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", p

@@ -41,10 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as TT
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer div, not /: the float quotient loses sub-µs exactness at 1e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP(NANOS) parquet surfaces as a long under the legacy conf;
+        # a re-written (Spark-produced) events table is already µs timestamps
+        if isinstance(df.schema["ts"].dataType, TT.LongType):
+            # integer div, not /: float quotient loses sub-µs exactness at 1e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -56,3 +56,58 @@ def test_foreach_batch_sink(spark):
         assert len(seen) >= 1
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_multi_batch_incremental_processing(spark):
+    """The streaming source is genuinely incremental: with the events table
+    split into 4 files and maxFilesPerTrigger=1, availableNow processes 4
+    separate micro-batches whose complete-mode aggregate still equals the
+    batch twin exactly — state carries across batches."""
+    import uuid as _uuid
+    from pyspark.sql import functions as F
+
+    tag = _uuid.uuid4().hex[:8]
+    srcdir = f"{SCRATCH}/multibatch-{tag}"
+    ckpt = f"{SCRATCH}/multibatch-ckpt-{tag}"
+    try:
+        ev = load_table(spark, SF_SMALL, "events")
+        ev.repartition(4).write.parquet(srcdir)
+
+        # the staged copy is already µs timestamps — stream it with the
+        # materialized schema (no nanos conversion needed)
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcdir)
+        )
+        agg = sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+        name = "mb" + tag
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        progress = q.recentProgress
+        assert len([p for p in progress if p["numInputRows"] > 0]) >= 4, (
+            "expected >= 4 non-empty micro-batches"
+        )
+        got = {r["event_type"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+        want = {
+            r["event_type"]: (r["n"], r["s"])
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(srcdir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
