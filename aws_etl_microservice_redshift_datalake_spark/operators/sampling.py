@@ -1,0 +1,113 @@
+"""Sampling operators — the training-data-pipeline selection verbs
+(BASELINE.json north star; /root/reference is empty — SURVEY.md §0).
+
+Deterministic-by-construction designs: engine RNG sampling (df.sample) is
+seed-stable within Spark but can never hash-match another engine, so the
+oracle-checked operators here sample by HASH of a stable key — the standard
+reproducible-pipeline idiom (a row's membership depends only on its key, not
+on partitioning, engine, or row order). That also makes samples STABLE under
+re-runs and incremental arrivals at 100 TB — exactly why production data
+pipelines prefer hash-sampling over RNG sampling.
+
+Scale notes: hash-sampling is a map-side filter (no shuffle, pushdown-safe);
+stratified proportions need one tiny per-class aggregate, never a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, rnd
+from ..sources.io import load_table
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample by key hash. Engine RNGs can't cross-check,
+    so membership uses a PORTABLE hash both engines implement identically
+    (md5, F8): first 6 hex digits mod 100 — same rows selected on any
+    engine, any partitioning, any row order."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS BIGINT) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/20 train-test split by document-id hash — the split a
+    row lands in never changes as the corpus grows (hash membership, not
+    position), the property training pipelines need for incremental data."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = F.when(bucket < 80, "train").otherwise("test")
+    return d.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, MIN(n_lang) AS n_total
+    FROM ranked
+    WHERE rn <= CAST(ceil(0.2 * n_lang) AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 20% per language — class-balanced selection by ranking each
+    stratum on a key hash (deterministic pseudo-random order) and cutting at
+    ceil(0.2·n): EXACT per-class proportions, unlike Bernoulli sampleBy.
+    One window per stratum — at 100 TB use the hash-bucket variant
+    (q_hash_sample per class) when exact counts aren't required."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_lang"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")).cast("bigint"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("n_lang").alias("n_total"))
+    )
