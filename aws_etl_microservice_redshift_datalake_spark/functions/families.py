@@ -87,7 +87,7 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS INTEGER)   AS qtr,
            CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
            CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
-           date_trunc('month', o_orderdate)        AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            last_day(o_orderdate)                   AS month_end,
            CAST(o_orderdate + INTERVAL 30 DAY AS DATE)   AS plus30,
            CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)  AS plus2mo,

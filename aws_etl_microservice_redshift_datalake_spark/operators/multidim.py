@@ -176,8 +176,8 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_priority_class",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'

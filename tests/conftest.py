@@ -84,6 +84,17 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
     )
+    # dtype KIND must agree (int vs float): numerically-equal frames of
+    # different kinds (e.g. DuckDB HUGEINT→float64 vs Spark bigint) would
+    # pass value equality here but fail the driver's value hash
+    _KIND = {"i": "i", "u": "i", "f": "f", "b": "b", "O": "O", "M": "M", "m": "m"}
+    for c in spark_pdf.columns:
+        sk = _KIND.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        dk = _KIND.get(duck_pdf[c].dtype.kind, duck_pdf[c].dtype.kind)
+        assert sk == dk, (
+            f"{name}: dtype-kind mismatch on {c}: spark {spark_pdf[c].dtype} "
+            f"vs duck {duck_pdf[c].dtype}"
+        )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
