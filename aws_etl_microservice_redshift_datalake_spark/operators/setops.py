@@ -148,3 +148,38 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keyed dedup with a keep-rule lives in text.py (L1/L2)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0::DOUBLE
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (bag form): INTERSECT ALL keeps duplicate multiplicity —
+    min(count_left, count_right) copies per value."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000.0).select(F.col("c_nationkey").alias("nationkey"))
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "q_except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (set form): EXCEPT (distinct) — nations with customers but no
+    suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
