@@ -8,8 +8,8 @@ L2-normalized (FIXTURES.md), so cosine similarity ≡ dot product.
 Scale notes (100 TB):
 - The brute-force path broadcasts the (small) QUERY set and streams the
   (huge) target side — a broadcast nested loop where the big side never
-  shuffles; per-row cost is a 64-wide fused JVM expression (zip_with +
-  aggregate), no Python.
+  shuffles; per-row cost is a 64-wide unrolled JVM expression inside
+  whole-stage codegen, no Python.
 - The scale path (q_ann_lsh_topk) buckets vectors by random-hyperplane signs
   (SimHash for vectors): candidates come from the query's bucket only, an
   equi-join. Recall < 1 by construction — it's declared rows-only and its
@@ -24,32 +24,46 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load_table
+from ..sources.io import load_table, spread
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table, repartitioned to the session's parallelism: it
-    ships as one parquet file, so without this every dot-product scan runs on
-    a single core. At cluster scale the same call spreads the (huge) target
-    side across executors while queries stay broadcast."""
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """The embeddings table, spread to the session's parallelism only when the
+    scan under-splits (it ships as one parquet file — without the spread every
+    dot-product scan runs on a single core). On a many-file cluster corpus no
+    shuffle is inserted; queries stay broadcast (see sources.io.spread)."""
+    return spread(load_table(spark, sf_dir, "embeddings"), spark)
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+DIM = 64
+
+
+def _el(col, i: int):
+    """element_at with a per-ELEMENT double cast. Never pre-cast the whole
+    array with ``transform(col, cast)``: Catalyst's project-collapse inlines
+    the HOF into every downstream element_at, so each of the hundreds of
+    element references in a dot product / LSH expression re-evaluates the
+    full 64-element interpreted lambda (measured: 12 s instead of 0.3 s to
+    bucket 2,000 vectors). A scalar cast per element stays in whole-stage
+    codegen."""
+    return F.element_at(col, i).cast("double")
 
 
 def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Unrolled 64-term dot product over float32 arrays, upcast per element:
+    compiles into whole-stage codegen, where the equivalent
+    aggregate(zip_with(...)) higher-order form runs interpreted per element
+    (~10× slower measured on the sf0.1 corpus). Left-to-right addition order
+    matches a sequential fold, so results are bit-identical to DuckDB's
+    list_inner_product over ::DOUBLE[] casts."""
+    terms = None
+    for i in range(1, DIM + 1):
+        t = _el(a, i) * _el(b, i)
+        terms = t if terms is None else terms + t
+    return terms
 
 
 @query(
@@ -77,10 +91,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_id tie-break, sims rounded only for output."""
     e = _embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     t = e.select(
-        F.col("vec_id").alias("t_id"), "label", _as_double("embedding").alias("tv")
+        F.col("vec_id").alias("t_id"), "label", F.col("embedding").alias("tv")
     )
     scored = (
         t.crossJoin(F.broadcast(q))
@@ -131,9 +145,9 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
-        _as_double("embedding").alias("qv"),
+        F.col("embedding").alias("qv"),
     )
-    t = e.select(F.col("vec_id").alias("t_id"), "label", _as_double("embedding").alias("tv"))
+    t = e.select(F.col("vec_id").alias("t_id"), "label", F.col("embedding").alias("tv"))
     w_sim = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("t_id"))
     neigh = (
         t.crossJoin(F.broadcast(q))
@@ -156,6 +170,93 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TABLES = 8  # L independent hash tables
+N_BITS = 4  # k hyperplane sign bits per table (query-side ANN: tiny query set,
+# coarse buckets are fine — candidates are linear in |queries|)
+NEARDUP_TABLES = 16  # corpus self-join needs FINER buckets: with k bits the
+NEARDUP_BITS = 8  # random-pair collision rate is L/2^k ≈ 6% here, while
+# recall at cosine s is 1-(1-p^k)^L, p = 1-arccos(s)/π: k=8/L=16 gives 0.94
+# at s=0.8 and ≥0.999 at s≥0.9. At 100 TB raise k with log(n) to bound
+# Σ bucket² and raise L to hold recall — both leave the plan shape unchanged.
+
+
+PLANE_NNZ = 8  # non-zero dims per hyperplane (sparse random projections)
+
+
+def _sparse_plane(p: int) -> list[tuple[int, float]]:
+    """Deterministic sparse ±1 hyperplane for plane ``p``: 8 DISTINCT dims
+    (arithmetic-progression bijection mod 64 — stride odd ⇒ no repeats) with
+    pseudo-random signs. Very sparse random projections (Achlioptas '01,
+    Li/Hastie/Church '06) preserve sign-LSH collision statistics at 1/8 the
+    arithmetic of dense hyperplanes, and the 8-term unrolled sum stays inside
+    whole-stage codegen — a dense 64-term unroll per plane blows past codegen
+    method limits once planes×dims grows (measured to OOM a default-memory
+    driver during broadcast build), while the higher-order-function fold runs
+    interpreted (~10× slower). Identical on every executor, no broadcast
+    state."""
+    a = 2 * ((p * 2654435761) % 32) + 1  # odd stride -> bijection mod 64
+    b = (p * 40503) % 64
+    terms = []
+    for j in range(PLANE_NNZ):
+        dim = (a * j + b) % 64
+        sign = 1.0 if ((p * 97 + j) * 2654435761 >> 7) & 1 else -1.0
+        terms.append((dim, sign))
+    return terms
+
+
+def _lsh_tables(n_tables: int, n_bits: int, vcol):
+    """array<struct<tbl,bkt>> of (table, k-bit sign-bucket) pairs for a
+    vector column — the standard L-tables × k-bits construction
+    (Indyk-Motwani '98 / Charikar '02) over sparse random projections.
+    Computed per-row, zero shuffle.
+
+    Plan-size discipline: the plane spec ships as ONE JSON literal (signed
+    ints ±(dim+1), sign = projection weight) iterated with nested
+    higher-order functions — ~30 expression nodes total. The fully unrolled
+    equivalent (n_tables × n_bits × nnz element_at terms) builds a multi-
+    thousand-node tree whose Catalyst analysis/optimization alone costs
+    seconds PER QUERY on the driver (measured 6-12 s at L=16/k=8; codegen
+    off changed nothing — it's optimizer time). Per-row interpreted-lambda
+    cost is ~1k evals, amortized perfectly across executors at scale, while
+    driver-side plan cost is serial and unsharded — at 1000 executors the
+    small-plan form wins on both axes."""
+    import json as _json
+
+    spec = [
+        [
+            [int(sign) * (dim + 1) for dim, sign in _sparse_plane(t * n_bits + j)]
+            for j in range(n_bits)
+        ]
+        for t in range(n_tables)
+    ]
+    spec_col = F.from_json(F.lit(_json.dumps(spec)), "array<array<array<int>>>")
+
+    def term(s):
+        # s = ±(dim+1): sign is the ±1 projection weight, |s| the 1-based dim
+        return (
+            F.when(s > 0, F.element_at(vcol, s)).otherwise(-F.element_at(vcol, -s))
+        ).cast("double")
+
+    def bucket(tspec):
+        # bucket bits MSB-first: acc*2 + (proj > 0)
+        return F.aggregate(
+            tspec,
+            F.lit(0),
+            lambda acc, plane: acc * 2
+            + F.when(
+                F.aggregate(plane, F.lit(0.0), lambda pacc, s: pacc + term(s)) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+
+    return F.transform(
+        spec_col,
+        lambda tspec, tidx: F.struct(
+            tidx.cast("int").alias("tbl"), bucket(tspec).alias("bkt")
+        ),
+    )
+
+
 @query(
     "q_cosine_neardup",
     oracle="""
@@ -167,27 +268,55 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.8). On this corpus the
-    max off-diagonal cosine is ~0.6, so the correct answer is empty — the
-    operator still exercises the full pairwise-similarity plan. At 100 TB
-    the pairwise form is replaced by LSH bucketing (q_ann_lsh_topk's shape)
-    feeding the same verify-filter."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.8), LSH-bucketed — the
+    100 TB shape, not all-pairs:
+
+    1. candidate generation: each vector hashes into NEARDUP_TABLES × k-bit
+       sign buckets per row (no shuffle); candidate pairs are ids that share
+       a (table, bucket) — an EQUI self-join on the id+bucket projection
+       only (vectors are NOT carried through the 16× exploded join);
+    2. dedup candidates on (vec_a, vec_b);
+    3. verify: re-join the two vectors by id and keep exact dot ≥ 0.8.
+
+    Recall at the 0.8 threshold is ≈ 0.94, ≥ 0.999 from 0.9 up (see
+    NEARDUP_BITS); at 100 TB raise k to bound bucket sizes and L to hold
+    recall — candidate volume stays Σ bucket² instead of n². The oracle is
+    the exact all-pairs answer (empty on this corpus: max off-diagonal
+    cosine ≈ 0.6). The bucket self-join is HINTED to a shuffle join: both
+    sides are corpus-sized, and the planner's parquet-stats estimate would
+    otherwise broadcast a side whose true (exploded) size is L× the input.
+    tests/test_plans.py asserts the plan has no cartesian/BNLJ over two
+    corpus-sized sides."""
     e = _embeddings(spark, sf_dir)
-    t = e.select("vec_id", _as_double("embedding").alias("v"))
-    a = t.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = t.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb"))
-    return (
-        a.crossJoin(b)
+    t = e.select("vec_id", F.col("embedding").alias("v"))
+    # id+bucket only (~24 B/row × L per vector) — cached because both join
+    # sides read it; at cluster scale persist-to-disk or recompute, the
+    # relation stays this narrow either way
+    buckets = (
+        t.select(
+            "vec_id",
+            F.explode(_lsh_tables(NEARDUP_TABLES, NEARDUP_BITS, F.col("v"))).alias("tb"),
+        )
+        .select("vec_id", "tb.tbl", "tb.bkt")
+        .cache()
+    )
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
+    cand = (
+        a.join(b.hint("shuffle_merge"), ["tbl", "bkt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("sim_raw"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = t.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = t.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", _dot(F.col("va"), F.col("vb")).alias("sim_raw"))
         .filter(F.col("sim_raw") >= 0.8)
         .select("vec_a", "vec_b", F.round("sim_raw", 4).alias("sim"))
     )
-
-
-N_TABLES = 8  # L independent hash tables
-N_BITS = 4  # k hyperplane sign bits per table
 
 
 @query("q_ann_lsh_topk")  # rows-only: approximate recall is the contract, not equality
@@ -208,31 +337,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against brute-force truth.
     """
     e = _embeddings(spark, sf_dir)
-
-    def plane_weight(p: int, i: int) -> float:
-        return (((p * 64 + i) * 2654435761) % 1000) / 500.0 - 1.0
-
-    v = _as_double("embedding")
-
-    def table_bucket(t: int):
-        """k sign bits from planes [t*k, t*k + k) packed into an int."""
-        bucket = None
-        for j in range(N_BITS):
-            p = t * N_BITS + j
-            terms = None
-            for i in range(64):
-                term = F.element_at(v, i + 1) * F.lit(plane_weight(p, i))
-                terms = term if terms is None else terms + term
-            bit = F.when(terms > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
-
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bkt"))
-            for t in range(N_TABLES)
-        ]
-    )
+    v = F.col("embedding")
+    tables = _lsh_tables(N_TABLES, N_BITS, v)
     t_side = e.select(
         F.col("vec_id").alias("t_id"), "label", v.alias("tv"),
         F.explode(tables).alias("tb"),

@@ -82,6 +82,26 @@ def test_ann_topk_broadcasts_queries_not_targets(spark):
     assert audit.count_exchanges(df) <= 2
 
 
+def test_cosine_neardup_is_bucketed_not_pairwise(spark):
+    """Near-dup candidates must come from the LSH bucket equi-join — never a
+    cartesian/BNLJ over two corpus-sized sides (the canonical 100 TB
+    scale-killer this operator replaced)."""
+    df = QS["q_cosine_neardup"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ngram_jaccard_caps_posting_lists(spark):
+    """The inverted-index self-join must be fed by the DF-capped shingle
+    relation (a join against the rare-shingle keys), not the raw exploded
+    corpus, and must never degrade to a nested-loop join."""
+    df = QS["q_ngram_jaccard"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_filter_query_prunes_columns(spark):
     df = QS["q_filter"](spark, SF_MED)
     schemas = audit.read_schemas(df)
