@@ -75,8 +75,11 @@ def _source_dir(sf_dir: str) -> str:
     d = f"{SCRATCH}/stream-src-{tag}"
     os.makedirs(d, exist_ok=True)
     link = f"{d}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    # lexists, not exists: a broken symlink (events.parquet regenerated/moved)
+    # reports exists()==False but still makes os.symlink raise FileExistsError
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(f"{sf_dir}/events.parquet", link)
     return d
 
 
@@ -95,16 +98,31 @@ def run_stream(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFr
     spark = sdf.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
     ckpt = f"{SCRATCH}/ckpt-{name}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful streaming locks shuffle-partition count into the state store at
+    # start(): a default-conf session (200) then pays 200 state-store dirs and
+    # task launches PER STATEFUL OPERATOR for a corpus that fits in a handful.
+    # Clamp to the session's core count for the harness run and restore after
+    # start — on a real cluster defaultParallelism is the executor-core total,
+    # so the same clamp yields a properly wide state store.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = max(1, min(int(prev_parts), spark.sparkContext.defaultParallelism))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        # awaitTermination returns False on timeout — surface that instead of
+        # silently returning a partially-filled memory sink
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -126,7 +144,8 @@ def stream_to_parquet(
         w = w.partitionBy(*partition_cols)
     q = w.start()
     try:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError("parquet sink stream did not finish in 300s")
     finally:
         q.stop()
 
@@ -141,7 +160,8 @@ def stream_foreach_batch(sdf: DataFrame, fn, checkpoint: str) -> None:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError("foreachBatch stream did not finish in 300s")
     finally:
         q.stop()
 
