@@ -52,6 +52,14 @@ def asof_join(
     Returns the probe rows with ``value_cols`` appended (null where no build
     row precedes).
     """
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        # the union-tag shape nulls probe columns that share a value_col name —
+        # refuse loudly instead of silently corrupting the probe output
+        raise ValueError(
+            f"asof_join: value_cols {sorted(clash)} collide with probe columns; "
+            "rename the build value columns before joining"
+        )
     b = build.select(
         F.col(key).alias("__k"),
         F.col(build_ts).alias("__t"),

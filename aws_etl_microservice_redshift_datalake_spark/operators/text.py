@@ -23,19 +23,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query, rnd
-from ..sources.io import load_table
+from ..sources.io import load_table, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents corpus, repartitioned to the session's parallelism — it
-    ships as a single one-row-group parquet file, so without this every
-    tokenize/explode pipeline below runs on one core (measured 4-12x at
-    sf0.1). On a cluster the same call spreads the corpus across executors;
-    with a many-file 100 TB corpus the scan parallelizes natively and this
-    becomes a no-op-cost hash exchange."""
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """The documents corpus, spread to the session's parallelism only when
+    the scan under-splits (the sf* corpus is a single one-row-group file —
+    without the spread every tokenize/explode pipeline runs on one core,
+    measured 4-12x at sf0.1). On a many-file 100 TB corpus the scan
+    parallelizes natively and no shuffle is inserted (see sources.io.spread)."""
+    return spread(load_table(spark, sf_dir, "documents"), spark)
 
 
 @query(

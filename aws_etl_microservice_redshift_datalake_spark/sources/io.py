@@ -37,6 +37,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects by
     default — read it as a nanos long (legacy conf, runtime-settable) and
     convert to a microsecond TimestampType so the declared schema holds.
+
+    The conf set here is session-global and intentionally NOT restored:
+    the scan consults it lazily at execution, so a save/restore around this
+    call would break the read. ``get_session`` sets it up front for engine
+    sessions; this runtime set exists because the driver's correctness gate
+    runs these queries in its own vanilla session. Consequence (documented):
+    any later ns-timestamp parquet column in the same session also surfaces
+    as LongType — every events read path in this repo goes through here and
+    handles that explicitly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,6 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a narrow scan up to the session's parallelism —
+    but ONLY when the source actually under-splits (the sf* corpus tables ship
+    as one single-row-group parquet file each, which pins every downstream
+    pipeline to one core; measured 4-12× at sf0.1). On a many-file cluster
+    corpus the scan already yields >= parallelism splits and this is a no-op —
+    no gratuitous full shuffle ahead of every pipeline."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
@@ -98,6 +120,39 @@ def ingest_json(
     return spark.read.schema(schema).option("mode", mode).json(path)
 
 
+def jdbc_read_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> dict[str, str]:
+    """S4's option contract, separated from ``.load()`` so the partitioned-read
+    construction is unit-testable without a live endpoint (the test container
+    has none). Validates the partitioning triple the way Spark's JDBC relation
+    would at runtime — catching a broken contract at build time instead."""
+    opts: dict[str, str] = {"url": url, "dbtable": table}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        if int(upper_bound) <= int(lower_bound):
+            raise ValueError(
+                f"upper_bound ({upper_bound}) must be > lower_bound ({lower_bound})"
+            )
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update(options)
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -112,20 +167,14 @@ def read_jdbc(
 
     With a numeric ``partition_column`` Spark issues ``num_partitions``
     range-predicated queries in parallel — the slice-parallel UNLOAD-read
-    analog. No JDBC endpoint exists in the test container; covered by unit
-    tests at the plan level and exercised for real on a cluster.
+    analog. Option construction lives in :func:`jdbc_read_options` (unit
+    tested); no JDBC endpoint exists in the test container, so ``.load()``
+    itself is exercised for real only on a cluster.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
-        )
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load()
+    opts = jdbc_read_options(
+        url, table, partition_column, lower_bound, upper_bound, num_partitions, **options
+    )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:

@@ -61,6 +61,42 @@ def test_csv_failfast_raises(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_jdbc_partitioned_read_contract():
+    """S4 without an endpoint: the partitioned-read option construction is
+    the contract a cluster run depends on — assert the triple lands in
+    Spark's option names and that broken bounds fail at build time."""
+    import pytest
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:redshift://example:5439/db",
+        "public.orders",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=16,
+        fetchsize="10000",
+    )
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "1000000"
+    assert opts["numPartitions"] == "16"
+    assert opts["dbtable"] == "public.orders" and opts["fetchsize"] == "10000"
+
+    # unpartitioned read carries no partitioning keys at all
+    plain = jdbc_read_options("jdbc:x", "t")
+    assert "partitionColumn" not in plain and "numPartitions" not in plain
+
+    with pytest.raises(ValueError):
+        jdbc_read_options("jdbc:x", "t", partition_column="k")  # missing bounds
+    with pytest.raises(ValueError):
+        jdbc_read_options("jdbc:x", "t", partition_column="k", lower_bound=10, upper_bound=5)
+    with pytest.raises(ValueError):
+        jdbc_read_options(
+            "jdbc:x", "t", partition_column="k", lower_bound=0, upper_bound=9, num_partitions=0
+        )
+
+
 def test_write_sorted_table_zone_maps(spark):
     """DISTKEY/SORTKEY analog: repartition-by-key + sortWithinPartitions must
     produce parquet files whose per-file key ranges are narrow (zone-map

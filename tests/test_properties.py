@@ -77,6 +77,17 @@ def test_asof_join_matches_bruteforce(spark, probe, build):
     assert got == want
 
 
+def test_asof_join_rejects_colliding_value_cols(spark):
+    """A probe column sharing a value_col name would be silently nulled by
+    the union-tag shape — the operator must refuse instead."""
+    import pytest
+
+    p = spark.createDataFrame([(1, 10, 99)], "k long, t long, v long")
+    b = spark.createDataFrame([(1, 5, 7)], "k long, bt long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(p, b, key="k", probe_ts="t", build_ts="bt", value_cols=["v"])
+
+
 def _brute_sessions(events, gap):
     """Reference sessionizer: per key, sort by ts (stable by input order for
     ties is NOT required — we only compare session-count multisets)."""
