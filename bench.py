@@ -34,6 +34,11 @@ HEADLINE = [
     "q_ann_topk",
     "q_sessionize",
     "q_tfidf_top_terms",
+    # round 2: the fixed former scale-killers + the kNN pipeline, tracked so
+    # a regression back to pairwise plans shows up in the driver bench
+    "q_ngram_jaccard",
+    "q_cosine_neardup",
+    "q_knn_classify",
 ]
 
 
