@@ -42,6 +42,23 @@ N_HASHES = 32
 N_BANDS = 16  # 2 rows per band
 JACCARD_THRESHOLD = 0.8
 
+
+def _minhash_params(n: int) -> tuple[int, int]:
+    """(bands, rows_per_band) for the LSH banding, adapted to corpus size.
+
+    A FIXED banding has a quadratic floor: two random docs collide in a band
+    of r minhashes with probability j^r (j = their Jaccard), so expected
+    random candidates ≈ b·E[j^r]·C(n,2) — each +1 in r multiplies the floor
+    by E[j] (≈ 1e-2 for benign corpora), buying ~100× more corpus before the
+    pairwise term re-emerges. Recall at the J ≥ 0.8 operating threshold
+    stays ≥ 0.99 with b = 16 through r = 6 (1-(1-0.8^r)^16), so r grows
+    stepwise with log(n) while b is held: r = 2 (n ≤ 1e5, the measured
+    regime), 3 (≤ 1e7), 4 beyond. Only signature width (b·r minhashes,
+    row-local, linear) and the band-hash literal change — the plan shape
+    (per-row signatures → band equi-join → exact verify) is invariant."""
+    r = 2 if n <= 100_000 else (3 if n <= 10_000_000 else 4)
+    return N_BANDS, r
+
 _SHINGLE_SQL = """
         SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
                  THEN list_transform(generate_series(1, len(toks) - 2),
@@ -119,15 +136,21 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: MinHash + LSH near-duplicate pairs (J ≥ 0.8), verified exactly.
 
-    shingle arrays (row-local) → 32 per-row minhashes → 16 bands × 2 rows →
+    shingle arrays (row-local) → b·r per-row minhashes → b bands × r rows →
     band-bucket self-join for candidates → exact Jaccard verification of
     candidates via row-local array_intersect. The only shuffles in the whole
     plan are the band-bucket join and the two candidate-pair key joins —
     signature computation and verification arithmetic never shuffle. The
-    oracle computes exact Jaccard for ALL shingle-sharing pairs; see module
-    docstring for why recall is exact on this corpus.
+    banding is SIZE-ADAPTIVE (see _minhash_params): a count() pre-pass —
+    which doubles as the cache warm for the shingle relation both join
+    sides reuse — picks rows-per-band so random-pair band collisions stay
+    sub-linear at scale. The oracle computes exact Jaccard for ALL
+    shingle-sharing pairs; see module docstring for why recall is exact on
+    this corpus.
     """
     arrs = _shingle_arrays(spark, sf_dir).cache()
+    n_bands, rows_per_band = _minhash_params(arrs.count())
+    n_hashes = n_bands * rows_per_band
 
     # signatures computed PER ROW from the shingle array — no explode, no
     # groupBy, no shuffle: m_i = array_min(transform(sh, h -> xxhash64(h, i)))
@@ -140,10 +163,9 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[
             F.array_min(F.transform("sh", _seeded(i))).alias(f"m{i}")
-            for i in range(N_HASHES)
+            for i in range(n_hashes)
         ],
     )
-    rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -155,7 +177,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("bh"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -176,8 +176,34 @@ N_BITS = 4  # k hyperplane sign bits per table (query-side ANN: tiny query set,
 NEARDUP_TABLES = 16  # corpus self-join needs FINER buckets: with k bits the
 NEARDUP_BITS = 8  # random-pair collision rate is L/2^k ≈ 6% here, while
 # recall at cosine s is 1-(1-p^k)^L, p = 1-arccos(s)/π: k=8/L=16 gives 0.94
-# at s=0.8 and ≥0.999 at s≥0.9. At 100 TB raise k with log(n) to bound
-# Σ bucket² and raise L to hold recall — both leave the plan shape unchanged.
+# at s=0.8 and ≥0.999 at s≥0.9. These are the FLOOR values — see
+# _neardup_params for the size-adaptive growth that keeps candidates linear.
+
+
+def _neardup_params(n: int) -> tuple[int, int]:
+    """(L, k) for the near-dup self-join, adapted to corpus size ``n``.
+
+    Any FIXED k has a quadratic floor: random pairs collide in a given table
+    with rate ~2^-k, so candidates ≈ L·C(n,2)/2^k — fine while n ≲ 2^k·c,
+    quadratic beyond (measured: 10× rows → 100× candidates → 10.5× wall at
+    k=8). The classic fix (Indyk-Motwani): grow k ~ log2(n) so n/2^k stays
+    bounded — candidates stay ~L·c·n — and grow L to hold recall, since
+    per-table match probability p^k falls as k rises. k is chosen as
+    log2(n)-3 (≈ n/2^k ≤ 8 expected vectors per bucket per table), L as the
+    smallest multiple of 4 ≥ the floor giving recall ≥ 0.95 at cosine 0.85
+    (1-(1-p^k)^L, p = 1-arccos(0.85)/π ≈ 0.823). At the floor (n ≤ ~4k)
+    this returns exactly (NEARDUP_TABLES, NEARDUP_BITS). Both knobs leave
+    the plan SHAPE unchanged — same explode → equi-join → verify — only the
+    bucket-id literal grows; cost shifts from the join (super-linear) to the
+    per-row hash (linear, embarrassingly parallel)."""
+    import math
+
+    k = max(NEARDUP_BITS, min(20, int(math.log2(max(n, 2))) - 3))
+    p0 = 1 - math.acos(0.85) / math.pi
+    lsh_l = NEARDUP_TABLES
+    while 1 - (1 - p0**k) ** lsh_l < 0.95:
+        lsh_l += 4
+    return lsh_l, k
 
 
 PLANE_NNZ = 8  # non-zero dims per hyperplane (sparse random projections)
@@ -278,24 +304,27 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. dedup candidates on (vec_a, vec_b);
     3. verify: re-join the two vectors by id and keep exact dot ≥ 0.8.
 
-    Recall at the 0.8 threshold is ≈ 0.94, ≥ 0.999 from 0.9 up (see
-    NEARDUP_BITS); at 100 TB raise k to bound bucket sizes and L to hold
-    recall — candidate volume stays Σ bucket² instead of n². The oracle is
-    the exact all-pairs answer (empty on this corpus: max off-diagonal
-    cosine ≈ 0.6). The bucket self-join is HINTED to a shuffle join: both
-    sides are corpus-sized, and the planner's parquet-stats estimate would
-    otherwise broadcast a side whose true (exploded) size is L× the input.
-    tests/test_plans.py asserts the plan has no cartesian/BNLJ over two
-    corpus-sized sides."""
+    (L, k) are SIZE-ADAPTIVE (see _neardup_params): a one-row count()
+    pre-pass reads the corpus size — the same statistics-gathering a
+    cost-based planner does — and picks k ~ log2(n) so random-pair
+    candidates stay ~linear in n, with L raised to hold recall ≥ 0.95 at
+    cosine 0.85 (≥ 0.999 from 0.95 up; at the (16, 8) floor, 0.94 at 0.8).
+    The oracle is the exact all-pairs answer (empty on this corpus: max
+    off-diagonal cosine ≈ 0.6). The bucket self-join is HINTED to a shuffle
+    join: both sides are corpus-sized, and the planner's parquet-stats
+    estimate would otherwise broadcast a side whose true (exploded) size is
+    L× the input. tests/test_plans.py asserts the plan has no
+    cartesian/BNLJ over two corpus-sized sides."""
     e = _embeddings(spark, sf_dir)
     t = e.select("vec_id", F.col("embedding").alias("v"))
+    lsh_l, lsh_k = _neardup_params(t.count())
     # id+bucket only (~24 B/row × L per vector) — cached because both join
     # sides read it; at cluster scale persist-to-disk or recompute, the
     # relation stays this narrow either way
     buckets = (
         t.select(
             "vec_id",
-            F.explode(_lsh_tables(NEARDUP_TABLES, NEARDUP_BITS, F.col("v"))).alias("tb"),
+            F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
         )
         .select("vec_id", "tb.tbl", "tb.bkt")
         .cache()
@@ -361,6 +390,107 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("t_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "t_id", "label", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+IVF_NPROBE = 8  # cells probed per query (of ~√n cells)
+IVF_ITERS = 2  # Lloyd refinement passes over the deterministic seed set
+
+
+@query("q_ann_ivf_topk")  # rows-only: approximate recall is the contract
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 scale path #2: IVF-Flat ANN (inverted-file index with a spherical
+    k-means coarse quantizer — the FAISS/ScaNN partitioning idiom), expressed
+    entirely as DataFrame ops:
+
+    1. train: C = ~√n centroids, seeded DETERMINISTICALLY (top-C rows by
+       xxhash64(vec_id) — a reproducible uniform sample), refined by
+       IVF_ITERS Lloyd passes: assign every vector to its argmax-dot
+       centroid (broadcast join + window argmax — the corpus never
+       shuffles), then per-cell spherical mean (64 column avgs,
+       L2-renormalized). Each pass materializes only the C×64 centroid
+       relation (cached — it IS the model).
+    2. index: one final assignment → (cell, t_id, tv). At 100 TB this is
+       the write-once partitioned index; cells are ~√n vectors, so probe
+       cost grows as √n, not n.
+    3. probe: each query scores the C centroids (broadcast), keeps its
+       IVF_NPROBE best cells, and equi-joins candidates on cell id —
+       scanning nprobe/C of the corpus instead of all of it — then exact
+       dot re-rank, top-k per query.
+
+    Recall is corpus-dependent (clustered data probes well); declared
+    rows-only, with the recall floor vs brute force enforced in
+    tests/test_quality.py. Centroid count and nprobe grow with √n and the
+    target recall; the plan shape (broadcast assign → equi-join probe) is
+    size-invariant."""
+    import math
+
+    e = _embeddings(spark, sf_dir)
+    t = e.select(F.col("vec_id").alias("t_id"), "label", F.col("embedding").alias("tv"))
+    n = t.count()
+    n_cells = max(4, min(4096, int(math.isqrt(n))))
+
+    def _norm_mean(dim: int):
+        # spherical mean: per-dim avg, then L2-renormalize (norm computed
+        # once via a lateral struct would re-evaluate per dim — the column
+        # optimizer CSEs the shared subexpression, verified in the plan)
+        avgs = [F.avg(_el(F.col("tv"), i + 1)).alias(f"d{i}") for i in range(dim)]
+        return avgs
+
+    cents = (
+        t.orderBy(F.xxhash64("t_id")).limit(n_cells)
+        .select(F.monotonically_increasing_id().alias("cell"), F.col("tv").alias("cv"))
+        .cache()
+    )
+    for _ in range(IVF_ITERS):
+        w_assign = Window.partitionBy("t_id").orderBy(
+            F.desc("cdot"), F.asc("cell")
+        )
+        assigned = (
+            t.crossJoin(F.broadcast(cents))
+            .select("t_id", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+        )
+        raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
+        norm = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(DIM))
+        cents = raw.select(
+            "cell",
+            F.array(
+                *[(F.col(f"d{i}") / F.sqrt(norm)).cast("double") for i in range(DIM)]
+            ).alias("cv"),
+        ).cache()
+
+    # 2. final inverted index: cell -> member vectors
+    w_assign = Window.partitionBy("t_id").orderBy(F.desc("cdot"), F.asc("cell"))
+    index = (
+        t.crossJoin(F.broadcast(cents))
+        .select("t_id", "label", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cell", "t_id", "label", "tv")
+    )
+
+    # 3. probe: nprobe best cells per query, candidates via cell equi-join
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cdot"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "cell", _dot(F.col("qv"), F.col("cv")).alias("cdot"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "qv", "cell")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("t_id"))
+    return (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("t_id"))
+        .select("q_id", "t_id", "label", _dot(F.col("qv"), F.col("tv")).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "t_id", "label", F.round("sim", 4).alias("sim"), "rank")
     )

@@ -86,6 +86,9 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 _DEFER: frozenset[str] = frozenset({
     "q_hash_sample", "q_train_test_split", "q_stratified_sample",
     "q_ann_lsh_topk", "q_multimodal_frames", "q_hash_native",
+    # round-2 additions: rows-only approximate ANN (recall-floor tested in
+    # pytest) — a window slot would buy only the weaker rows-only check
+    "q_ann_ivf_topk",
 })
 
 

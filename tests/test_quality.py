@@ -44,6 +44,24 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"LSH ANN recall too low: {recall:.2f}"
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF-Flat ANN (rows-only contract): probing IVF_NPROBE of ~√n spherical
+    k-means cells must recover most true neighbors — recall ≥ 0.6 at k=5 on
+    this corpus (the label clusters make cells align with neighborhoods;
+    the floor is a regression guard, not a tight bound)."""
+    exact = {
+        (r["q_id"], r["t_id"])
+        for r in QS["q_ann_topk"](spark, SF_MED).collect()
+    }
+    approx = {
+        (r["q_id"], r["t_id"])
+        for r in QS["q_ann_ivf_topk"](spark, SF_MED).collect()
+    }
+    assert exact, "exact top-k returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF ANN recall too low: {recall:.2f}"
+
+
 def test_minhash_equals_exact_neardup_pairs(spark):
     """On this corpus the LSH candidate stage loses nothing (SURVEY-documented
     bimodal Jaccard): MinHash output pairs == exact inverted-index pairs at
@@ -58,6 +76,123 @@ def test_minhash_equals_exact_neardup_pairs(spark):
         if r["jaccard"] >= 0.8
     }
     assert lsh == exact
+
+
+def test_cosine_neardup_finds_planted_pairs(spark):
+    """The corpus's true near-dup set is empty, so q_cosine_neardup's recall
+    is otherwise untested — plant near-duplicates (tiny deterministic
+    perturbations of real vectors, cosine > 0.99) and assert the LSH
+    candidate+verify pipeline recovers them. At cosine ≥ 0.99 the L=16/k=8
+    construction's miss probability is < 1e-6 per pair."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
+        NEARDUP_BITS,
+        NEARDUP_TABLES,
+        _dot,
+        _lsh_tables,
+    )
+
+    e = load_table(spark, SF_MED, "embeddings").limit(200)
+    # clone each vector with a ~0.5% relative wiggle on one dim → cosine ≈ 1
+    clone = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * F.lit(1.005)).otherwise(x)
+        ).alias("embedding"),
+    )
+    t = e.select("vec_id", "embedding").unionByName(clone).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    buckets = t.select(
+        "vec_id",
+        F.explode(_lsh_tables(NEARDUP_TABLES, NEARDUP_BITS, F.col("v"))).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
+    cand = (
+        a.join(b.hint("shuffle_merge"), ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = t.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = t.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= 0.8)
+        .collect()
+    }
+    planted = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in e.select("vec_id").collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.99, f"planted near-dup recall too low: {recall:.3f}"
+
+
+def test_adaptive_lsh_params():
+    """Size-adaptive LSH widths: at today's corpus sizes both helpers return
+    the floor (oracle-pinned behavior unchanged); as n grows, bucket bits /
+    rows-per-band grow so the random-pair candidate rate L/2^k (resp.
+    b·E[j^r]) falls, while the analytic recall at the operating threshold
+    never drops below 0.95."""
+    import math
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        N_BANDS,
+        _minhash_params,
+    )
+    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
+        NEARDUP_BITS,
+        NEARDUP_TABLES,
+        _neardup_params,
+    )
+
+    assert _neardup_params(2_000) == (NEARDUP_TABLES, NEARDUP_BITS)
+    p085 = 1 - math.acos(0.85) / math.pi
+    last_rate = None
+    for n in (2_000, 20_000, 200_000, 2_000_000, 20_000_000):
+        lsh_l, k = _neardup_params(n)
+        recall = 1 - (1 - p085**k) ** lsh_l
+        assert recall >= 0.95, f"n={n}: recall {recall:.3f}"
+        rate = lsh_l / 2**k  # random-pair collision probability
+        if last_rate is not None:
+            assert rate <= last_rate, f"n={n}: collision rate not shrinking"
+        last_rate = rate
+    # collision rate at 20M vectors is ~256× lower than the floor's
+    assert last_rate <= (NEARDUP_TABLES / 2**NEARDUP_BITS) / 100
+
+    assert _minhash_params(50_000) == (N_BANDS, 2)
+    for n, want_r in ((5_000, 2), (1_000_000, 3), (100_000_000, 4)):
+        b, r = _minhash_params(n)
+        assert (b, r) == (N_BANDS, want_r)
+        recall = 1 - (1 - 0.8**r) ** b  # at the J=0.8 operating threshold
+        assert recall >= 0.99, f"n={n}: minhash recall {recall:.4f}"
+
+
+def test_registry_window_ordering():
+    """The driver checks ~the first 50 queries() entries per round: the front
+    of the window must be exactly the not-yet-driver-checked oracled queries
+    (registry._DRIVER_CHECKED is updated from each round's CORRECTNESS
+    artifact; new queries must not silently displace the planned window)."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import (
+        _DEFER,
+        _DRIVER_CHECKED,
+    )
+
+    names = list(QS)
+    oracles = engine.all_oracles()
+    window = names[:50]
+    assert all(n in oracles for n in window), "window entry without an oracle"
+    assert not any(n in _DRIVER_CHECKED for n in window), (
+        "already-checked query occupying a window slot"
+    )
+    # everything outside the window is either deferred or already checked
+    for n in names[50:]:
+        assert n in _DRIVER_CHECKED or n in _DEFER, (
+            f"{n} is unchecked and un-deferred but fell outside the window"
+        )
 
 
 def test_approx_count_distinct_close(spark):
