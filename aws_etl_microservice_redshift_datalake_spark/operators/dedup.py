@@ -115,22 +115,31 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
 
 
-@query(
-    "q_dedup_minhash_pairs",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+# shared CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the exact
+# near-dup pairs at JACCARD_THRESHOLD; used by both the minhash oracle and
+# the connected-components oracle so the two can never drift
+_PAIRS_CTES = f"""sh AS ({_SHINGLE_SQL}),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-    FROM inter
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,3 +344,87 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         value = term if value is None else value + term
     return votes.select("doc_id", value.cast("bigint").alias("simhash"))
+
+
+CC_MAX_ROUNDS = 20  # safety cap; min-label propagation needs O(diameter)
+# rounds and near-dup clusters are shallow (dup groups, not social graphs)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM e),
+    comp AS (SELECT a AS doc_id, MIN(b) AS canon_id FROM closure GROUP BY a),
+    sizes AS (SELECT canon_id, COUNT(*) AS cluster_size FROM comp GROUP BY canon_id)
+    SELECT comp.doc_id, comp.canon_id, sizes.cluster_size,
+           comp.doc_id = comp.canon_id AS is_canonical
+    FROM comp JOIN sizes USING (canon_id)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the verified
+    MinHash pair graph, with the min doc_id as each cluster's canonical
+    representative — the "keep one copy per dup group" stage every
+    training-data dedup pipeline ends with.
+
+    Components via iterative MIN-LABEL PROPAGATION (the Pregel/GraphX hash-min
+    idiom): every endpoint starts labeled with itself; each round labels flow
+    across edges and each node keeps the minimum seen; fixpoint when no label
+    changes (checked with a per-round count — the driver-side loop is over
+    ROUNDS, never rows). Convergence needs O(cluster diameter) rounds and
+    near-dup clusters are shallow; at 100 TB-graph scale the same loop drops
+    in large-star/small-star alternation (Kiveris et al. '14) for O(log n)
+    rounds — the per-round plan (edge join → min agg) is unchanged. The
+    oracle is a recursive-CTE transitive closure over the IDENTICAL pairs
+    CTE, so Spark's iterative answer is hash-checked against exact reachability.
+
+    Output: one row per clustered doc — (doc_id, canon_id, cluster_size,
+    is_canonical); singletons (docs in no near-dup pair) are not emitted.
+    """
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("comp"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "comp"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .cache()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        "doc_id",
+        F.col("comp").alias("canon_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+    )

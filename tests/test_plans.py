@@ -144,3 +144,83 @@ def test_unload_layout_enables_partition_pruning(spark):
     # and the partition column is NOT read from the files themselves
     for s in audit.read_schemas(back):
         assert "o_orderstatus" not in s
+
+
+# --------------------------------------------------------------------------
+# Subquery/decorrelation suite (operators/subqueries.py): every correlated
+# shape must plan as hash semi/anti/equi joins — never a per-outer-row
+# re-execution (nested loop over two big sides), which is the decorrelation
+# contract that survives 100 TB.
+# --------------------------------------------------------------------------
+
+
+def test_subq_exists_plans_as_semi_join(spark):
+    """EXISTS → one LEFT SEMI hash join on the correlation key."""
+    df = QS["q_subq_exists"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "Semi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_subq_not_exists_plans_as_anti_join(spark):
+    """NOT EXISTS → LEFT ANTI join; the only nested-loop allowed is the
+    1-row scalar-average broadcast (Q22's scalar subquery)."""
+    df = QS["q_subq_not_exists"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "Anti" in p
+    assert "CartesianProduct" not in p
+    # simple mode lists each operator once (formatted repeats it in details)
+    assert audit.plan_str(df, mode="simple").count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_subq_not_in_plans_as_anti_join(spark):
+    """NOT IN over non-null FK keys → plain LEFT ANTI hash join (no
+    null-aware fallback, no nested loop)."""
+    df = QS["q_subq_not_in"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "Anti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_subq_scalar_corr_avg_aggregates_once(spark):
+    """Correlated scalar AVG → ONE groupBy(partkey) aggregate equi-joined
+    back; never re-evaluated per outer row."""
+    df = QS["q_subq_scalar_corr_avg"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_subq_corr_min_broadcasts_group_mins(spark):
+    """Per-brand MIN relation is tiny (25 brands) → must broadcast."""
+    df = QS["q_subq_corr_min"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in audit.plan_str(df)
+
+
+def test_sql_waiting_orders_decorrelates_both_subqueries(spark):
+    """Catalyst must rewrite Q21's EXISTS + NOT EXISTS into semi + anti
+    joins on l_orderkey — no per-row subquery loops."""
+    df = QS["q_sql_waiting_orders"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "Semi" in p
+    assert "Anti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sql_discount_revenue_pushdown_and_pruning(spark):
+    """Q6 is the pushdown probe: the shipdate range reaches the parquet
+    scan and key columns are never read."""
+    df = QS["q_sql_discount_revenue"](spark, SF_MED)
+    audit.assert_filter_pushed(df, "l_shipdate")
+    audit.assert_scan_pruned(df, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def test_sql_volume_shipping_broadcasts_dimension_chains(spark):
+    """Q7 shape: both nation→region chains and supplier/customer dims are
+    broadcast onto the single fact scan."""
+    df = QS["q_sql_volume_shipping"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 4
+    assert "CartesianProduct" not in audit.plan_str(df)
