@@ -397,3 +397,29 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_items"),
         rnd(F.sum("_s")).alias("sum_price"),
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_list,
+           COUNT(*) AS n_suppliers
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (Redshift's ordered string aggregation — LISTAGG(x, ',')
+    WITHIN GROUP (ORDER BY x)): supplier roster per nation. Spark 4's
+    ``listagg`` with WITHIN GROUP ordering makes the concatenation
+    deterministic, so the string output is hash-stable (DuckDB twin:
+    ``string_agg(x, ',' ORDER BY x)``). At scale the ordered variant sorts
+    within each group partition — bounded by group size, not table size."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").alias(
+            "supplier_list"
+        ),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )

@@ -1,0 +1,186 @@
+"""Data-quality audit operators: column profiling, FK orphan checks, key
+uniqueness — the validation endpoints an ETL microservice exposes around
+every load (profile the staged data, verify referential integrity, verify
+key constraints) before/after COPY into the warehouse.
+
+Reference parity: Redshift itself enforces neither PK nor FK constraints
+(they are informational), so warehouse ETL services run exactly these
+queries as explicit post-load checks (public semantics; /root/reference is
+empty — SURVEY.md §0).
+
+Spark-first design:
+
+- Profiling is ONE wide aggregate over one scan (count/count-nulls/
+  count-distinct/min/max for every column simultaneously), pivoted to tall
+  with ``stack`` — a row-local Expand, no extra shuffle, no per-column
+  passes. At 100 TB the single-scan property is the whole point: profiling
+  N columns costs one read, not N.
+- FK orphan counts are left-anti hash joins (child minus parent key set) —
+  each a broadcast when the parent is a dimension.
+- Uniqueness is groupBy(key) with a two-level aggregate (total rows,
+  distinct keys, keys seen more than once) — map-side partials do the
+  heavy lifting.
+
+All outputs are integer counts / raw doubles (min/max are order-insensitive
+exact), so every query is fully hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+# lineitem profile targets: (column, is_numeric) — numeric min/max reported
+# as DOUBLE, key/string columns profile counts only
+_PROFILE_COLS = [
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_tax", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, is_num in _PROFILE_COLS:
+        mn = f"CAST(MIN({col}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{col}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({col}) AS n_nulls,"
+            f" COUNT(DISTINCT {col}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_dq_profile", oracle=_profile_oracle())
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem: row/null/distinct counts for every column
+    plus numeric min/max — computed in ONE wide aggregate over one scan
+    (the oracle's UNION-ALL-of-scalar-aggs form is the semantic spec; the
+    Spark plan reads the table once), then pivoted tall with ``stack``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, is_num in _PROFILE_COLS:
+        aggs.append(F.count(F.col(col)).alias(f"nn_{col}"))
+        aggs.append(F.countDistinct(F.col(col)).alias(f"nd_{col}"))
+        if is_num:
+            aggs.append(F.min(F.col(col)).cast("double").alias(f"mn_{col}"))
+            aggs.append(F.max(F.col(col)).cast("double").alias(f"mx_{col}"))
+    wide = li.agg(*aggs)
+    stack_args = []
+    for col, is_num in _PROFILE_COLS:
+        mn = f"mn_{col}" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{col}" if is_num else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{col}', n_rows, n_rows - nn_{col}, nd_{col}, {mn}, {mx}"
+        )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+# FK graph of the star schema: (name, child, child_key, parent, parent_key)
+_FK_EDGES = [
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _orphans_oracle() -> str:
+    parts = [
+        f"SELECT '{name}' AS relation, COUNT(*) AS n_orphans,"
+        f" (SELECT COUNT(*) FROM {child}) AS n_child_rows"
+        f" FROM {child} WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent})"
+        for name, child, ckey, parent, pkey in _FK_EDGES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_dq_fk_orphans", oracle=_orphans_oracle())
+def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan count for every FK edge of the
+    star schema (child keys with no parent row), as left-anti hash joins —
+    the parent key set broadcasts for dimension-sized parents. The fixture
+    has zero orphans everywhere (FIXTURES.md), which is exactly what the
+    audit must report."""
+    out = None
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        ch = load_table(spark, sf_dir, child)
+        pa = load_table(spark, sf_dir, parent).select(pkey)
+        orphans = ch.join(pa, ch[ckey] == pa[pkey], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        # total child rows: a second 1-row aggregate cross-joined (both
+        # sides are single rows — the join is a broadcast of one tuple)
+        total = ch.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        row = orphans.crossJoin(total).select(
+            F.lit(name).alias("relation"), "n_orphans", "n_child_rows"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_UNIQ_TABLES = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+]
+
+
+def _uniqueness_oracle() -> str:
+    parts = [
+        f"SELECT '{tbl}' AS tbl, COUNT(*) AS n_rows,"
+        f" COUNT(DISTINCT {key}) AS n_keys,"
+        f" (SELECT COUNT(*) FROM (SELECT {key} FROM {tbl}"
+        f"   GROUP BY {key} HAVING COUNT(*) > 1) d) AS n_dup_keys"
+        f" FROM {tbl}"
+        for tbl, key in _UNIQ_TABLES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_dq_uniqueness", oracle=_uniqueness_oracle())
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit for every keyed table: row count,
+    distinct keys, and number of duplicated keys. Spark route: one
+    groupBy(key).count() per table feeding both the distinct-key count and
+    the duplicate count — map-side partial aggregation collapses the scan
+    to one shuffle of pre-aggregated key counts."""
+    out = None
+    for tbl, key in _UNIQ_TABLES:
+        per_key = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        row = per_key.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("n_rows").cast("long"),
+            "n_keys",
+            F.col("n_dup_keys").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

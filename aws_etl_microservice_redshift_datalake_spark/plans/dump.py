@@ -68,6 +68,32 @@ COMMENTARY = {
         "shingle exceeds the cap). The capped relation is cached and read "
         "3× (self-join both sides + sizes)."
     ),
+    "q_sql_waiting_orders": (
+        "TPC-H Q21 (round 2): Catalyst decorrelates the EXISTS into a "
+        "left-semi and the NOT EXISTS into a left-anti join, both hashed on "
+        "l_orderkey — the subqueries are never re-executed per outer row. "
+        "Three passes over lineitem (outer + two subquery sides), each an "
+        "independent scan with its own pushed filters."
+    ),
+    "q_subq_scalar_corr_avg": (
+        "TPC-H Q17 (round 2): the correlated scalar AVG is decorrelated "
+        "into ONE groupBy(partkey) aggregate equi-joined back to the fact "
+        "rows; the 0.2·avg threshold is an integer cross-multiplication "
+        "(5·qty·n < sum), so the filter runs inside codegen with no "
+        "engine-order-dependent doubles."
+    ),
+    "q_merge_upsert": (
+        "MERGE/upsert (round 2): target FULL OUTER HASH JOIN change-set on "
+        "the merge key with source-wins coalescing — the relational core of "
+        "Redshift MERGE, one shuffle per side, AQE-skew-splittable, no "
+        "driver-side state at any scale."
+    ),
+    "q_dq_profile": (
+        "Column profiling (round 2): null/distinct/min/max for 9 columns in "
+        "ONE wide aggregate over ONE scan (count-distincts expand in a "
+        "single Expand node), pivoted tall by a row-local stack — profiling "
+        "cost is one table read regardless of column count."
+    ),
 }
 
 

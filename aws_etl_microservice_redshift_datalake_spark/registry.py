@@ -101,6 +101,10 @@ _DEFER: frozenset[str] = frozenset({
     "q_sql_waiting_orders", "q_sql_cust_distribution", "q_sql_promo_revenue",
     "q_sql_disjunctive_pred", "q_sql_discount_revenue",
     "q_sql_volume_shipping", "q_sql_market_share",
+    # round-2 ETL-mutation + data-quality + listagg suite: same deferral
+    # rationale (keep the round-2 window at the 50 never-checked queries)
+    "q_merge_upsert", "q_scd2_apply", "q_dq_profile", "q_dq_fk_orphans",
+    "q_dq_uniqueness", "q_agg_listagg",
 })
 
 

@@ -39,6 +39,10 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_cosine_neardup",
     "q_knn_classify",
+    # round 2b: decorrelation (Q21 — 3 lineitem passes, semi+anti joins) and
+    # ETL mutation (MERGE as full-outer join) — the new heavy plan shapes
+    "q_sql_waiting_orders",
+    "q_merge_upsert",
 ]
 
 

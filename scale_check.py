@@ -44,6 +44,11 @@ QUERIES = [
     "q_ngram_jaccard",
     "q_cosine_neardup",
     "q_knn_classify",
+    # round 2b: decorrelation, ETL mutation, one-scan profiling — all should
+    # scale ~linearly (hash joins / single-scan aggregates on their keys)
+    "q_sql_waiting_orders",
+    "q_merge_upsert",
+    "q_dq_profile",
 ]
 
 

@@ -224,3 +224,41 @@ def test_sql_volume_shipping_broadcasts_dimension_chains(spark):
     df = QS["q_sql_volume_shipping"](spark, SF_MED)
     assert audit.count_broadcast_joins(df) >= 4
     assert "CartesianProduct" not in audit.plan_str(df)
+
+
+# --------------------------------------------------------------------------
+# ETL-mutation + data-quality suite (operators/merge.py, operators/dq.py)
+# --------------------------------------------------------------------------
+
+
+def test_merge_upsert_is_one_hash_join(spark):
+    """MERGE = full-outer hash join on the merge key — no nested loop, no
+    cartesian, regardless of change-set size."""
+    df = QS["q_merge_upsert"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scd2_apply_is_hash_relational(spark):
+    df = QS["q_scd2_apply"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dq_profile_scans_once(spark):
+    """N-column profiling must cost ONE table scan (the at-scale contract):
+    one wide aggregate, stack pivot is row-local."""
+    df = QS["q_dq_profile"](spark, SF_MED)
+    assert len(audit.read_schemas(df)) == 1
+    audit.assert_no_row_python(df)
+
+
+def test_dq_fk_orphans_broadcasts_parents(spark):
+    """Each FK check is a left-anti join; dimension-sized parent key sets
+    must broadcast."""
+    df = QS["q_dq_fk_orphans"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 4
+    assert "CartesianProduct" not in audit.plan_str(df)
