@@ -317,3 +317,74 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("__ts_s") - F.min("__ts_s")).alias("duration_s"),
         rnd(F.sum("value")).alias("session_value"),
     )
+
+
+@query(
+    "q_time_gapfill",
+    oracle="""
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id < 10
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+        FROM users
+    ),
+    obs AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               max_by(value, event_id) AS day_value
+        FROM events
+        WHERE user_id < 10 AND event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           last_value(o.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+           o.day_value IS NOT NULL AS observed
+    FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with LOCF (the hypertable `time_bucket_gapfill`
+    + `locf` idiom): a dense per-user daily spine (generated, not scanned)
+    left-joined with observed daily values (latest purchase per day via
+    max_by on the monotone event_id — deterministic), then
+    last-observation-carried-forward via `last(ignorenulls)` over the spine
+    ordering. Days before a user's first observation stay NULL by contract.
+
+    Scale notes: the spine is |users|×|days| rows generated row-locally from
+    a sequence (no scan); the fill is ONE window pass over the spine
+    partitioning — at 100 TB this shuffles the (small) spine+obs relation
+    once on user_id, never the raw events beyond the daily pre-aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max_by("value", "event_id").alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(obs, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("day_value").isNotNull().alias("observed"),
+    )

@@ -410,3 +410,58 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    ELSE [] END AS grams
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN 1.0::DOUBLE - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                ELSE 0.0::DOUBLE END AS rep_ratio
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (the Gopher-style "repetitious
+    content" quality signal): fraction of duplicated word 3-grams per doc —
+    1 − distinct/total. Entirely row-local (split → transform-over-sequence
+    → array_distinct), no shuffle, no explode: the classic map-only quality
+    pass a training-data pipeline runs before dedup. Ratio is a division of
+    small exact integers — bit-identical on both engines."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+                F.element_at("ws", i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", grams.alias("grams"))
+    nd = F.size(F.array_distinct("grams"))
+    n = F.size("grams")
+    return g.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.when(n > 0, F.lit(1.0) - nd.cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )

@@ -238,3 +238,30 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "q_window_ratio_to_report",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice / ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 2)
+               AS price_share
+    FROM orders
+    """,
+)
+def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT (Redshift's named share-of-total window function):
+    each order's share of its status group's total price — expressed as
+    x / sum(x) OVER (PARTITION BY ...). The group sum is stabilized with
+    the registry ``rnd`` contract (2-dec-grid money, order-insensitive
+    after rounding), so the division is the same IEEE op on both engines.
+    One shuffle on the partition key; no ordering needed (unordered frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") / rnd(F.sum("o_totalprice").over(w))).alias(
+            "price_share"
+        ),
+    )

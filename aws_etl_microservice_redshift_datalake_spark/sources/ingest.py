@@ -114,3 +114,29 @@ def q_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         rnd(F.sum("value")).alias("sum_value"),
     )
+
+
+@query(
+    "q_ingest_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 variant: ORC write→read roundtrip (Spark's second built-in columnar
+    format; Redshift COPY accepts ORC from S3). Customer is written as ORC,
+    read back through the DECLARED schema (COPY target-DDL semantics — no
+    inference pass), aggregated; the hash match against the original parquet
+    proves the cycle is lossless, doubles included (ORC roundtrips IEEE
+    doubles bit-exactly)."""
+    path = f"{SCRATCH}/orc-customer-{_tag(sf_dir)}"
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+    back = spark.read.schema(SCHEMAS["customer"]).orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        rnd(F.sum("c_acctbal")).alias("sum_bal"),
+    )

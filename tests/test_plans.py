@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import aws_etl_microservice_redshift_datalake_spark as engine
 from aws_etl_microservice_redshift_datalake_spark.plans import audit
 
@@ -262,3 +264,59 @@ def test_dq_fk_orphans_broadcasts_parents(spark):
     df = QS["q_dq_fk_orphans"](spark, SF_MED)
     assert audit.count_broadcast_joins(df) >= 4
     assert "CartesianProduct" not in audit.plan_str(df)
+
+
+def test_dynamic_partition_pruning_on_lake_layout(spark):
+    """The 100 TB lake contract beyond static pruning: when the partition
+    column is constrained only THROUGH A JOIN (no literal filter), Spark
+    must inject a dynamic-pruning subquery into the fact scan so only the
+    joined partitions are read."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table, unload
+
+    path = "/root/repo/.tmp/dpp-audit"
+    unload(
+        load_table(spark, SF_MED, "orders"),
+        path,
+        partition_cols=["o_orderstatus"],
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter("label = 'finished'")
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("label").count()
+    p = audit.plan_str(joined)
+    assert "dynamicpruning" in p.lower(), "expected a DPP subquery on the fact scan"
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """Bucketing = the pre-paid shuffle: two tables bucketed on the join key
+    into the same bucket count must hash-join with ZERO Exchange nodes —
+    the co-located-join contract that amortizes one write-time shuffle
+    across every future join at 100 TB."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+
+    for t in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    load_table(spark, SF_MED, "orders").write.bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").mode("overwrite").saveAsTable("bkt_orders")
+    load_table(spark, SF_MED, "customer").write.bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").mode("overwrite").saveAsTable("bkt_customer")
+    joined = (
+        spark.table("bkt_orders")
+        .hint("merge")  # force SMJ so the bucketed sort, not broadcast, wins
+        .join(
+            spark.table("bkt_customer").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    # bucketed scan → sort-merge join with no Exchange before the join; the
+    # only allowed shuffle is the final 5-group aggregation
+    assert audit.count_exchanges(joined) <= 1
+    p = audit.plan_str(joined)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
