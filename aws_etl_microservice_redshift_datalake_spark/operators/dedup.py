@@ -428,3 +428,81 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+@query(
+    "q_training_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM e),
+    comp AS (SELECT a AS doc_id, MIN(b) AS canon_id FROM closure GROUP BY a),
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> canon_id),
+    toks AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM toks
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+          AND n_tokens >= 20 AND n_types * 2 >= n_tokens
+    )
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS corpus_ttr
+    FROM kept
+    GROUP BY source, lang
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data pipeline, composing the LLM
+    operators into the shape every corpus build runs:
+
+      1. DEDUP — MinHash-LSH pairs → connected components → drop every
+         non-canonical cluster member (q_dedup_clusters machinery);
+      2. QUALITY — keep docs with ≥ 20 tokens and type-token ratio ≥ 0.5
+         (both thresholds are exact integer comparisons: 2·types ≥ tokens);
+      3. REPORT — per (source, lang): surviving docs, total tokens, and
+         corpus-level type-token ratio (an exact-integer-sum division).
+
+    The full chain is hash-checked against a single recursive-CTE oracle
+    built on the SAME pairs fragment as the minhash/cluster oracles, so all
+    three can never drift apart. Scale shape: the dedup stage is the
+    LSH-bucketed plan (no pairwise work), the drop set is |clustered docs|
+    (tiny vs corpus) applied as one broadcast anti-join, and the quality
+    stage is row-local arithmetic — the whole pipeline adds ONE extra
+    shuffle (the final group-by) on top of the dedup plan."""
+    drops = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("ws")
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_types"),
+    )
+    kept = toks.join(F.broadcast(drops), "doc_id", "left_anti").filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_types") * 2 >= F.col("n_tokens"))
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_types").cast("double") / F.sum("n_tokens").cast("double")).alias(
+            "corpus_ttr"
+        ),
+    )

@@ -388,3 +388,98 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
         F.col("day_value").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "q_event_cohorts",
+    oracle="""
+    WITH firsts AS (
+        -- DuckDB date_trunc('week') yields DATE; cast back to TIMESTAMP to
+        -- match Spark's timestamp-typed date_trunc
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_event_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted in
+    every week they were active — the warehouse retention report. Two
+    aggregations over one events scan plus an equi-join on user_id; the
+    cohort dimension is derived, never stored. Week truncation is coarser
+    than the §5.3 second-discipline floor, so the ns→µs parquet gap cannot
+    surface."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS ts_s
+        FROM events
+    ),
+    v AS (SELECT user_id, MIN(ts_s) AS t1 FROM s
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT s.user_id, MIN(s.ts_s) AS t2 FROM s JOIN v USING (user_id)
+          WHERE s.event_type = 'click' AND s.ts_s > v.t1 GROUP BY s.user_id),
+    p AS (SELECT s.user_id, MIN(s.ts_s) AS t3 FROM s JOIN c USING (user_id)
+          WHERE s.event_type = 'purchase' AND s.ts_s > c.t2 GROUP BY s.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): users whose first
+    click follows their first view, and whose first purchase follows that
+    click. Each stage is ONE aggregate on the events scan equi-joined to
+    the previous stage's (user, ts) frontier with the ordering as a
+    residual — hash joins only, no window over the full event stream, no
+    per-user Python. Timestamps are truncated to seconds on both engines
+    before any comparison (§5.3 ns-discipline)."""
+    s = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("second", "ts").alias("ts_s")
+    )
+    v = (
+        s.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t1"))
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t2"))
+    )
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_s") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )

@@ -106,7 +106,8 @@ _DEFER: frozenset[str] = frozenset({
     "q_merge_upsert", "q_scd2_apply", "q_dq_profile", "q_dq_fk_orphans",
     "q_dq_uniqueness", "q_agg_listagg",
     "q_time_gapfill", "q_text_repetition", "q_ingest_orc_roundtrip",
-    "q_window_ratio_to_report",
+    "q_window_ratio_to_report", "q_training_pipeline",
+    "q_event_cohorts", "q_event_funnel",
 })
 
 

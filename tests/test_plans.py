@@ -294,10 +294,15 @@ def test_bucketed_join_needs_no_exchange(spark):
     into the same bucket count must hash-join with ZERO Exchange nodes —
     the co-located-join contract that amortizes one write-time shuffle
     across every future join at 100 TB."""
+    import shutil
+
     from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
 
     for t in ("bkt_orders", "bkt_customer"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a fresh session's catalog forgets the table but its warehouse dir
+        # survives on disk; saveAsTable then fails LOCATION_ALREADY_EXISTS
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
     load_table(spark, SF_MED, "orders").write.bucketBy(
         8, "o_custkey"
     ).sortBy("o_custkey").mode("overwrite").saveAsTable("bkt_orders")
