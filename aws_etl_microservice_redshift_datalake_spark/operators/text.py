@@ -465,3 +465,27 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customers whose name is within edit distance 2
+    of a probe key — the approximate-key lookup entity resolution runs when
+    exact joins fail (typos, OCR noise). Levenshtein is exact-integer on
+    both engines. Scale shape: a scan-side filter against a broadcast probe
+    (here a literal); at 100 TB with a probe TABLE this becomes a
+    length/prefix-blocked join (same blocking idea as the LSH dedup), never
+    an all-pairs edit-distance."""
+    c = load_table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return c.select(
+        "c_custkey", "c_name", dist.cast("bigint").alias("dist")
+    ).filter(F.col("dist") <= 2)

@@ -107,7 +107,7 @@ _DEFER: frozenset[str] = frozenset({
     "q_dq_uniqueness", "q_agg_listagg",
     "q_time_gapfill", "q_text_repetition", "q_ingest_orc_roundtrip",
     "q_window_ratio_to_report", "q_training_pipeline",
-    "q_event_cohorts", "q_event_funnel",
+    "q_event_cohorts", "q_event_funnel", "q_fuzzy_match",
 })
 
 

@@ -21,6 +21,8 @@ partitionBy + maxRecordsPerFile reproduces slice-parallel UNLOAD layout.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -226,3 +228,41 @@ def write_sorted_table(
     as zone maps for downstream scans (SURVEY.md §4.2)."""
     out = df.repartition(dist_col).sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(path)
+
+
+def compact(
+    spark: SparkSession, path: str, target_records_per_file: int = 1_000_000
+) -> int:
+    """VACUUM-style small-file compaction: rewrite a parquet directory into
+    ⌈rows / target_records_per_file⌉ right-sized files and atomically swap
+    it in. Returns the new file count.
+
+    Why it exists at 100 TB: streaming sinks and per-partition writers leave
+    thousands of KB-sized files; every downstream scan then pays one task +
+    one footer-read per file, and the NameNode/listing layer pays the
+    metadata. Periodic compaction (Redshift VACUUM / OPTIMIZE analog) is
+    standard lake maintenance. The rewrite is one shuffle-free coalesce when
+    shrinking (or a round-robin repartition when the source is a single
+    oversized file), staged to a sibling ``<path>.compacting`` directory and
+    swapped with two renames — readers see the old or the new layout, never
+    a partial one. Hive-partitioned layouts compact per partition directory
+    with the same routine."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_records_per_file))
+    staged = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(staged, ignore_errors=True)
+    cur_files = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet") or f.startswith("part-")
+    )
+    out = df.coalesce(n_files) if n_files <= cur_files else df.repartition(n_files)
+    out.write.parquet(staged)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

@@ -145,3 +145,33 @@ def test_write_sorted_table_zone_maps(spark):
         assert all(s >= 0 for s in spans)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_small_files(spark):
+    """VACUUM analog: a directory fragmented into many small files is
+    rewritten into right-sized files with identical content and an atomic
+    swap (no .compacting/.old residue)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import compact, load_table
+    from tests.conftest import SF_MED
+
+    path = "/root/repo/.tmp/compact-test"
+    src = load_table(spark, SF_MED, "orders")
+    expect_rows = src.count()
+    expect_sum = src.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.startswith("part-"))
+    assert before >= 32, "fixture should start fragmented"
+
+    n_files = compact(spark, path, target_records_per_file=8_000)
+
+    after = sum(1 for f in os.listdir(path) if f.startswith("part-"))
+    assert after == n_files <= 2 + expect_rows // 8_000
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".old")
+    back = spark.read.parquet(path)
+    assert back.count() == expect_rows
+    assert back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s == expect_sum
