@@ -111,3 +111,77 @@ def test_multi_batch_incremental_processing(spark):
     finally:
         shutil.rmtree(srcdir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_cdc_upsert_into_parquet_state(spark):
+    """The streaming MERGE pattern end-to-end: a multi-batch event stream is
+    applied through foreachBatch as incremental upserts into a parquet
+    state table (latest value per user, newer event_id wins), and the final
+    state must equal the batch answer computed over the whole source.
+
+    This is the CDC-apply shape a Redshift-bound service runs (stage the
+    micro-batch, MERGE into the target): per batch, reduce to one row per
+    key, full-outer join against current state with recency-based
+    resolution, atomic directory swap. Batch-vs-stream equality holds
+    regardless of how files split into micro-batches because the merge rule
+    is associative and commutative over batches (max_by event_id)."""
+    import os
+
+    tag = uuid.uuid4().hex[:8]
+    src_dir = f"{SCRATCH}/cdc-src-{tag}"
+    state = f"{SCRATCH}/cdc-state-{tag}"
+    ckpt = f"{SCRATCH}/cdc-ckpt-{tag}"
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.repartition(4).write.parquet(src_dir)  # 4 files → 4 micro-batches
+
+    def upsert(batch_df, batch_id):
+        updates = batch_df.groupBy("user_id").agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("event_id"),
+        )
+        if os.path.exists(state):
+            cur = spark.read.parquet(state).alias("t")
+            u = updates.alias("s")
+            newer = F.col("s.event_id") > F.col("t.event_id")
+            merged = cur.join(u, F.col("t.user_id") == F.col("s.user_id"), "full_outer").select(
+                F.coalesce(F.col("s.user_id"), F.col("t.user_id")).alias("user_id"),
+                F.when(F.col("t.event_id").isNull() | newer, F.col("s.value"))
+                .otherwise(F.coalesce(F.col("t.value"), F.col("s.value")))
+                .alias("value"),
+                F.greatest(F.col("s.event_id"), F.col("t.event_id")).alias("event_id"),
+            )
+        else:
+            merged = updates.select("user_id", "value", "event_id")
+        staged = state + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        old = state + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state):
+            os.rename(state, old)
+        os.rename(staged, state)
+        shutil.rmtree(old, ignore_errors=True)
+
+    try:
+        sdf = (
+            spark.readStream.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        stream_foreach_batch(sdf, upsert, ckpt)
+
+        got = spark.read.parquet(state).orderBy("user_id").collect()
+        want = (
+            ev.groupBy("user_id")
+            .agg(
+                F.max_by("value", "event_id").alias("value"),
+                F.max("event_id").alias("event_id"),
+            )
+            .orderBy("user_id")
+            .collect()
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    finally:
+        for p in (src_dir, state, ckpt, state + ".staging", state + ".old"):
+            shutil.rmtree(p, ignore_errors=True)
