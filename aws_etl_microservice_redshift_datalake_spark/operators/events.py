@@ -483,3 +483,50 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+@query(
+    "q_event_wau",
+    oracle="""
+    WITH days AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-07',
+                                      TIMESTAMP '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    )
+    SELECT day, COUNT(DISTINCT user_id) AS wau
+    FROM days JOIN du ON du.d > day - INTERVAL 7 DAY AND du.d <= day
+    GROUP BY day
+    """,
+)
+def q_event_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU/DAU report): sliding
+    DISTINCT counts cannot use an ordinary window frame (distinct does not
+    decompose), so the engine idiom is a generated day spine range-joined
+    to the per-day distinct-user relation and re-aggregated. The spine is
+    ~30 rows → it broadcasts and the 'nested loop' is 30 comparisons per
+    pre-deduped (day, user) row — linear in distinct activity, never in raw
+    events. Day truncation is coarser than the §5.3 second floor."""
+    e = load_table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-07").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    du = e.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    return (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("d") > F.col("day") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -635,3 +635,45 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_year ASC
         """
     )
+
+
+_PROFIT = f"{_REV4} - p_retailprice * l_quantity * 0.1::DOUBLE"
+_PROFIT_S = f"{_REV4_S} - p_retailprice * l_quantity * 0.1D"
+
+
+@query(
+    "q_sql_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {o_exact_sum(_PROFIT, 4)} AS profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation ASC, o_year DESC
+    """,
+)
+def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation and order
+    year, profit on parts matching a name pattern — revenue minus a
+    holding-cost proxy (10% of retail value; the fixture has no partsupp/
+    ps_supplycost — FIXTURES.md). The per-row profit expression is the same
+    IEEE arithmetic on both engines, then exact-decimal summed. Plan: one
+    lineitem scan, part/supplier/nation broadcast, orders join, one
+    aggregation shuffle."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(SUM(CAST(ROUND({_PROFIT_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS profit
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation ASC, o_year DESC
+        """
+    )
