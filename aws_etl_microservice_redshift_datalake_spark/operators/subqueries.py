@@ -677,3 +677,40 @@ def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation ASC, o_year DESC
         """
     )
+
+
+@query(
+    "q_sql_value_concentration",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) AS DOUBLE) AS supp_value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)))
+         > (SELECT SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) * 0.0105::DOUBLE
+            FROM lineitem)
+    ORDER BY supp_value DESC, l_suppkey ASC
+    """,
+)
+def q_sql_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar subquery inside HAVING): suppliers carrying
+    more than 1.05% of total lineitem value (the cut keeps ~16% of suppliers at sf0.01 — shares are near-uniform, so the threshold sits just above the median). Unlike Q15's max-equality, the
+    threshold is an uncorrelated scalar aggregate COMPARED inside HAVING —
+    Catalyst evaluates it once and broadcasts the single row into the
+    post-aggregation filter. Both the per-supplier and the grand total are
+    EXACT decimal sums (prices are 2-dec-grid money), so the threshold cut
+    is deterministic; the decimal×double product keeps the comparison the
+    same IEEE op on both engines."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) AS DOUBLE) AS supp_value
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)))
+             > (SELECT SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) * 0.0105D
+                FROM lineitem)
+        ORDER BY supp_value DESC, l_suppkey ASC
+        """
+    )

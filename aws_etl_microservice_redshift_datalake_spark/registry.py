@@ -108,7 +108,7 @@ _DEFER: frozenset[str] = frozenset({
     "q_time_gapfill", "q_text_repetition", "q_ingest_orc_roundtrip",
     "q_window_ratio_to_report", "q_training_pipeline",
     "q_event_cohorts", "q_event_funnel", "q_fuzzy_match",
-    "q_sql_product_profit", "q_event_wau",
+    "q_sql_product_profit", "q_event_wau", "q_sql_value_concentration",
 })
 
 
