@@ -350,6 +350,48 @@ CC_MAX_ROUNDS = 20  # safety cap; min-label propagation needs O(diameter)
 # rounds and near-dup clusters are shallow (dup groups, not social graphs)
 
 
+def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Reusable connected-components operator over an undirected edge list:
+    returns (node, comp) where ``comp`` is the minimum node id reachable
+    from ``node``. Iterative MIN-LABEL PROPAGATION (the Pregel/GraphX
+    hash-min idiom): every endpoint starts labeled with itself; each round
+    labels flow across edges and each node keeps the minimum seen; fixpoint
+    when no label changes (per-round count — the driver loops over ROUNDS,
+    never rows). Only nodes appearing in an edge are emitted (singletons
+    are the caller's concern). Per-round plan: one edge equi-join + one
+    min-aggregate — both hash-partitioned on the node id; at 100 TB-graph
+    scale the same loop drops in large-star/small-star alternation
+    (Kiveris et al. '14) for O(log n) rounds without changing the
+    per-round plan."""
+    p = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    edges = p.union(p.select(F.col("dst"), F.col("src"))).toDF("src", "dst").cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp")).cache()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 @query(
     "q_dedup_clusters",
     oracle=f"""
@@ -390,37 +432,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_canonical); singletons (docs in no near-dup pair) are not emitted.
     """
     pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .cache()
+    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("comp"))
-        .cache()
-    )
-    for _ in range(CC_MAX_ROUNDS):
-        nbr = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "comp"
-        )
-        new = (
-            labels.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-            .cache()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "comp").select(
         "doc_id",

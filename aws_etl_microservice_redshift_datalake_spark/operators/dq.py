@@ -62,32 +62,53 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-@query("q_dq_profile", oracle=_profile_oracle())
-def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profile of lineitem: row/null/distinct counts for every column
-    plus numeric min/max — computed in ONE wide aggregate over one scan
-    (the oracle's UNION-ALL-of-scalar-aggs form is the semantic spec; the
-    Spark plan reads the table once), then pivoted tall with ``stack``."""
-    li = load_table(spark, sf_dir, "lineitem")
+def _profile(df: DataFrame, cols: list[tuple[str, bool]]) -> DataFrame:
+    """One-scan wide aggregate over (column, is_numeric) targets, pivoted
+    tall with ``stack`` — shared by the oracled lineitem query and the
+    generic any-table CLI profile."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for col, is_num in _PROFILE_COLS:
+    for col, is_num in cols:
         aggs.append(F.count(F.col(col)).alias(f"nn_{col}"))
         aggs.append(F.countDistinct(F.col(col)).alias(f"nd_{col}"))
         if is_num:
             aggs.append(F.min(F.col(col)).cast("double").alias(f"mn_{col}"))
             aggs.append(F.max(F.col(col)).cast("double").alias(f"mx_{col}"))
-    wide = li.agg(*aggs)
+    wide = df.agg(*aggs)
     stack_args = []
-    for col, is_num in _PROFILE_COLS:
+    for col, is_num in cols:
         mn = f"mn_{col}" if is_num else "CAST(NULL AS DOUBLE)"
         mx = f"mx_{col}" if is_num else "CAST(NULL AS DOUBLE)"
         stack_args.append(
             f"'{col}', n_rows, n_rows - nn_{col}, nd_{col}, {mn}, {mx}"
         )
     return wide.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
     )
+
+
+def profile_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Generic one-scan profile of any driver table: numeric columns get
+    min/max, every column gets row/null/distinct counts. Columns are read
+    from the schema, so this is the CLI/service profiling endpoint."""
+    df = load_table(spark, sf_dir, table)
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+    cols = [
+        (f.name, f.dataType.simpleString() in numeric or
+         f.dataType.simpleString().startswith("decimal"))
+        for f in df.schema.fields
+        if not f.dataType.simpleString().startswith(("array", "struct", "map", "binary"))
+    ]
+    return _profile(df, cols)
+
+
+@query("q_dq_profile", oracle=_profile_oracle())
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem: row/null/distinct counts for every column
+    plus numeric min/max — computed in ONE wide aggregate over one scan
+    (the oracle's UNION-ALL-of-scalar-aggs form is the semantic spec; the
+    Spark plan reads the table once), then pivoted tall with ``stack``."""
+    return _profile(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
 
 
 # FK graph of the star schema: (name, child, child_key, parent, parent_key)

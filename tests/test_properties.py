@@ -148,3 +148,51 @@ def test_distinct_idempotent_and_exact(spark, xs):
     d1 = df.distinct()
     assert d1.count() == len(set(xs))
     assert d1.distinct().count() == len(set(xs))
+
+
+# --------------------------------------------------------------------------
+# connected_components vs brute-force union-find
+# --------------------------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+)
+
+
+def _brute_components(edges):
+    """Reference union-find: node -> min reachable node id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # one more pass: path-compress to the true min root
+    return {n: find(n) for n in nodes}
+
+
+@given(_edges)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a BIGINT, b BIGINT"
+    )
+    got = {
+        r.node: r.comp for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == _brute_components(edges)
