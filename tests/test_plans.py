@@ -325,3 +325,41 @@ def test_bucketed_join_needs_no_exchange(spark):
     p = audit.plan_str(joined)
     assert "SortMergeJoin" in p
     assert "Bucketed: true" in p
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """The AQE-era runtime-filter contract: when a selective dimension
+    filters a shuffle join's build side, Spark injects a bloom-filter
+    aggregate on that side and pushes the membership test into the fact
+    scan — at 100 TB this skips most fact row-groups for selective dims
+    (the Redshift zone-map + join-filter analog). Thresholds are lowered
+    here because the test tables are tiny; production defaults trigger at
+    real sizes."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+
+        li = load_table(spark, SF_MED, "lineitem")
+        o = load_table(spark, SF_MED, "orders").filter("o_orderstatus = 'F'")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
