@@ -363,3 +363,36 @@ def test_runtime_bloom_filter_join_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's runtime skew handling: a hot join key whose shuffle partition
+    dwarfs the median must be SPLIT at runtime — the final adaptive plan
+    marks the join skew=true. This is the no-code-change complement to the
+    explicit salting pattern (q_agg_salted): at 100 TB, skewed fact keys
+    are the norm and AQE re-plans them without operator changes.
+    Thresholds are lowered because local test partitions are KB-sized.
+    Runs in a fresh newSession() so leaked session confs from other tests
+    (and this test's own threshold tuning) cannot cross-contaminate."""
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        ns.conf.set(k, v)
+    left = ns.range(0, 400_000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.rand(7).alias("payload"),
+    )
+    right = ns.range(0, 50_000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    j = left.join(right, "k").select("k")
+    assert len(j.collect()) > 0  # execute so AQE finalizes THIS plan
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "skew=true" in p, "expected the hot-key join to be skew-split"

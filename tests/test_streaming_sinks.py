@@ -185,3 +185,44 @@ def test_streaming_cdc_upsert_into_parquet_state(spark):
     finally:
         for p in (src_dir, state, ckpt, state + ".staging", state + ".old"):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark):
+    """Exactly-once incremental restart: a checkpointed availableNow run
+    drains the source and STOPS; more files then land; a second run with
+    the SAME checkpoint must process only the new files — output has no
+    duplicates and exactly covers the union. This is the contract that lets
+    a scheduled (cron-style) streaming ETL resume where it left off."""
+    import os
+
+    tag = uuid.uuid4().hex[:8]
+    src = f"{SCRATCH}/resume-src-{tag}"
+    out = f"{SCRATCH}/resume-out-{tag}"
+    ckpt = f"{SCRATCH}/resume-ckpt-{tag}"
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") < 500)
+    second = ev.filter(F.col("event_id") >= 500)
+    try:
+        first.coalesce(2).write.parquet(src)
+        sdf = spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, value DOUBLE"
+        ).parquet(src)
+        stream_to_parquet(sdf, out, ckpt)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == first.count()
+
+        # late-arriving files land in the same source directory
+        second.coalesce(2).write.mode("append").parquet(src)
+        sdf2 = spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, value DOUBLE"
+        ).parquet(src)
+        stream_to_parquet(sdf2, out, ckpt)
+
+        got = spark.read.parquet(out)
+        assert got.count() == ev.count(), "resume must add exactly the new rows"
+        assert got.select("event_id").distinct().count() == ev.count(), (
+            "exactly-once: no duplicated event_ids after resume"
+        )
+    finally:
+        for p in (src, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
