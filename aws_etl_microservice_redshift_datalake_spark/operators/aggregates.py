@@ -423,3 +423,27 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→tall, the inverse of A14's pivot): each order row emits
+    one row per metric column via ``stack`` — a row-local Expand, no
+    shuffle, no join; the idiom every metrics pipeline uses to normalize
+    wide fact tables. (Redshift ships UNPIVOT; Spark expresses it as
+    stack/unpivot — same Expand plan.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'o_totalprice', o_totalprice,"
+        " 'o_custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
+    ).select("o_orderkey", "metric", "value")

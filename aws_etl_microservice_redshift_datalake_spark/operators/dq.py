@@ -205,3 +205,31 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query("q_dq_profile_approx", oracle=None)
+def q_dq_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling path: same one-scan shape as q_dq_profile but
+    with approx_count_distinct (HLL++) instead of exact distincts — no
+    Expand row multiplication, constant sketch memory per column, one
+    ordinary two-phase aggregate. Rows-only by design (sketch estimates are
+    engine-specific — SURVEY §5.3); tests/test_quality.py bounds its error
+    against the exact profile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, is_num in _PROFILE_COLS:
+        aggs.append(F.count(F.col(col)).alias(f"nn_{col}"))
+        aggs.append(F.approx_count_distinct(F.col(col)).alias(f"nd_{col}"))
+        if is_num:
+            aggs.append(F.min(F.col(col)).cast("double").alias(f"mn_{col}"))
+            aggs.append(F.max(F.col(col)).cast("double").alias(f"mx_{col}"))
+    wide = li.agg(*aggs)
+    stack_args = []
+    for col, is_num in _PROFILE_COLS:
+        mn = f"mn_{col}" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{col}" if is_num else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{col}', n_rows, n_rows - nn_{col}, nd_{col}, {mn}, {mx}")
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )

@@ -231,3 +231,26 @@ def test_duplicate_texts_actually_detected(spark):
     n_rows = d.count()
     n_groups = QS["q_dedup_hash"](spark, "/root/testdata/sf0.1").count()
     assert n_groups < n_rows
+
+
+def test_approx_profile_tracks_exact(spark):
+    """q_dq_profile_approx (HLL++ path) must agree with the exact profile on
+    everything non-approximate and keep distinct-count error within HLL's
+    documented bounds (default rsd 5%; allow 3σ)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dq import (
+        q_dq_profile,
+        q_dq_profile_approx,
+    )
+    from tests.conftest import SF_MED
+
+    exact = {r.col_name: r for r in q_dq_profile(spark, SF_MED).collect()}
+    approx = {r.col_name: r for r in q_dq_profile_approx(spark, SF_MED).collect()}
+    assert set(exact) == set(approx)
+    for col, e in exact.items():
+        a = approx[col]
+        assert (a.n_rows, a.n_nulls, a.min_num, a.max_num) == (
+            e.n_rows, e.n_nulls, e.min_num, e.max_num
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct), (
+            f"{col}: approx {a.n_distinct} vs exact {e.n_distinct}"
+        )
