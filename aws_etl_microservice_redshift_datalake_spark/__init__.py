@@ -48,6 +48,7 @@ from .operators import sampling as _sampling  # noqa: F401
 from .operators import subqueries as _subqueries  # noqa: F401
 from .operators import merge as _merge  # noqa: F401
 from .operators import dq as _dq  # noqa: F401
+from .operators import matview as _matview  # noqa: F401
 from .functions import families as _families  # noqa: F401
 from .streaming import streams as _streams  # noqa: F401
 from .sources import ingest as _ingest  # noqa: F401

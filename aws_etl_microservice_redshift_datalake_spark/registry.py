@@ -109,7 +109,7 @@ _DEFER: frozenset[str] = frozenset({
     "q_window_ratio_to_report", "q_training_pipeline",
     "q_event_cohorts", "q_event_funnel", "q_fuzzy_match",
     "q_sql_product_profit", "q_event_wau", "q_sql_value_concentration",
-    "q_dq_profile_approx", "q_unpivot",
+    "q_dq_profile_approx", "q_unpivot", "q_sql_parameterized",
 })
 
 

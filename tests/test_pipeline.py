@@ -80,3 +80,40 @@ def test_checkpoint_view_counts(spark):
     report = job.run(spark)
     ck = report.stages[-1]
     assert ck.rows == 15
+
+
+def test_materialized_view_caches_and_refreshes(spark, tmp_path):
+    """MV contract: queries against the view hit the columnar cache
+    (InMemoryTableScan in the plan); REFRESH rebuilds from changed base
+    data."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.matview import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    base = str(tmp_path / "mv-base")
+    spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("g")).write.parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("mv_base")
+
+    mv = create_materialized_view(
+        spark, "mv_sums", "SELECT g, COUNT(*) AS n FROM mv_base GROUP BY g"
+    )
+    assert mv.count() == 5  # materializes the cache
+    p = spark.sql("SELECT SUM(n) FROM mv_sums")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p, "MV queries must hit the cache"
+    assert spark.sql("SELECT SUM(n) AS s FROM mv_sums").collect()[0].s == 100
+
+    # base data grows; REFRESH rebuilds the cache over the new file set
+    # (a new file listing changes the canonical plan, so the old cache
+    # entry no longer matches — Spark gives freshness, not staleness)
+    spark.range(100, 150).select(F.col("id"), (F.col("id") % 5).alias("g")).write.mode(
+        "append"
+    ).parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("mv_base")
+    mv2 = refresh_materialized_view(spark, "mv_sums")
+    assert mv2.count() == 5
+    assert spark.sql("SELECT SUM(n) AS s FROM mv_sums").collect()[0].s == 150
+    p2 = spark.sql("SELECT SUM(n) FROM mv_sums")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p2, "refreshed MV queries must hit the cache again"
