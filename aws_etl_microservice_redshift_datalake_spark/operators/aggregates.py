@@ -447,3 +447,24 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'o_totalprice', o_totalprice,"
         " 'o_custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
     ).select("o_orderkey", "metric", "value")
+
+
+@query("q_freq_items", oracle=None)
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark's Misra-Gries-style ``freqItems`` sketch —
+    the single-pass, fixed-memory answer to "which values exceed s% support"
+    at 100 TB (the exact twin is a full groupBy; see q_word_freq). The
+    sketch guarantees a SUPERSET of the true frequent items (possible false
+    positives, never false negatives) — rows-only by design since the
+    false-positive set is engine/merge-order specific;
+    tests/test_quality.py asserts the superset guarantee against exact
+    counts. Output: one row per frequent (column, value) pair, ordered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fi = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
+    flags = fi.select(
+        F.explode("l_returnflag_freqItems").alias("value")
+    ).select(F.lit("l_returnflag").alias("col_name"), "value")
+    stats = fi.select(
+        F.explode("l_linestatus_freqItems").alias("value")
+    ).select(F.lit("l_linestatus").alias("col_name"), "value")
+    return flags.unionByName(stats).orderBy("col_name", "value")

@@ -254,3 +254,49 @@ def test_approx_profile_tracks_exact(spark):
         assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct), (
             f"{col}: approx {a.n_distinct} vs exact {e.n_distinct}"
         )
+
+
+def test_freq_items_superset_guarantee(spark):
+    """Misra-Gries contract: every value whose true frequency exceeds the
+    support threshold MUST appear in the sketch output (false positives
+    allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+    from tests.conftest import SF_MED
+
+    import aws_etl_microservice_redshift_datalake_spark as engine
+
+    got = engine.all_queries()["q_freq_items"](spark, SF_MED).collect()
+    by_col = {}
+    for r in got:
+        by_col.setdefault(r.col_name, set()).add(r.value)
+    li = load_table(spark, SF_MED, "lineitem")
+    n = li.count()
+    for col in ("l_returnflag", "l_linestatus"):
+        exact = {
+            r[col]
+            for r in li.groupBy(col).count().collect()
+            if r["count"] > 0.2 * n
+        }
+        assert exact <= by_col.get(col, set()), f"{col}: missing true heavy hitters"
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS contract: estimate(key) is never below the true count and, with
+    probability 1-δ, within ε·N above it (ε=0.005, δ=0.01 here — checked
+    for every supplier key, allowing the δ slack on at most one)."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+    from tests.conftest import SF_MED
+
+    li = load_table(spark, SF_MED, "lineitem")
+    n = li.count()
+    cms = li.stat.countMinSketch("l_suppkey", eps=0.005, confidence=0.99, seed=42)
+    truth = {r.l_suppkey: r["count"] for r in li.groupBy("l_suppkey").count().collect()}
+    over_budget = 0
+    for key, true_n in truth.items():
+        est = cms.estimateCount(key)
+        assert est >= true_n, f"CMS under-estimated key {key}"
+        if est > true_n + 0.005 * n:
+            over_budget += 1
+    assert over_budget <= max(1, int(0.01 * len(truth)))
