@@ -84,7 +84,9 @@ SCHEMAS: dict[str, T.StructType] = {
     ]),
     "events": _s([
         ("event_id", T.LongType()),
-        ("ts", T.TimestampType()),  # parquet timestamp[ns]; Spark truncates to µs
+        # parquet TIMESTAMP(NANOS), isAdjustedToUTC=false → Spark 4.1 reads
+        # TIMESTAMP_NTZ natively, truncating ns → µs
+        ("ts", T.TimestampNTZType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),

@@ -33,33 +33,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def normalize_epoch_ts(colname: str):
+    """Magnitude-gated epoch-long → µs timestamp conversion (column expr).
+
+    A parquet TIMESTAMP(NANOS) column that surfaces as a long may carry ns
+    (legacy ``nanosAsLong`` readers) or µs (schema-coerced readers — Spark
+    4.1's stream source with a declared LongType yields µs). Any plausible
+    event time is < ~4e16 µs (year 3237) and > ~4e16 ns (mid-1971), so one
+    column-level gate converts both correctly with no eager scan. Integer
+    ``div``, not ``/``: a float quotient loses sub-µs exactness at 1e18 ns.
+    """
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(
+        F.expr(
+            f"CASE WHEN abs({colname}) > 40000000000000000 "
+            f"THEN {colname} div 1000 ELSE {colname} END"
+        )
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: Parquet lake scan. Columnar, self-describing schema, pushdown-able.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects by
-    default — read it as a nanos long (legacy conf, runtime-settable) and
-    convert to a microsecond TimestampType so the declared schema holds.
-
-    The conf set here is session-global and intentionally NOT restored:
-    the scan consults it lazily at execution, so a save/restore around this
-    call would break the read. ``get_session`` sets it up front for engine
-    sessions; this runtime set exists because the driver's correctness gate
-    runs these queries in its own vanilla session. Consequence (documented):
-    any later ns-timestamp parquet column in the same session also surfaces
-    as LongType — every events read path in this repo goes through here and
-    handles that explicitly.
+    ``events.ts`` is parquet TIMESTAMP(NANOS) (isAdjustedToUTC=false), which
+    Spark 4.1's native reader converts to TimestampNTZType, truncating to µs
+    — no conversion needed here. Defensive fallback: on a build where the
+    column still surfaces as a long (legacy ``nanosAsLong`` readers), a
+    magnitude-gated conversion (``normalize_epoch_ts``) restores µs
+    timestamps whether the long carries ns or µs.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
         from pyspark.sql import types as TT
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        # TIMESTAMP(NANOS) parquet surfaces as a long under the legacy conf;
-        # a re-written (Spark-produced) events table is already µs timestamps
-        if isinstance(df.schema["ts"].dataType, TT.LongType):
-            # integer div, not /: float quotient loses sub-µs exactness at 1e18 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, TT.LongType):  # pragma: no cover
+            df = df.withColumn("ts", normalize_epoch_ts("ts"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -20,10 +20,10 @@ discipline then gives each one a DuckDB oracle:
 - arbitrary stateful processing (T8) emits per-key final state = the
   batch per-key aggregate.
 
-Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); Spark reads
-it as a nanos long (legacy conf) and converts to µs TimestampType, while
-DuckDB keeps ns. Oracles therefore truncate to µs (grouping/join
-arithmetic) or seconds (hashed outputs) — SURVEY.md §5.3/§7.4.
+Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); Spark 4.1
+reads it natively as TimestampNTZType, truncating to µs, while DuckDB
+keeps ns. Oracles therefore truncate to µs (grouping/join arithmetic) or
+seconds (hashed outputs) — SURVEY.md §5.3/§7.4.
 
 Scale notes (100 TB):
 - The file source is incremental: on a cluster the same code tails an
@@ -52,12 +52,17 @@ from ..registry import query, rnd
 
 SCRATCH = "/root/repo/.tmp"
 
-# events.parquet is TIMESTAMP(NANOS): declare ts as a long and convert
-# (see sources.io.load_table, the batch twin of this read path).
+# events.parquet is TIMESTAMP(NANOS) with isAdjustedToUTC=false: Spark 4.1's
+# vectorized reader converts it natively to TimestampNTZType (µs-truncated),
+# in batch AND streaming alike — verified empirically; the legacy
+# ``nanosAsLong`` conf is a no-op here. Declaring ts as NTZ keeps the stream
+# read on the native (correct-scale) path; declaring LongType instead would
+# surface *µs* longs, and any manual ns→µs division then compresses 30 days
+# of events into 43 minutes (the round-2 T1-T8 wrong-answer bug).
 RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -85,10 +90,35 @@ def _source_dir(sf_dir: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: the events table as a Structured Streaming source with µs
-    event-time ``ts`` (integer ns→µs division — float loses exactness)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    event-time ``ts`` (TimestampNTZType — the native read path; see
+    RAW_EVENTS_SCHEMA for why no manual scale conversion happens here).
+
+    Scale-defensive like the batch twin ``sources.io.load_table``: if a
+    different Spark build DID surface ts as a long (ns or µs), the magnitude
+    gate in ``normalize_epoch_ts`` converts it correctly either way."""
     raw = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(_source_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):  # pragma: no cover
+        from ..sources.io import normalize_epoch_ts
+
+        raw = raw.withColumn("ts", normalize_epoch_ts("ts"))
+    return raw
+
+
+def stream_events_watermarkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (watermark variant): events with ``ts`` as TimestampType.
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    _TYPE), so watermark-carrying queries cast NTZ → instant under a pinned
+    UTC session timezone: same wall clock, deterministic regardless of the
+    caller session's tz (the driver's correctness session is vanilla).
+    Timestamp *outputs* of such queries must cast back with
+    ``.cast("timestamp_ntz")`` so results render the same wall clock as the
+    batch twins and the DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = stream_events(spark, sf_dir)
+    if isinstance(s.schema["ts"].dataType, T.TimestampNTZType):
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
 
 
 def run_stream(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
@@ -268,14 +298,14 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     only while strictly inside the open session window) — and keeps
     exactly the watermark-closed sessions via the HAVING clause.
     """
-    s = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+    s = stream_events_watermarkable(spark, sf_dir).withWatermark("ts", "0 seconds")
     agg = s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("session_value")
     )
     out = run_stream(agg, "append")
     return out.select(
         "user_id",
-        F.date_trunc("second", F.col("w.start")).alias("session_start"),
+        F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz").alias("session_start"),
         "n_events",
         "session_value",
     )
@@ -303,13 +333,15 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized and emitted; the trailing hour of windows is withheld as
     open state. The oracle's HAVING clause states that bound exactly."""
     agg = (
-        stream_events(spark, sf_dir)
+        stream_events_watermarkable(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = run_stream(agg, "append")
-    return out.select(F.col("w.start").alias("window_start"), "n_events")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -327,7 +359,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of operators/dedup). Only the keys are returned: 'first occurrence'
     payloads depend on arrival order, keys do not."""
     dd = (
-        stream_events(spark, sf_dir)
+        stream_events_watermarkable(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
@@ -396,7 +428,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     can no longer match (the 100 TB-safe shape); over the finite stream the
     result equals the batch time-bounded self-join."""
     clicks = (
-        stream_events(spark, sf_dir)
+        stream_events_watermarkable(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("a_user"),
@@ -406,7 +438,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("a_ts", "1 hour")
     )
     purchases = (
-        stream_events(spark, sf_dir)
+        stream_events_watermarkable(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("b_user"),
