@@ -468,3 +468,74 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("l_linestatus_freqItems").alias("value")
     ).select(F.lit("l_linestatus").alias("col_name"), "value")
     return flags.unionByName(stats).orderBy("col_name", "value")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (A7-family): DataFrame-native, fully distributed
+# --------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame, col: str, eps: float = 0.005, confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a count-min sketch over ``df[col]`` as a tiny counts DataFrame
+    ``(h_row, bucket, cnt)`` with depth = ⌈ln(1/δ)⌉ rows (δ = 1-confidence)
+    and width = ⌈e/ε⌉ buckets per row.
+
+    Pure built-ins: each input row expands to ``depth`` (h_row, bucket)
+    pairs via xxhash64 with per-row seeds, then one map-side-combinable
+    groupBy collapses 100 TB of input into at most depth×width cells — the
+    sketch shuffle is O(depth·width) regardless of input size, which is the
+    whole point of CMS at scale. Estimates (``cms_estimate``) never
+    under-count, and over-count by ≤ ε·N with probability ≥ confidence.
+    """
+    import math
+
+    depth = max(1, math.ceil(math.log(1.0 / (1.0 - confidence))))
+    width = max(1, math.ceil(math.e / eps))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h_row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed * 31 + i)), F.lit(width))
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("h"))
+        .groupBy(F.col("h.h_row").alias("h_row"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str, eps: float = 0.005,
+    confidence: float = 0.99, seed: int = 42,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys[col]``: recompute the
+    same depth hash buckets, broadcast-join the (tiny) sketch, and take the
+    row-wise MIN — returns ``(col, est)``. Missing cells count as 0."""
+    import math
+
+    depth = max(1, math.ceil(math.log(1.0 / (1.0 - confidence))))
+    width = max(1, math.ceil(math.e / eps))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h_row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed * 31 + i)), F.lit(width))
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = keys.select(F.col(col), F.explode(pairs).alias("h")).select(
+        col, F.col("h.h_row").alias("h_row"), F.col("h.bucket").alias("bucket")
+    )
+    joined = probes.join(F.broadcast(sketch), ["h_row", "bucket"], "left").select(
+        col, F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(col).agg(F.min("cnt").alias("est"))

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load_table, spread
+from ..sources.io import load_spread, table_rows
 
 N_HASHES = 32
 N_BANDS = 16  # 2 rows per band
@@ -73,7 +73,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-shingles, computed entirely row-local (split → slide → hash →
     array_distinct): zero shuffles. The foundation both for per-row minhash
     signatures and (exploded) for the inverted-index verification join."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+    d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     sh_arr = F.when(
@@ -150,15 +150,15 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates via row-local array_intersect. The only shuffles in the whole
     plan are the band-bucket join and the two candidate-pair key joins —
     signature computation and verification arithmetic never shuffle. The
-    banding is SIZE-ADAPTIVE (see _minhash_params): a count() pre-pass —
-    which doubles as the cache warm for the shingle relation both join
-    sides reuse — picks rows-per-band so random-pair band collisions stay
+    banding is SIZE-ADAPTIVE (see _minhash_params): the corpus size comes
+    from parquet footer metadata (sources.io.table_rows, zero Spark jobs)
+    and picks rows-per-band so random-pair band collisions stay
     sub-linear at scale. The oracle computes exact Jaccard for ALL
     shingle-sharing pairs; see module docstring for why recall is exact on
     this corpus.
     """
     arrs = _shingle_arrays(spark, sf_dir).cache()
-    n_bands, rows_per_band = _minhash_params(arrs.count())
+    n_bands, rows_per_band = _minhash_params(table_rows(sf_dir, "documents"))
     n_hashes = n_bands * rows_per_band
 
     # signatures computed PER ROW from the shingle array — no explode, no
@@ -328,7 +328,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc vote sums are signed into bits. Near-dups differ in few bits; at
     scale, pairs come from banding the bit space exactly like MinHash-LSH.
     Associative sums only → two-phase agg, 100 TB-clean."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
     h = F.md5("word")
     votes = toks.groupBy("doc_id").agg(
@@ -500,7 +500,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )
-    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+    d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.split("text", " ").alias("ws")
     )
     toks = d.select(

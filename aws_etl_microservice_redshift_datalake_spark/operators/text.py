@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query, rnd
-from ..sources.io import load_table, spread
+from ..sources.io import load_spread, load_table, table_rows
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,7 +32,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the spread every tokenize/explode pipeline runs on one core,
     measured 4-12x at sf0.1). On a many-file 100 TB corpus the scan
     parallelizes natively and no shuffle is inserted (see sources.io.spread)."""
-    return spread(load_table(spark, sf_dir, "documents"), spark)
+    return load_spread(spark, sf_dir, "documents")
 
 
 @query(
@@ -193,7 +193,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
     )
-    n_docs = d.count()  # scalar; one job, fine for a corpus-level constant
+    n_docs = table_rows(sf_dir, "documents")  # parquet footer metadata, no job
     scored = (
         tf.join(dl, "doc_id")
         .join(df_, "word")

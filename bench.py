@@ -60,11 +60,18 @@ def main() -> None:
     # query, not session startup
     qs[names[0]](spark, sf_dir).count()
 
+    # min of N fresh runs per query (the scale_check.py protocol): a single
+    # contended-machine run must not read as a plan regression — the min is
+    # the best available estimate of the plan's actual cost on this box
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(

@@ -172,27 +172,56 @@ def test_adaptive_lsh_params():
 
 
 def test_registry_window_ordering():
-    """The driver checks ~the first 50 queries() entries per round: the front
-    of the window must be exactly the not-yet-driver-checked oracled queries
-    (registry._DRIVER_CHECKED is updated from each round's CORRECTNESS
-    artifact; new queries must not silently displace the planned window)."""
+    """The driver checks ~the first 50 queries() entries per round. Policy:
+    every full-signal query (oracled-and-never-checked, or red-last-round
+    _RECHECK) must lead the ordering and fit inside the 50-slot window;
+    rows-only unchecked queries may fill remaining slots; everything already
+    green sits behind. Cross-checked against the CORRECTNESS artifacts on
+    disk so the sets can't silently drift from driver reality."""
+    import glob
+    import json
+    import os
+
     from aws_etl_microservice_redshift_datalake_spark.registry import (
         _DEFER,
         _DRIVER_CHECKED,
+        _RECHECK,
     )
 
     names = list(QS)
     oracles = engine.all_oracles()
-    window = names[:50]
-    assert all(n in oracles for n in window), "window entry without an oracle"
-    assert not any(n in _DRIVER_CHECKED for n in window), (
-        "already-checked query occupying a window slot"
+    front = [
+        n
+        for n in names
+        if n in _RECHECK
+        or (n not in _DRIVER_CHECKED and n not in _DEFER and n in oracles)
+    ]
+    k = len(front)
+    assert k <= 50, f"{k} full-signal queries don't fit the ~50-slot window"
+    assert set(names[:k]) == set(front), (
+        "a checked/deferred/rows-only query displaced a full-signal one"
     )
-    # everything outside the window is either deferred or already checked
-    for n in names[50:]:
-        assert n in _DRIVER_CHECKED or n in _DEFER, (
-            f"{n} is unchecked and un-deferred but fell outside the window"
+
+    # registry sets must agree with the driver artifacts on disk
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            latest[name] = row
+    for name, row in latest.items():
+        if name not in QS:
+            continue  # renamed/retired queries may linger in old artifacts
+        green = row.get("err") == "no_oracle" or (
+            row.get("rows_match") and row.get("hash_match")
         )
+        if green:
+            assert name in _DRIVER_CHECKED or name in _DEFER, (
+                f"{name} is driver-green but not recorded as checked/deferred"
+            )
+        else:
+            assert name in _RECHECK, (
+                f"{name} was driver-red and must sit in _RECHECK until re-green"
+            )
 
 
 def test_approx_count_distinct_close(spark):
@@ -283,20 +312,31 @@ def test_freq_items_superset_guarantee(spark):
 
 
 def test_count_min_sketch_bounds(spark):
-    """CMS contract: estimate(key) is never below the true count and, with
-    probability 1-δ, within ε·N above it (ε=0.005, δ=0.01 here — checked
-    for every supplier key, allowing the δ slack on at most one)."""
+    """CMS contract (DataFrame-native cms_build/cms_estimate): estimate(key)
+    is never below the true count and, with probability 1-δ, within ε·N
+    above it (ε=0.005, δ=0.01 — checked for every supplier key, allowing
+    the δ slack on a 1% handful)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.aggregates import (
+        cms_build,
+        cms_estimate,
+    )
     from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
     from tests.conftest import SF_MED
 
     li = load_table(spark, SF_MED, "lineitem")
     n = li.count()
-    cms = li.stat.countMinSketch("l_suppkey", eps=0.005, confidence=0.99, seed=42)
+    sketch = cms_build(li, "l_suppkey", eps=0.005, confidence=0.99, seed=42)
+    keys = li.select("l_suppkey").distinct()
+    est = {
+        r.l_suppkey: r.est
+        for r in cms_estimate(sketch, keys, "l_suppkey", eps=0.005,
+                              confidence=0.99, seed=42).collect()
+    }
     truth = {r.l_suppkey: r["count"] for r in li.groupBy("l_suppkey").count().collect()}
+    assert est.keys() == truth.keys()
     over_budget = 0
     for key, true_n in truth.items():
-        est = cms.estimateCount(key)
-        assert est >= true_n, f"CMS under-estimated key {key}"
-        if est > true_n + 0.005 * n:
+        assert est[key] >= true_n, f"CMS under-estimated key {key}"
+        if est[key] > true_n + 0.005 * n:
             over_budget += 1
     assert over_budget <= max(1, int(0.01 * len(truth)))
