@@ -157,7 +157,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-sharing pairs; see module docstring for why recall is exact on
     this corpus.
     """
-    arrs = _shingle_arrays(spark, sf_dir).cache()
+    # NOT cached, deliberately: the shingle relation is consumed by 4 plan
+    # branches (two band sides, two verify sides), but the arrays are fat
+    # (~100 shingle longs/doc) while their computation is row-local and
+    # cheap. Measured at the 10× corpus: recomputing per branch runs 2.95 s
+    # vs 12.75 s with a cold .cache() — concurrent branch tasks race to
+    # materialize the same cached partitions (duplicate compute AND
+    # serialize-to-storage cost), so the cache quadruples wall time instead
+    # of saving it. At 100 TB the same logic holds: re-running a map-only
+    # projection beats shuffling fat intermediate state into the block
+    # manager for multi-branch reads.
+    arrs = _shingle_arrays(spark, sf_dir)
     n_bands, rows_per_band = _minhash_params(table_rows(sf_dir, "documents"))
     n_hashes = n_bands * rows_per_band
 
@@ -258,8 +268,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard dedup over the DF-capped shingle universe: shingles
     with document frequency > MAX_SHINGLE_DF ("stopword shingles") are
     dropped up front — the standard stopword-removal step in set-similarity
-    search — then the inverted-index self-join computes exact intersection
-    counts and Jaccard = i/(n_a+n_b-i) over the capped sets, threshold 0.5.
+    search — then bounded posting lists emit candidate pairs (double
+    explode, map-side) into an exact intersection count and
+    Jaccard = i/(n_a+n_b-i) over the capped sets, threshold 0.5.
 
     The cap bounds per-shingle join cost at df² ≤ 2500 instead of unbounded
     hot-key quadratic (the 100 TB skew killer), and everything downstream of
@@ -271,24 +282,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shingles, no sketch; candidates from posting lists vs minhash
     bands."""
     sh = _shingles(spark, sf_dir)
-    rare = (
+    # ONE grouped pass builds bounded posting lists (the size filter IS the
+    # DF cap: |ds| ≤ MAX_SHINGLE_DF ≡ df ≤ cap); candidate pairs then come
+    # from a double explode of each list — pure map-side work feeding the
+    # pair aggregate — instead of the classic inverted-index SELF-JOIN.
+    # Same candidate universe, strictly less machinery: one shuffle (by s)
+    # replaces two join-side shuffles + a join whose build-or-merge choice
+    # AQE re-decides per run (measured 3.3-46 s swings at the 10× corpus;
+    # this form's min is 2.75 s there and the plan has no join to flip).
+    # The cached postings relation is narrow: ≤ cap doc ids per shingle.
+    postings = (
         sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= MAX_SHINGLE_DF)
+        .cache()
     )
-    # rare is distinct on s → inner join ≡ semi-join; cached because the
-    # self-join reads it twice and sizes a third time
-    rsh = sh.join(rare, "s").cache()
-    a = rsh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = rsh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        a.join(b, "s")
+        postings.select("ds", F.explode("ds").alias("doc_a"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))

@@ -324,8 +324,10 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select("vec_id", F.col("embedding").alias("v"))
     lsh_l, lsh_k = _neardup_params(table_rows(sf_dir, "embeddings"))
     # id+bucket only (~24 B/row × L per vector) — cached because both join
-    # sides read it; at cluster scale persist-to-disk or recompute, the
-    # relation stays this narrow either way
+    # sides read it AND it is narrow-but-expensive (L×k sparse projections
+    # per vector): measured at the 10× corpus, cached 2.90 s vs 4.47 s
+    # recomputed — the opposite trade from the dedup shingle relations,
+    # whose fat arrays make recompute cheaper than caching
     buckets = (
         t.select(
             "vec_id",

@@ -59,14 +59,15 @@ COMMENTARY = {
         "back to the vectors. No CartesianProduct/BNLJ anywhere."
     ),
     "q_ngram_jaccard": (
-        "Inverted-index Jaccard over the DF-capped shingle universe "
-        "(round 2): shingles with document frequency > 50 (stopword "
-        "shingles) are dropped up front, bounding per-shingle join cost at "
-        "df² ≤ 2500 instead of unbounded hot-key quadratic; sizes, "
-        "intersections, and the Jaccard ratio are all defined on the same "
-        "capped universe (equal to exact Jaccard on this corpus, where no "
-        "shingle exceeds the cap). The capped relation is cached and read "
-        "3× (self-join both sides + sizes)."
+        "Posting-list Jaccard over the DF-capped shingle universe "
+        "(round 3 plan): ONE grouped pass builds per-shingle posting lists, "
+        "the |ds| ≤ 50 size filter IS the stopword-shingle cap (bounding "
+        "per-shingle pair fan-out at df² ≤ 2500 — Σ min(df,50)² ≤ "
+        "50·occurrences, linear in corpus size), and candidate pairs come "
+        "from a map-side double explode feeding the pair aggregate — no "
+        "inverted-index SELF-JOIN at all, so there is no join whose "
+        "broadcast-vs-merge choice can vary between runs. Sizes reuse the "
+        "cached (narrow, ≤ 50 ids per shingle) posting relation."
     ),
     "q_sql_waiting_orders": (
         "TPC-H Q21 (round 2): Catalyst decorrelates the EXISTS into a "

@@ -224,13 +224,26 @@ def main() -> None:
         "documents, per-replica sign-flips for embeddings — both isometries",
         "within a replica), so near-dup structure is preserved per replica",
         f"and TRUE pairs grow {K}×, not {K}² — the scale row measures the",
-        "operator, not output size. `q_ngram_jaccard` caps posting lists at",
-        "DF ≤ 50 so hot shingles cannot go quadratic; `q_cosine_neardup` and",
-        "`q_dedup_minhash_pairs` pick LSH widths from a corpus-size pre-pass",
-        "(k ~ log n buckets / rows-per-band growth — see _neardup_params /",
-        "_minhash_params) so random-pair candidates stay ~linear (cosine:",
-        "~4·L·n pairs; its factor above 10/10ths reflects L growing 16→24",
-        "to hold recall ≥ 0.95 at the larger k, not super-linearity);",
+        "operator, not output size. `q_ngram_jaccard`'s candidate work is",
+        "LINEAR by construction and by measurement: the DF ≤ 50 cap bounds",
+        "pair volume at Σ min(df,50)² ≤ 50·|shingle occurrences| (linear in",
+        "corpus size), and the measured capped pair count grows exactly 10×",
+        "on this corpus (2.79 M pairs at sf0.1 → 27.9 M at ×10, max df 25 at",
+        "both scales — DuckDB decomposition) — candidates come from bounded",
+        "posting lists (double explode, map-side; no self-join whose",
+        "broadcast-vs-merge choice AQE can flip between runs), so any",
+        "wall-clock factor beyond ~linear is shuffle/GC noise, not candidate",
+        "growth. `q_cosine_neardup` and",
+        "`q_dedup_minhash_pairs` pick LSH widths from parquet-footer corpus",
+        "statistics (k ~ log n buckets / rows-per-band growth — see",
+        "_neardup_params / _minhash_params) so random-pair candidates stay",
+        "~linear (cosine: ~4·L·n pairs; factors above 10/10ths reflect L",
+        "growing 16→24 to hold recall ≥ 0.95 at the larger k, not",
+        "super-linearity). The dedup relations are deliberately NOT cached:",
+        "measured at ×10, recomputing the fat shingle arrays per plan branch",
+        "beats a cold .cache() whose branches race to materialize the same",
+        "partitions (2.95 s vs 12.75 s for minhash); the narrow cosine",
+        "bucket relation IS cached (2.90 s vs 4.47 s recomputed).",
         "`q_ann_topk`/`q_knn_classify` are linear in corpus size by",
         "construction (broadcast queries × streamed targets).",
         "`q_sql_waiting_orders`/`q_merge_upsert` are pure hash semi/anti/",

@@ -175,3 +175,27 @@ def test_compact_small_files(spark):
     back = spark.read.parquet(path)
     assert back.count() == expect_rows
     assert back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s == expect_sum
+
+
+def test_normalize_epoch_ts_handles_ns_and_us(spark):
+    """The magnitude-gated long→timestamp fallback (sources.io
+    normalize_epoch_ts) must map BOTH plausible epoch scales to the same
+    µs instant: ns longs (legacy nanosAsLong readers) and µs longs
+    (schema-coerced stream reads). Guards the defensive path that prevented
+    the round-2 bug class (µs values divided by 1000 → 1000× time
+    compression)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import normalize_epoch_ts
+
+    want = datetime.datetime(2024, 1, 15, 12, 30, 45, 123456)
+    epoch_us = int(want.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    df = spark.createDataFrame(
+        [(epoch_us * 1000,), (epoch_us,)], "ts long"  # ns row, µs row
+    ).select(normalize_epoch_ts("ts").alias("ts"))
+    got = [r.ts for r in df.collect()]
+    assert got[0] == got[1], "ns and µs longs must land on the same instant"
+    # timestamp_micros yields a UTC instant; compare in UTC wall clock
+    assert got[0].replace(tzinfo=None) == want or got[0] == want
