@@ -196,3 +196,129 @@ def test_connected_components_matches_union_find(spark, edges):
         r.node: r.comp for r in connected_components(pairs, "a", "b").collect()
     }
     assert got == _brute_components(edges)
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: posting-list Jaccard and the CMS sketch
+# --------------------------------------------------------------------------
+
+_docs = st.lists(
+    # tiny vocab so shared shingles are common; 3..6 tokens per doc
+    st.lists(st.integers(0, 5), min_size=3, max_size=6),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _brute_jaccard_pairs(docs, cap, thresh):
+    """Reference: distinct word-3-shingles per doc; drop shingles whose
+    document frequency exceeds cap; exact Jaccard over the capped sets."""
+    sets = {}
+    for i, toks in enumerate(docs):
+        sh = {tuple(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        sets[i] = sh
+    df = {}
+    for sh in sets.values():
+        for s in sh:
+            df[s] = df.get(s, 0) + 1
+    kept = {i: {s for s in sh if df[s] <= cap} for i, sh in sets.items()}
+    out = {}
+    ids = sorted(kept)
+    for a in ids:
+        for b in ids:
+            if a < b and kept[a] and kept[b]:
+                i = len(kept[a] & kept[b])
+                u = len(kept[a]) + len(kept[b]) - i
+                if u and i / u >= thresh:
+                    out[(a, b)] = i / u
+    return out
+
+
+@given(docs=_docs)
+@settings(**_SETTINGS)
+def test_posting_list_jaccard_matches_bruteforce(spark, docs):
+    """The bounded-posting-list candidate generation + exact verify must
+    equal all-pairs capped Jaccard on random corpora (cap 3 so the stopword
+    path actually triggers at this size)."""
+    from pyspark.sql import functions as F
+
+    cap, thresh = 3, 0.5
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows or [(None, None)], "doc_id long, text string").filter(
+        F.col("doc_id").isNotNull()
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    sh_arr = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+                F.element_at("toks", i + 3),
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", "toks")))
+    sh = (
+        toks.select("doc_id", F.array_distinct(sh_arr).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("s"))
+    )
+    postings = (
+        sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= cap)
+    )
+    inter = (
+        postings.select("ds", F.explode("ds").alias("doc_a"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in inter.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= thresh)
+        .collect()
+    }
+    want = _brute_jaccard_pairs(docs, cap, thresh)
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+_cms_vals = st.lists(st.integers(0, 30), min_size=1, max_size=60)
+
+
+@given(vals=_cms_vals)
+@settings(**_SETTINGS)
+def test_cms_never_undercounts(spark, vals):
+    """CMS one-sided error on random data: estimate >= true count for every
+    key, and total over-estimation bounded by depth x eps x N in the worst
+    case (loose sanity bound; the tight per-key bound is probabilistic)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.aggregates import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    sketch = cms_build(df, "k", eps=0.01, confidence=0.95, seed=7)
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est
+        for r in cms_estimate(sketch, keys, "k", eps=0.01, confidence=0.95, seed=7).collect()
+    }
+    truth = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    assert est.keys() == truth.keys()
+    for k, n in truth.items():
+        assert est[k] >= n, f"undercount for {k}"
