@@ -111,3 +111,131 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("n_lang").alias("n_total"))
     )
+
+
+PACK_BUDGET = 2048  # token budget per packed training batch
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+        FROM documents
+    ), runs AS (
+        SELECT source, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT source,
+           CAST(floor((cum - tok) / {PACK_BUDGET}) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens
+    FROM runs
+    GROUP BY source, bin
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: greedy running-total packing of
+    each source shard's documents into ~PACK_BUDGET-token bins (a document
+    goes to the bin its running-total START offset falls in, so every bin
+    holds ≤ budget + max_doc_tokens − 1 — the standard streaming packing
+    guarantee). The per-shard window (PARTITION BY source ORDER BY doc_id)
+    is the 100 TB shape: corpora are sharded by source/file anyway, packing
+    parallelizes per shard, and no global sort exists anywhere. Output is
+    one row per (source, bin) — deterministic integers, hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = d.select("source", "doc_id", tok.alias("tok")).withColumn(
+        "cum", F.sum("tok").over(w)
+    )
+    bin_ = F.floor((F.col("cum") - F.col("tok")) / PACK_BUDGET)
+    return (
+        runs.select("source", bin_.alias("bin"), "tok")
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+# target language mixture for q_mixture_sample: the training-mix weights a
+# data pipeline dials in (en-heavy, rest uniform)
+MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+MIX_TARGET_FRAC = 0.5  # sample down to half the corpus, re-weighted
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {w}" for k, w in MIX_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+@query(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang, doc_id,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang,
+               COUNT(*) OVER () AS n_total
+        FROM documents
+    ), rated AS (
+        SELECT lang, doc_id, n_lang,
+               least(1.0, ({_mix_case_sql()}) * {MIX_TARGET_FRAC} * n_total / n_lang) AS rate
+        FROM stats
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
+                                  < CAST(floor(rate * 10000) AS BIGINT)) AS n_selected,
+           MIN(n_lang) AS n_lang
+    FROM rated
+    GROUP BY lang
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: re-weight the corpus to a target language
+    mixture (MIX_WEIGHTS) at MIX_TARGET_FRAC of total size. Per-language
+    rate = min(1, w·T/n_lang) from one tiny per-class aggregate; membership
+    is the portable md5-bucket hash (reproducible on any engine, stable
+    under re-runs and incremental arrivals — rows never flip in or out as
+    unrelated data lands). Map-side filter after a broadcast of per-class
+    rates: no shuffle of the corpus at any scale. Output: per language, how
+    many docs the mix selects vs available."""
+    d = load_table(spark, sf_dir, "documents")
+
+    expr = F.lit(0.0)
+    for k, w in MIX_WEIGHTS.items():
+        expr = F.when(F.col("lang") == k, F.lit(w)).otherwise(expr)
+    # per-class stats as TINY aggregates broadcast back — never a global
+    # window (COUNT(*) OVER () would single-partition the corpus at scale)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    rate = F.least(
+        F.lit(1.0),
+        expr * F.lit(MIX_TARGET_FRAC) * F.col("n_total") / F.col("n_lang"),
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang", "n_lang", F.floor(rate * 10000).cast("bigint").alias("cut")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 10000
+    return (
+        d.select("lang", "doc_id")
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(bucket < F.col("cut"), 1)).alias("n_selected"),
+            F.min("n_lang").alias("n_lang"),
+        )
+    )
