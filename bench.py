@@ -43,6 +43,10 @@ HEADLINE = [
     # ETL mutation (MERGE as full-outer join) — the new heavy plan shapes
     "q_sql_waiting_orders",
     "q_merge_upsert",
+    # round 3: training-data batching (per-shard packing window, broadcast
+    # mixture rates) — compare r4+ totals against the 20-query set
+    "q_pack_sequences",
+    "q_mixture_sample",
 ]
 
 

@@ -49,6 +49,10 @@ QUERIES = [
     "q_sql_waiting_orders",
     "q_merge_upsert",
     "q_dq_profile",
+    # round 3: per-shard packing window + broadcast-rate mixture sampling —
+    # both should scale ~linearly (no global sort, no corpus shuffle)
+    "q_pack_sequences",
+    "q_mixture_sample",
 ]
 
 
