@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load_table
+from ..sources.io import load_spread, load_table
 
 # lineitem profile targets: (column, is_numeric) — numeric min/max reported
 # as DOUBLE, key/string columns profile counts only
@@ -108,7 +108,10 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus numeric min/max — computed in ONE wide aggregate over one scan
     (the oracle's UNION-ALL-of-scalar-aggs form is the semantic spec; the
     Spark plan reads the table once), then pivoted tall with ``stack``."""
-    return _profile(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+    # load_spread: the exact count-distinct Expand is compute-bound, and a
+    # single-file scan pins it to one core (measured 4.67 s -> 2.98 s at
+    # sf0.1 with the metadata-gated repartition; a multi-file corpus skips it)
+    return _profile(load_spread(spark, sf_dir, "lineitem"), _PROFILE_COLS)
 
 
 # FK graph of the star schema: (name, child, child_key, parent, parent_key)
@@ -215,7 +218,7 @@ def q_dq_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary two-phase aggregate. Rows-only by design (sketch estimates are
     engine-specific — SURVEY §5.3); tests/test_quality.py bounds its error
     against the exact profile."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, is_num in _PROFILE_COLS:
         aggs.append(F.count(F.col(col)).alias(f"nn_{col}"))
