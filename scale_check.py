@@ -252,12 +252,11 @@ def main() -> None:
         "construction (broadcast queries × streamed targets).",
         "`q_sql_waiting_orders`/`q_merge_upsert` are pure hash semi/anti/",
         "full-outer joins — near-flat factors as 32 cores amortize fixed",
-        "overhead. `q_dq_profile` can come out BELOW 1×: the base sf0.1",
-        "table is a single parquet file while the amplified copy is written",
-        "as 32 splits, so the count-distinct Expand gets full scan",
-        "parallelism only at 10× — a file-layout artifact, not operator",
-        "cost (the cure at real scale is simply multi-file input, which 100 TB",
-        "always is).",
+        "overhead. `q_dq_profile` spreads the single-file base scan before",
+        "its compute-bound count-distinct Expand (metadata-gated repartition,",
+        "a no-op on multi-file corpora — which 100 TB input always is), so",
+        "both scales get full parallelism and the factor reads the operator,",
+        "not the file layout.",
         "",
     ]
     open("/root/repo/SCALE.md", "w").write("\n".join(lines))
