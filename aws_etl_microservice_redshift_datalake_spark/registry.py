@@ -67,8 +67,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #            or covered by the self-run gate);
 #   rank 3 — _DRIVER_CHECKED: green in a previous round's artifact.
 #
-# Update _DRIVER_CHECKED/_RECHECK each round from CORRECTNESS_r{N}.json.
-_DRIVER_CHECKED: frozenset[str] = frozenset({
+# Update the era sets each round from CORRECTNESS_r{N}.json. The era split
+# exists for burn-in: once every query is green, leftover window slots
+# re-verify the OLDEST greens first (r1 before r2 before r3) to catch silent
+# regressions — VERDICT r3 "Next round" #6.
+_CHECKED_R1: frozenset[str] = frozenset({
     # CORRECTNESS_r01.json — all 48 oracled pass + 2 rows-only by design.
     "q_project", "q_filter", "q_filter_in_between", "q_filter_like",
     "q_case_when", "q_cast", "q_pricing_summary", "q_agg_global",
@@ -83,15 +86,18 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "q_except_distinct", "q_window_rank", "q_window_ntile", "q_window_lag",
     "q_window_frame", "q_window_running", "q_window_moving", "q_window_range",
     "q_window_topk", "q_agg_rollup", "q_agg_cube", "q_sql_grouping_sets",
+})
+
+_CHECKED_R2: frozenset[str] = frozenset({
     # CORRECTNESS_r02.json — the 43 green oracled rows + 1 rows-only
-    # (q_freq_items, parked in _DEFER below). The 6 red stream rows are NOT
-    # here: they moved to _RECHECK after the round-3 timestamp-scale fix.
+    # (q_freq_items, parked in _DEFER below), minus q_ngram_jaccard whose
+    # round-4 constant-space rebuild moved it to _RECHECK.
     "q_sql_shipping_priority", "q_sql_returned_items", "q_sql_priority_class",
     "q_join_range", "q_join_asof", "q_tumbling_window", "q_sliding_window",
     "q_sessionize", "q_dedup_exact", "q_dedup_hash", "q_text_stats",
     "q_word_freq", "q_tfidf_top_terms", "q_ngrams", "q_lang_id",
     "q_text_quality", "q_token_regex", "q_fingerprint",
-    "q_dedup_minhash_pairs", "q_ngram_jaccard", "q_simhash", "q_ann_topk",
+    "q_dedup_minhash_pairs", "q_simhash", "q_ann_topk",
     "q_knn_classify", "q_cosine_neardup", "q_multimodal_meta",
     "q_multimodal_decode", "q_udf_digitsum", "q_pandas_udf_dot",
     "q_pandas_udaf_centroid", "q_udtf_bigrams", "q_str_funcs", "q_date_funcs",
@@ -100,11 +106,39 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "q_stream_static_join", "q_unload_roundtrip", "q_ingest_csv_roundtrip",
 })
 
-# Red in CORRECTNESS_r02 (the streaming event-time scale bug, fixed in round
-# 3): must re-enter the window ahead of everything already green.
+_CHECKED_R3: frozenset[str] = frozenset({
+    # CORRECTNESS_r03.json — all 50 rows green (46 hash + 4 rows-only by
+    # design), minus q_pack_sequences / q_stratified_sample whose round-4
+    # de-skew rebuilds moved them to _RECHECK.
+    "q_agg_listagg", "q_unpivot", "q_window_ratio_to_report",
+    "q_time_gapfill", "q_event_cohorts", "q_event_funnel", "q_event_wau",
+    "q_text_repetition", "q_fuzzy_match", "q_dedup_clusters",
+    "q_training_pipeline", "q_hash_sample", "q_train_test_split",
+    "q_mixture_sample", "q_subq_exists", "q_subq_not_exists",
+    "q_subq_in_agg", "q_subq_not_in", "q_subq_scalar_corr_avg",
+    "q_subq_corr_min", "q_sql_top_supplier", "q_sql_waiting_orders",
+    "q_sql_cust_distribution", "q_sql_promo_revenue",
+    "q_sql_disjunctive_pred", "q_sql_discount_revenue",
+    "q_sql_volume_shipping", "q_sql_market_share", "q_sql_product_profit",
+    "q_sql_value_concentration", "q_merge_upsert", "q_scd2_apply",
+    "q_dq_profile", "q_dq_fk_orphans", "q_dq_uniqueness",
+    "q_sql_parameterized", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session", "q_stream_watermark", "q_stream_stream_join",
+    "q_stream_stateful", "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip",
+    "q_ann_lsh_topk", "q_ann_ivf_topk", "q_multimodal_frames",
+    "q_dq_profile_approx",
+})
+
+_DRIVER_CHECKED: frozenset[str] = _CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3
+
+# Queries whose implementation (or semantics) changed this round after a
+# green driver row: they re-enter the window first so the rebuild gets fresh
+# driver signal (green-but-rechecking is deliberate, see
+# tests/test_quality.py::test_registry_window_ordering).
 _RECHECK: frozenset[str] = frozenset({
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark", "q_stream_stream_join", "q_stream_stateful",
+    "q_ngram_jaccard",       # constant-space DF cap (ADVICE r3, medium)
+    "q_stratified_sample",   # hash-threshold rebuild (VERDICT r3 #4)
+    "q_pack_sequences",      # composite shard key (VERDICT r3 #3)
 })
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries
@@ -119,10 +153,14 @@ _DEFER: frozenset[str] = frozenset({
 def _rank(name: str) -> int:
     if name in _RECHECK:
         return 0
-    if name in _DRIVER_CHECKED:
+    if name in _CHECKED_R1:
+        return 2  # burn-in: oldest greens re-verify first
+    if name in _CHECKED_R2:
         return 3
+    if name in _CHECKED_R3:
+        return 4
     if name in _DEFER:
-        return 2
+        return 5  # parked rows-only: never displaces a burn-in slot
     return 0 if name in _ORACLES else 1
 
 
