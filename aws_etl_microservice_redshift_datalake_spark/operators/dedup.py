@@ -282,19 +282,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shingles, no sketch; candidates from posting lists vs minhash
     bands."""
     sh = _shingles(spark, sf_dir)
-    # ONE grouped pass builds bounded posting lists (the size filter IS the
-    # DF cap: |ds| ≤ MAX_SHINGLE_DF ≡ df ≤ cap); candidate pairs then come
-    # from a double explode of each list — pure map-side work feeding the
-    # pair aggregate — instead of the classic inverted-index SELF-JOIN.
-    # Same candidate universe, strictly less machinery: one shuffle (by s)
-    # replaces two join-side shuffles + a join whose build-or-merge choice
-    # AQE re-decides per run (measured 3.3-46 s swings at the 10× corpus;
-    # this form's min is 2.75 s there and the plan has no join to flip).
-    # The cached postings relation is narrow: ≤ cap doc ids per shingle.
-    postings = (
+    # DF cap in CONSTANT space per shingle: a count aggregate (partial
+    # map-side combine, one counter per key — never a list) selects the
+    # rare shingles, and a semi-join drops hot-shingle occurrences BEFORE
+    # any collect_list buffer exists. The earlier form collect_list'd every
+    # shingle's full doc list and filtered on size afterwards — a hot
+    # ("stopword") shingle at 100 TB would materialize an unbounded list in
+    # a single aggregation buffer before being discarded (ADVICE r3,
+    # medium). Both passes shuffle by s, so the groupBy below reuses the
+    # join's partitioning (one effective wide stage, no extra exchange).
+    # Candidate pairs then come from a double explode of each bounded list
+    # — pure map-side work feeding the pair aggregate — instead of the
+    # classic inverted-index SELF-JOIN (measured 3.3-46 s AQE flip swings
+    # at the 10× corpus for the join form).
+    rare = (
         sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    postings = (
+        sh.join(rare, "s", "left_semi")
+        .groupBy("s")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") <= MAX_SHINGLE_DF)
         .cache()
     )
     inter = (
