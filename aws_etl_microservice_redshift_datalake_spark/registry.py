@@ -123,7 +123,7 @@ _CHECKED_R3: frozenset[str] = frozenset({
     "q_sql_value_concentration", "q_merge_upsert", "q_scd2_apply",
     "q_dq_profile", "q_dq_fk_orphans", "q_dq_uniqueness",
     "q_sql_parameterized", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_session", "q_stream_watermark", "q_stream_stream_join",
+    "q_stream_stream_join",
     "q_stream_stateful", "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip",
     "q_ann_lsh_topk", "q_ann_ivf_topk", "q_multimodal_frames",
     "q_dq_profile_approx",
@@ -139,6 +139,8 @@ _RECHECK: frozenset[str] = frozenset({
     "q_ngram_jaccard",       # constant-space DF cap (ADVICE r3, medium)
     "q_stratified_sample",   # hash-threshold rebuild (VERDICT r3 #4)
     "q_pack_sequences",      # composite shard key (VERDICT r3 #3)
+    "q_stream_session",      # NTZ cast moved in-stream (tz scoping fix)
+    "q_stream_watermark",    # NTZ cast moved in-stream (tz scoping fix)
 })
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries

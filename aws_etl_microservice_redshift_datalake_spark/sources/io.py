@@ -75,50 +75,86 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _parquet_files(path: str) -> list[str]:
+    """Every parquet data file under ``path`` (recursively — nested and
+    hive-partitioned `k=v/` layouts included). Raises on zero files: a
+    silent 0 here would feed garbage into every size-adaptive parameter
+    downstream (LSH banding from n=0, isqrt(0) IVF cells, log(0) IDF) with
+    no error anywhere near the cause (ADVICE r3)."""
     if os.path.isdir(path):
-        return [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet") or f.startswith("part-")
-        ]
+        found = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet") or f.startswith("part-"):
+                    found.append(os.path.join(root, f))
+        if not found:
+            raise FileNotFoundError(f"no parquet data files under {path}")
+        return sorted(found)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     return [path]
 
 
+def _stat_sig(path: str) -> tuple:
+    """Freshness fingerprint for the metadata caches: (file, size, mtime_ns)
+    per data file. A rewrite/amplification at the same path changes the
+    signature, so cached footer stats can never go stale within one process
+    (ADVICE r3); stat calls are ~µs, footer parses are the part worth
+    caching."""
+    return tuple(
+        (f, os.path.getsize(f), os.stat(f).st_mtime_ns) for f in _parquet_files(path)
+    )
+
+
 @_functools.lru_cache(maxsize=None)
+def _rows_for(sig: tuple) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f, _sz, _mt in sig)
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact row count from parquet footer metadata — free, no Spark job.
 
     This is the statistics pre-pass for size-adaptive operators (LSH
     parameter selection, IDF corpus constants): the same numbers a
     cost-based planner reads from catalog stats, obtained from the file
-    footers the way ANALYZE does. Cached per (sf_dir, table) so repeated
-    query construction never re-reads footers; invisible to the query plan
-    (no eager job before the first real stage)."""
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(table_path(sf_dir, name))
-    )
+    footers the way ANALYZE does. Cached per file-stat fingerprint so
+    repeated query construction never re-reads footers but a rewritten
+    table is re-read; invisible to the query plan (no eager job before the
+    first real stage)."""
+    return _rows_for(_stat_sig(table_path(sf_dir, name)))
 
 
 @_functools.lru_cache(maxsize=None)
-def _scan_splits(path: str, max_partition_bytes: int = 128 << 20) -> int:
-    """Effective scan parallelism from parquet metadata: Spark assigns one
-    task per byte-range split (ceil(size / maxPartitionBytes)) but a row
-    group is readable by only one task, so a file's useful split count is
-    min(splits, row_groups); summed across files. Driver-side footer reads
-    only — replaces the old ``df.rdd.getNumPartitions()`` probe, which cost
-    an eager RDD conversion per load."""
+def _splits_for(sig: tuple, max_partition_bytes: int, open_cost: int) -> int:
     import math
 
     import pyarrow.parquet as pq
 
-    total = 0
-    for f in _parquet_files(path):
-        size = os.path.getsize(f)
+    per_file = 0
+    packed_bytes = 0
+    for f, size, _mt in sig:
         rgs = pq.ParquetFile(f).metadata.num_row_groups
-        total += max(1, min(math.ceil(size / max_partition_bytes), rgs))
-    return total
+        per_file += max(1, min(math.ceil(size / max_partition_bytes), rgs))
+        packed_bytes += size + open_cost
+    # Spark packs small files into shared partitions (maxPartitionBytes
+    # bins, openCostInBytes padding per file): for a many-small-files layout
+    # the per-file sum overstates parallelism, so bound it by the packing
+    # model — otherwise spread() would skip the repartition in exactly the
+    # under-split case it exists for (ADVICE r3).
+    packed = max(1, math.ceil(packed_bytes / max_partition_bytes))
+    return min(per_file, packed)
+
+
+def _scan_splits(path: str, max_partition_bytes: int = 128 << 20) -> int:
+    """Effective scan parallelism from parquet metadata: Spark assigns one
+    task per byte-range split (ceil(size / maxPartitionBytes)), a row group
+    is readable by only one task (useful splits ≤ row_groups per file), and
+    small files get PACKED into shared partitions (4 MiB openCostInBytes
+    padding each) — the estimate models all three. Driver-side footer reads
+    only — replaces the old ``df.rdd.getNumPartitions()`` probe, which cost
+    an eager RDD conversion per load."""
+    return _splits_for(_stat_sig(path), max_partition_bytes, 4 << 20)
 
 
 def spread(df: DataFrame, spark: SparkSession, path: str | None = None) -> DataFrame:

@@ -52,6 +52,11 @@ from ..registry import query, rnd
 
 SCRATCH = "/root/repo/.tmp"
 
+# stashed caller tz while a watermark stream is in flight — set by
+# stream_events_watermarkable (which pins the session to UTC), restored by
+# run_stream once the stream terminates. None = nothing to restore.
+_PREV_TZ: str | None = None
+
 # events.parquet is TIMESTAMP(NANOS) with isAdjustedToUTC=false: Spark 4.1's
 # vectorized reader converts it natively to TimestampNTZType (µs-truncated),
 # in batch AND streaming alike — verified empirically; the legacy
@@ -113,7 +118,18 @@ def stream_events_watermarkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller session's tz (the driver's correctness session is vanilla).
     Timestamp *outputs* of such queries must cast back with
     ``.cast("timestamp_ntz")`` so results render the same wall clock as the
-    batch twins and the DuckDB oracle."""
+    batch twins and the DuckDB oracle.
+
+    The UTC pin is a SESSION-level setting, so it is scoped: the caller's
+    previous tz is stashed and ``run_stream`` restores it after the stream
+    terminates (every watermark query executes inside ``run_stream`` and
+    outputs only NTZ/primitive columns, which are tz-independent once
+    materialized in the sink) — no tz leakage into later batch queries on
+    the same session (ADVICE r3)."""
+    global _PREV_TZ
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    if prev != "UTC" and _PREV_TZ is None:
+        _PREV_TZ = prev
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s = stream_events(spark, sf_dir)
     if isinstance(s.schema["ts"].dataType, T.TimestampNTZType):
@@ -156,6 +172,13 @@ def run_stream(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFr
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+        # scope the watermark helper's UTC pin: the stream has terminated,
+        # its sink holds only tz-independent (NTZ/primitive) values, so the
+        # caller session's original tz can come back
+        global _PREV_TZ
+        if _PREV_TZ is not None:
+            spark.conf.set("spark.sql.session.timeZone", _PREV_TZ)
+            _PREV_TZ = None
     return spark.table(name)
 
 
@@ -299,16 +322,23 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the watermark-closed sessions via the HAVING clause.
     """
     s = stream_events_watermarkable(spark, sf_dir).withWatermark("ts", "0 seconds")
-    agg = s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("session_value")
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value")).alias("session_value"),
+        )
+        # NTZ cast in-stream (pinned-UTC execution tz) — see q_stream_watermark
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("w.start"))
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            "n_events",
+            "session_value",
+        )
     )
-    out = run_stream(agg, "append")
-    return out.select(
-        "user_id",
-        F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz").alias("session_start"),
-        "n_events",
-        "session_value",
-    )
+    return run_stream(agg, "append")
 
 
 # --------------------------------------------------------------------------
@@ -337,11 +367,15 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
+        # NTZ cast INSIDE the stream (under the pinned-UTC execution tz):
+        # the sink must hold only tz-independent values, because by the
+        # time the driver collects, run_stream has restored the caller tz
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+        )
     )
-    out = run_stream(agg, "append")
-    return out.select(
-        F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events"
-    )
+    return run_stream(agg, "append")
 
 
 # --------------------------------------------------------------------------
