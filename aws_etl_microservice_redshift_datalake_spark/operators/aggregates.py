@@ -539,3 +539,69 @@ def cms_estimate(
         col, F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy(col).agg(F.min("cnt").alias("est"))
+
+
+HH_SUPPORT = 0.0075  # heavy-hitter support threshold (fraction of rows)
+HH_SAMPLE_PCT = 10  # candidate-generation hash-sample (% of rows)
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH cand AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 100
+              < {HH_SAMPLE_PCT}
+    )
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM cand)
+    GROUP BY user_id
+    HAVING COUNT(*) >= ceil({HH_SUPPORT} * (SELECT COUNT(*) FROM events))
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (support ≥ HH_SUPPORT·N) via count-min sketch, made
+    hash-checkable by the sketch-prune / exact-verify pattern (the same
+    shape as the LSH dedup family):
+
+    1. candidates — distinct keys of a HH_SAMPLE_PCT% portable-hash row
+       sample (any true heavy hitter appears in the sample on this corpus;
+       the oracle applies the identical candidate definition, so the match
+       never rests on that probability);
+    2. sketch prune — ``cms_build`` collapses the full corpus into a
+       depth×width counts table (shuffle O(d·w) regardless of input size)
+       and ``cms_estimate`` point-queries each candidate. CMS NEVER
+       under-counts, so dropping candidates with est < T loses no true
+       heavy hitter — the prune is output-invisible, which is exactly what
+       lets a sketch sit inside an exactly-checked query;
+    3. exact verify — recount ONLY the surviving candidates (broadcast
+       semi-join) and keep those with exact count ≥ T.
+
+    At 100 TB: one pass builds the sketch (tiny shuffle), one pass
+    recounts a broadcast-pruned key set — no full-cardinality groupBy
+    shuffle anywhere. T is relative (ceil of support·N, N from parquet
+    footer metadata) so the same query is meaningful at every scale.
+    """
+    import math
+
+    from ..sources.io import table_rows
+
+    e = load_table(spark, sf_dir, "events")
+    t_min = math.ceil(HH_SUPPORT * table_rows(sf_dir, "events"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 100
+    cand = e.filter(bucket < HH_SAMPLE_PCT).select("user_id").distinct()
+    sketch = cms_build(e.select("user_id"), "user_id")
+    pruned = (
+        cms_estimate(sketch, cand, "user_id")
+        .filter(F.col("est") >= t_min)
+        .select("user_id")
+    )
+    return (
+        e.join(F.broadcast(pruned), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= t_min)
+    )
