@@ -199,3 +199,60 @@ def test_normalize_epoch_ts_handles_ns_and_us(spark):
     assert got[0] == got[1], "ns and µs longs must land on the same instant"
     # timestamp_micros yields a UTC instant; compare in UTC wall clock
     assert got[0].replace(tzinfo=None) == want or got[0] == want
+
+
+def test_parquet_files_recursive_and_raises(tmp_path):
+    """_parquet_files must see nested/hive-partitioned layouts and raise on
+    an empty directory instead of silently returning 0 files (which would
+    feed n=0 into every size-adaptive parameter downstream)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import _parquet_files
+
+    t = pa.table({"a": list(range(10))})
+    (tmp_path / "k=1").mkdir()
+    (tmp_path / "k=2" / "j=0").mkdir(parents=True)
+    pq.write_table(t, tmp_path / "k=1" / "part-0.parquet")
+    pq.write_table(t, tmp_path / "k=2" / "j=0" / "part-0.parquet")
+    assert len(_parquet_files(str(tmp_path))) == 2
+    (tmp_path / "empty").mkdir()
+    with _pytest.raises(FileNotFoundError):
+        _parquet_files(str(tmp_path / "empty"))
+    with _pytest.raises(FileNotFoundError):
+        _parquet_files(str(tmp_path / "nope"))
+
+
+def test_metadata_cache_invalidates_on_rewrite(tmp_path):
+    """table_rows must re-read footer stats after the table at the same path
+    is rewritten (stat-fingerprint cache key, not path-only)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_etl_microservice_redshift_datalake_spark.sources import io as io_mod
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": list(range(10))}), p)
+    assert io_mod.table_rows(str(tmp_path), "t") == 10
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    pq.write_table(pa.table({"a": list(range(25))}), p)
+    assert io_mod.table_rows(str(tmp_path), "t") == 25
+
+
+def test_scan_splits_models_small_file_packing(tmp_path):
+    """Many small files must not overstate scan parallelism: Spark packs
+    them into maxPartitionBytes bins, so the estimate is bounded by the
+    packing model, keeping spread()'s repartition decision correct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import _scan_splits
+
+    t = pa.table({"a": list(range(100))})
+    for i in range(40):
+        pq.write_table(t, tmp_path / f"part-{i}.parquet")
+    # 40 tiny files ≈ 40 * (size + 4MiB open cost) < 2 * 128MiB → ≤ 2 splits
+    assert _scan_splits(str(tmp_path)) <= 2

@@ -396,3 +396,35 @@ def test_aqe_skew_join_split(spark):
     p = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
     assert "skew=true" in p, "expected the hot-key join to be skew-split"
+
+
+def test_pack_sequences_composite_shard_window(spark):
+    """q_pack_sequences' window must partition by the composite (source,
+    shard) key — partitioning by source alone pins parallelism at the
+    source cardinality (20), the round-3 scale ceiling."""
+    df = QS["q_pack_sequences"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    win = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert win, "no window in the pack_sequences plan"
+    assert "shard" in win[0], f"window not partitioned by composite shard key: {win[0]}"
+
+
+def test_stratified_sample_no_stratum_sort(spark):
+    """q_stratified_sample (hash-threshold form) must contain NO window /
+    per-stratum sort over the corpus — rates come from a tiny aggregate,
+    membership is a map-side hash filter."""
+    df = QS["q_stratified_sample"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert "windowspecdefinition" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ngram_postings_capped_before_collect(spark):
+    """The shingle DF cap must be applied with a count aggregate + semi-join
+    BEFORE collect_list builds posting lists, so a hot shingle never
+    materializes an unbounded list in one aggregation buffer (ADVICE r3).
+    Plan witness: a LeftSemi join feeds the collect_list aggregate."""
+    df = QS["q_ngram_jaccard"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert "LeftSemi" in p, "expected the df-cap semi-join in the plan"
+    assert "collect_list" in p

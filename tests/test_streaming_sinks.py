@@ -226,3 +226,28 @@ def test_checkpoint_resume_processes_only_new_files(spark):
     finally:
         for p in (src, out, ckpt):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_watermark_stream_tz_scoped_and_correct(spark):
+    """The watermark helper's UTC pin must be scoped: after a watermark
+    query runs, the caller session's timezone is restored, and the results
+    are identical regardless of the caller tz (sink holds only NTZ values
+    — the round-4 fix moved the NTZ cast inside the stream graph)."""
+    from tests.conftest import SF_SMALL
+
+    import aws_etl_microservice_redshift_datalake_spark as engine
+
+    qs = engine.all_queries()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows_ny = sorted(map(tuple, qs["q_stream_watermark"](spark, SF_SMALL).collect()))
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York", (
+            "UTC pin leaked out of the stream run"
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows_utc = sorted(map(tuple, qs["q_stream_watermark"](spark, SF_SMALL).collect()))
+        assert rows_ny == rows_utc, "stream results depend on caller session tz"
+        assert len(rows_ny) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
