@@ -292,3 +292,52 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_lang").alias("n_lang"),
         )
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH split AS (
+        SELECT lang, md5(text) AS h,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    train_h AS (SELECT DISTINCT h FROM split WHERE split = 'train')
+    SELECT lang,
+           COUNT(*) AS n_test,
+           COUNT(*) FILTER (WHERE h IN (SELECT h FROM train_h)) AS n_contaminated
+    FROM split
+    WHERE split = 'test'
+    GROUP BY lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination report — the leakage check every training
+    pipeline runs before evaluation: how many held-out (test-split) docs
+    share an exact content hash with any training-split doc. Splits are the
+    same portable doc_id-hash membership as q_train_test_split; content
+    identity is md5(text) (the q_dedup_hash key).
+
+    Scale shape: one shuffle on the 16-byte content hash (distinct train
+    hashes, then a hash semi-join tagging test docs) — both sides shrink to
+    (hash, lang) long before the shuffle; no text ever moves. At 100 TB
+    this is exactly the n-gram/exact-match decontamination join from
+    published LLM data pipelines, minus the n-gram generalization
+    (q_ngram_jaccard's capped posting lists provide that form)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 100
+    tagged = d.select(
+        "lang",
+        F.md5("text").alias("h"),
+        (bucket < 80).alias("is_train"),
+    )
+    train_h = tagged.filter("is_train").select("h").distinct()
+    test = tagged.filter(~F.col("is_train"))
+    hit = test.join(train_h.withColumn("hit", F.lit(1)), "h", "left")
+    return hit.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.count("hit").alias("n_contaminated"),
+    )

@@ -489,3 +489,89 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", "c_name", dist.cast("bigint").alias("dist")
     ).filter(F.col("dist") <= 2)
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+@query(
+    "q_text_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or see https://corpus.example/doc/'
+                    || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_URL_RE}', '<URL>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex redaction of emails/URLs
+    with per-doc redaction counts. The synthetic corpus contains no PII, so
+    the query deterministically INJECTS one email + one URL per doc (the
+    oracle applies the identical augmentation) — the redaction plumbing,
+    regex semantics, and counts are fully exercised and hash-checked.
+
+    Scale shape: row-local regexp_replace/regexp_count inside whole-stage
+    codegen — no shuffle, no Python; the same pattern list extends to
+    phone/SSN/credit-card regexes unchanged. Regexes are restricted to the
+    RE2∩Java-compatible subset so both engines agree character-for-character.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or see https://corpus.example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_URL_RE)).cast("bigint").alias("n_urls"),
+        red.alias("redacted"),
+    )
+
+
+TOKEN_BUCKET = 32  # histogram bucket width (tokens)
+
+
+@query(
+    "q_token_histogram",
+    oracle=f"""
+    SELECT CAST(floor(len(string_split(text, ' ')) / {TOKEN_BUCKET})
+                * {TOKEN_BUCKET} AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY bucket_lo
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram — the length-distribution report every
+    training-data pipeline runs before choosing packing budgets and
+    truncation limits. Row-local tokenize + bucket, one map-side-combinable
+    aggregate over ≤ (max_tokens/bucket) groups: the shuffle is bounded by
+    the bucket count, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " "))
+    bucket = (F.floor(tok / TOKEN_BUCKET) * TOKEN_BUCKET).cast("bigint")
+    return (
+        d.select(bucket.alias("bucket_lo"), tok.alias("tok"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+        )
+    )
