@@ -47,6 +47,10 @@ HEADLINE = [
     # mixture rates) — compare r4+ totals against the 20-query set
     "q_pack_sequences",
     "q_mixture_sample",
+    # round 4: sketch-verified heavy hitters (CMS prune + exact recount) and
+    # content-hash decontamination — compare r5+ totals against 22 queries
+    "q_cms_heavy_hitters",
+    "q_decontaminate",
 ]
 
 

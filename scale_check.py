@@ -53,6 +53,13 @@ QUERIES = [
     # both should scale ~linearly (no global sort, no corpus shuffle)
     "q_pack_sequences",
     "q_mixture_sample",
+    # round 4: CMS heavy hitters (sketch shuffle is O(d*w), recount is
+    # pruned) and content-hash decontamination (hash-only shuffle) — both
+    # should scale ~linearly; stratified hash-threshold replaces the old
+    # per-stratum sort form
+    "q_cms_heavy_hitters",
+    "q_decontaminate",
+    "q_stratified_sample",
 ]
 
 
