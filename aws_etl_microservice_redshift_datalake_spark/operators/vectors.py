@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import exact_sum, o_exact_sum, query
 from ..sources.io import load_spread, table_rows
 
 TOP_K = 5
@@ -504,4 +504,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "t_id", "label", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+@query(
+    "q_embedding_norms",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           {o_exact_sum("sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))", 6, 4)} AS sum_norm,
+           ROUND(MIN(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality stats per class: L2-norm count/sum/min/max — the
+    sanity report a pipeline runs before cosine math (un-normalized or
+    degenerate vectors break similarity thresholds).
+
+    Float discipline: the per-row norm sqrt(dot(v,v)) is BIT-identical on
+    both engines (sequential left-to-right fold + correctly-rounded IEEE
+    sqrt — the _dot contract), so min/max round deterministically, and the
+    order-nondeterministic cross-row SUM uses exact_sum (round each norm to
+    the 1e-6 grid, sum exactly in DECIMAL, round once) — the same rule the
+    money aggregates follow. Scale: row-local arithmetic in codegen + one
+    map-side-combinable aggregate over ≤ |labels| groups."""
+    e = _embeddings(spark, sf_dir)
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        exact_sum(norm, 6, 4).alias("sum_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
     )
