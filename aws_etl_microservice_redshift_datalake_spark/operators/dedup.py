@@ -550,3 +550,94 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_ttr"
         ),
     )
+
+
+DECON_NGRAM = 8  # published-pipeline decontamination n-gram length: long
+# enough that random docs share none, short enough to catch partial overlap
+
+
+@query(
+    "q_decontaminate_ngram",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(toks) >= {DECON_NGRAM}
+                 THEN list_transform(generate_series(1, len(toks) - {DECON_NGRAM - 1}),
+                                     i -> array_to_string(toks[i:i+{DECON_NGRAM - 1}], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    split AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+                   AS is_train
+        FROM documents
+    ),
+    train_s AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_train
+    ),
+    cont AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        JOIN split USING (doc_id)
+        WHERE NOT is_train AND s IN (SELECT s FROM train_s)
+    )
+    SELECT lang,
+           COUNT(*) AS n_test,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+               AS n_contaminated
+    FROM split WHERE NOT is_train
+    GROUP BY lang
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination — the published-LLM-pipeline form of the
+    train/test leakage check (GPT-3/PaLM style): a held-out doc is
+    contaminated if it shares ANY {8}-token n-gram with any training doc,
+    catching partial/embedded overlap that q_decontaminate's whole-text
+    hash misses.
+
+    Spark shape: n-grams are built row-local (split → slide → xxhash64 →
+    array_distinct, zero shuffles — the _shingle_arrays idiom), train
+    n-grams deduplicate in one hash aggregate, and test docs tag
+    contaminated via a LEFT SEMI join on the 8-byte n-gram hash — only
+    (hash, doc_id) ever shuffles, never text. The oracle runs on raw
+    n-gram strings, so the hash match also certifies no xxhash64 collision
+    bit (probability ~n²/2⁶⁵). At 100 TB the semi-join shuffles hash-
+    partitioned longs; a hot (boilerplate) n-gram adds semi-join skew that
+    AQE splits — there is no df² pair blowup anywhere (semi-join, not
+    inner)."""
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    n = DECON_NGRAM
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("toks", i, n), " "),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", "toks")))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 100
+    sh = d.select(
+        "doc_id",
+        "lang",
+        (bucket < 80).alias("is_train"),
+        F.explode(
+            F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
+        ).alias("s"),
+    )
+    train_s = sh.filter("is_train").select("s").distinct()
+    cont = (
+        sh.filter(~F.col("is_train"))
+        .join(train_s, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_docs = d.select("doc_id", "lang").filter(bucket >= 80)
+    return test_docs.join(cont, "doc_id", "left").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.count("hit").alias("n_contaminated"),
+    )

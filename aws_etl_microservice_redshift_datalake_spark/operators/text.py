@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import query, rnd
 from ..sources.io import load_spread, load_table, table_rows
@@ -573,5 +574,57 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n_tot FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(ROUND(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / n_tot), 6)
+                               AS DECIMAL(27,6))), 4) AS DOUBLE) AS sum_logp
+    FROM toks JOIN uni USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring — the corpus-LM perplexity
+    proxy (CCNet-style) used to rank documents for training-data selection:
+    score(doc) = Σ ln P(w) over its tokens, P from the corpus's own unigram
+    counts. Low (very negative per-token) scores flag gibberish/rare-token
+    documents.
+
+    Float discipline: ln(c/N) takes identical rational inputs on both
+    engines; each distinct logprob (one per vocabulary word) is rounded to
+    the 1e-6 grid BEFORE summation and the per-doc sum is exact decimal
+    arithmetic (the exact_sum rule) — addition order cannot move the
+    result, and the only cross-engine exposure is a libm ulp landing
+    exactly on a grid boundary (~45 distinct values here, none near one).
+
+    Scale shape: explode → one map-combinable unigram aggregate (vocab-
+    bounded shuffle), token→count hash join (hot stopwords = AQE skew
+    split), one per-doc aggregate. No text moves after the explode; no
+    Python anywhere."""
+    toks = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tot"))
+    logp = F.log(F.col("c") / F.col("n_tot"))
+    per_tok = F.round(logp, 6).cast(T.DecimalType(27, 6))
+    return (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(per_tok), 4).cast("double").alias("sum_logp"),
         )
     )
