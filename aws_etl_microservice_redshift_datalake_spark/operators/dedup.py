@@ -281,7 +281,6 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio → IEEE-exact, unrounded. The exact twin of q_dedup_minhash_pairs:
     same shingles, no sketch; candidates from posting lists vs minhash
     bands."""
-    sh = _shingles(spark, sf_dir)
     # DF cap in CONSTANT space per shingle: a count aggregate (partial
     # map-side combine, one counter per key — never a list) selects the
     # rare shingles, and a semi-join drops hot-shingle occurrences BEFORE
@@ -289,20 +288,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle's full doc list and filtered on size afterwards — a hot
     # ("stopword") shingle at 100 TB would materialize an unbounded list in
     # a single aggregation buffer before being discarded (ADVICE r3,
-    # medium). Both passes shuffle by s, so the groupBy below reuses the
-    # join's partitioning (one effective wide stage, no extra exchange).
-    # Candidate pairs then come from a double explode of each bounded list
-    # — pure map-side work feeding the pair aggregate — instead of the
-    # classic inverted-index SELF-JOIN (measured 3.3-46 s AQE flip swings
-    # at the 10× corpus for the join form).
+    # medium). Candidate pairs then come from a double explode of each
+    # bounded list — pure map-side work feeding the pair aggregate —
+    # instead of the classic inverted-index SELF-JOIN (measured 3.3-46 s
+    # AQE flip swings at the 10× corpus for the join form).
+    #
+    # The exploded occurrence relation is PERSISTED AND MATERIALIZED here
+    # (narrow: two longs per occurrence): the cap's count pass and the
+    # posting probe both consume it, and Spark's lazy cache RACES when
+    # concurrent leaf stages hit a not-yet-materialized subtree — each
+    # racing stage re-shingles the corpus (measured: up to 4× shingling,
+    # 12.3 s → 33 s at the 10× corpus). The count() barrier runs the
+    # shingling exactly once into the cache; it executes at query-build
+    # time, which bench/driver timing includes (same convention as the
+    # roundtrip queries in SKIP_LAZY_AUDIT). MEMORY_AND_DISK spills if the
+    # occurrence relation outgrows executor memory; Spark evicts LRU.
+    sh = _shingles(spark, sf_dir).persist()
+    sh.count()
     rare = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("s")
     )
+    # SHUFFLE_HASH, pinned: rare is ~every distinct shingle, so Spark's
+    # default strategies are both wrong — broadcasting it builds a
+    # multi-million-key hashed relation per executor (measured 11.6 s base /
+    # 33 s at 10× in fresh sessions), and sort-merge pays a full sort of the
+    # exploded occurrence relation. A shuffled hash join reuses the same
+    # hashpartitioning(s) the count pass and the collect_list below already
+    # need — one effective wide stage, constant memory per key.
     postings = (
-        sh.join(rare, "s", "left_semi")
+        sh.join(rare.hint("SHUFFLE_HASH"), "s", "left_semi")
         .groupBy("s")
         .agg(F.collect_list("doc_id").alias("ds"))
         .cache()

@@ -59,15 +59,19 @@ COMMENTARY = {
         "back to the vectors. No CartesianProduct/BNLJ anywhere."
     ),
     "q_ngram_jaccard": (
-        "Posting-list Jaccard over the DF-capped shingle universe "
-        "(round 3 plan): ONE grouped pass builds per-shingle posting lists, "
-        "the |ds| ≤ 50 size filter IS the stopword-shingle cap (bounding "
-        "per-shingle pair fan-out at df² ≤ 2500 — Σ min(df,50)² ≤ "
-        "50·occurrences, linear in corpus size), and candidate pairs come "
-        "from a map-side double explode feeding the pair aggregate — no "
-        "inverted-index SELF-JOIN at all, so there is no join whose "
-        "broadcast-vs-merge choice can vary between runs. Sizes reuse the "
-        "cached (narrow, ≤ 50 ids per shingle) posting relation."
+        "Posting-list Jaccard over the DF-capped shingle universe (round 4 "
+        "plan): a CONSTANT-SPACE count aggregate selects rare shingles "
+        "(df ≤ 50) and a semi-join drops hot-shingle occurrences BEFORE "
+        "collect_list builds the bounded posting lists — a hot (stopword) "
+        "shingle never materializes an unbounded list in one aggregation "
+        "buffer. The cap bounds per-shingle pair fan-out at df² ≤ 2500 "
+        "(Σ min(df,50)² ≤ 50·occurrences, linear in corpus size); candidate "
+        "pairs come from a map-side double explode of each list feeding the "
+        "pair aggregate — no inverted-index SELF-JOIN, so no join whose "
+        "broadcast-vs-merge choice can vary between runs. Both the count "
+        "pass and the list pass partition by shingle, so the groupBy reuses "
+        "the semi-join's exchange. Sizes reuse the cached (narrow, ≤ 50 ids "
+        "per shingle) posting relation."
     ),
     "q_sql_waiting_orders": (
         "TPC-H Q21 (round 2): Catalyst decorrelates the EXISTS into a "
@@ -94,6 +98,32 @@ COMMENTARY = {
         "ONE wide aggregate over ONE scan (count-distincts expand in a "
         "single Expand node), pivoted tall by a row-local stack — profiling "
         "cost is one table read regardless of column count."
+    ),
+    "q_cms_heavy_hitters": (
+        "Sketch-pruned exact heavy hitters (round 4): the count-min sketch "
+        "collapses the full corpus into a depth×width counts table (the "
+        "sketch shuffle is O(d·w) regardless of input size), candidates "
+        "come from a map-side hash-sample distinct, estimates broadcast-"
+        "join the tiny sketch, and only the pruned survivors are exactly "
+        "recounted via a broadcast semi-join — no full-cardinality groupBy "
+        "shuffle anywhere. CMS never under-counts, so the prune is "
+        "output-invisible and the result is exactly the true heavy-hitter "
+        "set."
+    ),
+    "q_decontaminate_ngram": (
+        "N-gram decontamination (round 4): 8-token n-grams built row-local "
+        "(split → slide → xxhash64 → array_distinct, zero shuffles), train "
+        "n-grams deduped in one hash aggregate, test docs tagged via LEFT "
+        "SEMI join on the 8-byte hash — only (hash, doc_id) ever shuffles, "
+        "never text, and a semi-join cannot pair-blow-up on a hot "
+        "boilerplate n-gram (AQE splits any residual skew)."
+    ),
+    "q_pack_sequences": (
+        "Sequence packing (round 4 de-skew): the running-total window "
+        "partitions by the composite (source, floor(doc_id/4096)) shard "
+        "key, bounding every window task at 4096 docs — parallelism grows "
+        "linearly with the corpus instead of pinning at the 20-source "
+        "cardinality. One window exchange + one aggregate exchange."
     ),
 }
 
