@@ -322,3 +322,78 @@ def test_cms_never_undercounts(spark, vals):
     assert est.keys() == truth.keys()
     for k, n in truth.items():
         assert est[k] >= n, f"undercount for {k}"
+
+
+def test_pack_bins_respect_budget_guarantee(spark):
+    """Streaming-packing guarantee: every bin holds ≤ PACK_BUDGET +
+    max_doc_tokens − 1 tokens (a doc lands in the bin its running-total
+    START offset falls in), within every (source, shard) packing unit."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import (
+        PACK_BUDGET,
+        q_pack_sequences,
+    )
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+    from tests.conftest import SF_MED
+
+    max_tok = (
+        load_table(spark, SF_MED, "documents")
+        .select(F.size(F.split("text", " ")).alias("t"))
+        .agg(F.max("t"))
+        .collect()[0][0]
+    )
+    bins = q_pack_sequences(spark, SF_MED).collect()
+    assert len(bins) > 0
+    for r in bins:
+        assert r.bin_tokens <= PACK_BUDGET + max_tok - 1, dict(r.asDict())
+
+
+def test_ngram_decontamination_catches_planted_dups(spark):
+    """sf0.1 documents contain duplicated texts by construction
+    (FIXTURES.md); some dup pairs straddle the 80/20 hash split, so the
+    n-gram decontamination report must flag a nonzero contaminated count —
+    and never more than n_test."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        q_decontaminate_ngram,
+    )
+
+    rows = q_decontaminate_ngram(spark, "/root/testdata/sf0.1").collect()
+    total_cont = sum(r.n_contaminated for r in rows)
+    assert total_cont > 0, "planted duplicates across the split not detected"
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_test
+
+
+def test_cms_heavy_hitters_equals_exact(spark):
+    """The sketch prune must be output-invisible: q_cms_heavy_hitters equals
+    the direct exact computation (sample-candidates ∩ count ≥ T) because
+    CMS never under-counts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.aggregates import (
+        HH_SAMPLE_PCT,
+        HH_SUPPORT,
+        q_cms_heavy_hitters,
+    )
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table, table_rows
+    from tests.conftest import SF_MED
+
+    got = {(r.user_id, r.n_events) for r in q_cms_heavy_hitters(spark, SF_MED).collect()}
+    e = load_table(spark, SF_MED, "events")
+    t_min = math.ceil(HH_SUPPORT * table_rows(SF_MED, "events"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 100
+    cand = e.filter(bucket < HH_SAMPLE_PCT).select("user_id").distinct()
+    exact = {
+        (r.user_id, r.n)
+        for r in e.join(cand, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= t_min)
+        .collect()
+    }
+    assert got == exact and len(got) > 0
