@@ -341,3 +341,49 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_test"),
         F.count("hit").alias("n_contaminated"),
     )
+
+
+WSAMPLE_K = 64  # weighted-sample size
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1.0)
+                       / 16777217.0,
+                   1.0 / n_chars) AS priority
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis '06):
+    each doc draws priority u^(1/w) from a uniform u and weight w (its
+    char length); the global top-k by priority IS a w-weighted sample —
+    the standard one-pass distributed weighted-sampling algorithm.
+
+    Determinism: u comes from the portable md5 bucket ((h+1)/2²⁴, never
+    0), so the sample is reproducible on any engine/partitioning — the
+    hash-sampling discipline extended to weights. pow/exp libm ulp
+    differences cannot flip the top-k boundary here: adjacent priorities
+    differ by ≫ 1e-12 on this corpus while libm disagreement is ≤ 1e-16
+    relative (doc_id tie-break guards exact ties). Scale shape: row-local
+    priority + global top-k (TakeOrderedAndProject — per-partition heaps,
+    no full sort, no shuffle of the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    u = (bucket + F.lit(1.0)) / F.lit(16777217.0)
+    priority = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+        .select("doc_id", "lang", "n_chars")
+    )
