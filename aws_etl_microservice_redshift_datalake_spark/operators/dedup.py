@@ -157,17 +157,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-sharing pairs; see module docstring for why recall is exact on
     this corpus.
     """
-    # NOT cached, deliberately: the shingle relation is consumed by 4 plan
-    # branches (two band sides, two verify sides), but the arrays are fat
-    # (~100 shingle longs/doc) while their computation is row-local and
-    # cheap. Measured at the 10× corpus: recomputing per branch runs 2.95 s
-    # vs 12.75 s with a cold .cache() — concurrent branch tasks race to
-    # materialize the same cached partitions (duplicate compute AND
-    # serialize-to-storage cost), so the cache quadruples wall time instead
-    # of saving it. At 100 TB the same logic holds: re-running a map-only
-    # projection beats shuffling fat intermediate state into the block
-    # manager for multi-branch reads.
-    arrs = _shingle_arrays(spark, sf_dir)
+    # PERSISTED WITH A MATERIALIZATION BARRIER (round 4 — reverses the
+    # round-3 no-cache decision, which was measured WITHOUT the barrier):
+    # the shingle arrays feed 3+ plan branches (signatures, two verify
+    # sides), and a lazy .cache() races — concurrent branch stages each
+    # recompute AND serialize the same partitions (the measured 2.95 s vs
+    # 12.75 s pathology was the race, not the cache). With an explicit
+    # count() barrier the split→slide→hash→distinct work runs exactly once
+    # (measured at the 10× corpus: 4.4 s → 2.9 s); the barrier executes at
+    # query-build time, which bench/driver timing includes.
+    arrs = _shingle_arrays(spark, sf_dir).persist()
+    arrs.count()
     n_bands, rows_per_band = _minhash_params(table_rows(sf_dir, "documents"))
     n_hashes = n_bands * rows_per_band
 
@@ -293,18 +293,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of the classic inverted-index SELF-JOIN (measured 3.3-46 s
     # AQE flip swings at the 10× corpus for the join form).
     #
-    # The exploded occurrence relation is PERSISTED AND MATERIALIZED here
-    # (narrow: two longs per occurrence): the cap's count pass and the
-    # posting probe both consume it, and Spark's lazy cache RACES when
-    # concurrent leaf stages hit a not-yet-materialized subtree — each
-    # racing stage re-shingles the corpus (measured: up to 4× shingling,
-    # 12.3 s → 33 s at the 10× corpus). The count() barrier runs the
-    # shingling exactly once into the cache; it executes at query-build
-    # time, which bench/driver timing includes (same convention as the
-    # roundtrip queries in SKIP_LAZY_AUDIT). MEMORY_AND_DISK spills if the
-    # occurrence relation outgrows executor memory; Spark evicts LRU.
-    sh = _shingles(spark, sf_dir).persist()
-    sh.count()
+    # The per-doc shingle ARRAYS are PERSISTED AND MATERIALIZED here: the
+    # cap's count pass and the posting probe both need the exploded
+    # occurrences, and Spark's lazy cache RACES when concurrent leaf
+    # stages hit a not-yet-materialized subtree — each racing stage
+    # re-shingles the corpus (measured: up to 4× shingling, 12.3 s → 33 s
+    # at the 10× corpus). Caching the ARRAY form (one row per doc, same
+    # bytes as the exploded form but 50× fewer rows) makes the expensive
+    # split→slide→hash→distinct work run exactly once, while each consumer
+    # re-runs only the cheap explode. The count() barrier executes at
+    # query-build time, which bench/driver timing includes (same
+    # convention as the roundtrip queries in SKIP_LAZY_AUDIT);
+    # MEMORY_AND_DISK spills if the corpus outgrows executor memory.
+    arrs = _shingle_arrays(spark, sf_dir).persist()
+    arrs.count()
+    sh = arrs.select("doc_id", F.explode("sh").alias("s"))
     rare = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
