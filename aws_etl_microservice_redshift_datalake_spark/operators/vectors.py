@@ -336,6 +336,11 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "tb.tbl", "tb.bkt")
         .cache()
     )
+    # materialization barrier: both self-join sides read the cached buckets
+    # and Spark's lazy cache races across concurrent stages (each side
+    # would recompute AND serialize the L×k projections — the round-4
+    # dedup-family finding); the count() runs the projection exactly once
+    buckets.count()
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
     b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
     cand = (
