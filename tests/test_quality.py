@@ -344,3 +344,15 @@ def test_count_min_sketch_bounds(spark):
         if est[key] > true_n + 0.005 * n:
             over_budget += 1
     assert over_budget <= max(1, int(0.01 * len(truth)))
+
+
+def test_hash_native_deterministic_across_runs(spark):
+    """q_hash_native (rows-only contract: xxhash64/crc32/murmur3 have no
+    DuckDB twin) must be deterministic: two independent runs produce
+    identical hash values for every doc, and the hashes are seed-stable
+    Spark builtins (not RNG-dependent)."""
+    a = {r.doc_id: (r.text_xxh64, r.text_crc32, r.text_murmur3)
+         for r in QS["q_hash_native"](spark, SF_MED).collect()}
+    b = {r.doc_id: (r.text_xxh64, r.text_crc32, r.text_murmur3)
+         for r in QS["q_hash_native"](spark, SF_MED).collect()}
+    assert a == b and len(a) == 500
