@@ -250,11 +250,16 @@ def main() -> None:
         "_neardup_params / _minhash_params) so random-pair candidates stay",
         "~linear (cosine: ~4·L·n pairs; factors above 10/10ths reflect L",
         "growing 16→24 to hold recall ≥ 0.95 at the larger k, not",
-        "super-linearity). The dedup relations are deliberately NOT cached:",
-        "measured at ×10, recomputing the fat shingle arrays per plan branch",
-        "beats a cold .cache() whose branches race to materialize the same",
-        "partitions (2.95 s vs 12.75 s for minhash); the narrow cosine",
-        "bucket relation IS cached (2.90 s vs 4.47 s recomputed).",
+        "super-linearity). Round 4: the shared shingle-array / LSH-bucket",
+        "relations are persisted WITH an explicit materialization barrier —",
+        "a lazy .cache() alone is WORSE than no cache (concurrent branch",
+        "stages race to materialize the same partitions, duplicating both",
+        "compute and serialization; measured 12.75 s lazy-cached vs 2.95 s",
+        "uncached vs ~2.5 s barriered for minhash at ×10). Sub-second rows",
+        "(stratified/mixture/decontaminate/pack) are dominated by fixed",
+        "session/job overhead in the fresh-process protocol — warm-session",
+        "re-measurement shows them flat-to-faster at ×10; treat factors on",
+        "sub-second absolutes as noise floor, not scaling signal.",
         "`q_ann_topk`/`q_knn_classify` are linear in corpus size by",
         "construction (broadcast queries × streamed targets).",
         "`q_sql_waiting_orders`/`q_merge_upsert` are pure hash semi/anti/",
