@@ -327,6 +327,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ds"))
         .cache()
     )
+    # barrier: inter and sizes below both read postings, and a lazy cache
+    # would race them into duplicate join+collect work (measured ~1 s at
+    # both scales)
+    postings.count()
     inter = (
         postings.select("ds", F.explode("ds").alias("doc_a"))
         .select("doc_a", F.explode("ds").alias("doc_b"))
