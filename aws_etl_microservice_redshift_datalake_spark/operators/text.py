@@ -628,3 +628,49 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(per_tok), 4).cast("double").alias("sum_logp"),
         )
     )
+
+
+@query(
+    "q_quality_quartile",
+    oracle="""
+    WITH thr AS (
+        SELECT lang, ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_selected,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           MIN(thr.p75) AS p75
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE d.n_chars >= thr.p75
+    GROUP BY d.lang
+    """,
+)
+def q_quality_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-quartile selection per class — keep each language's docs at or
+    above its own 75th-percentile quality score (n_chars as the stand-in
+    score): the class-conditioned quality filter every training pipeline
+    runs.
+
+    Scale shape: the per-class threshold comes from ONE tiny aggregate
+    (exact percentile here for the oracle; percentile_approx is the
+    drop-in at 100 TB) broadcast back as a map-side filter — NO per-class
+    window sort, so parallelism never collapses to the class count (the
+    same de-skew principle as q_stratified_sample). Threshold rounded to
+    the 1e-4 grid on both engines (the A6-proven percentile_cont
+    discipline) so the >= comparison is cross-engine deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = d.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", 0.75), 4).alias("p75")
+    )
+    return (
+        d.select("lang", "n_chars")
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("n_chars") >= F.col("p75"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("p75").alias("p75"),
+        )
+    )
