@@ -674,3 +674,151 @@ def q_quality_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p75").alias("p75"),
         )
     )
+
+
+CHUNK_TOKENS = 128  # chunk size (tokens)
+CHUNK_STRIDE = 64  # chunk stride (tokens) — 50% overlap
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, n_toks - start) AS BIGINT) AS chunk_tokens
+    FROM (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+               unnest(generate_series(0, len(string_split(text, ' ')) - 1,
+                                      {CHUNK_STRIDE})) AS start
+        FROM documents
+    )
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining prep step that
+    splits each doc into CHUNK_TOKENS-token windows at CHUNK_STRIDE stride
+    (50% overlap). Output: one row per (doc, chunk) with its exact token
+    count (trailing chunks are partial).
+
+    Scale shape: completely row-local — tokenize once per doc, generate
+    chunk starts with `sequence`, explode; no shuffle at all (the explode
+    multiplies rows ~n_toks/stride ×, the same fan-out any chunker pays).
+    The chunk TEXT itself is `slice(toks, start+1, CHUNK_TOKENS)` on the
+    same plan — omitted here so the driver hash stays on scalar columns."""
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", n.alias("n_toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n_toks") - F.col("start"))
+            .cast("bigint")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+
+
+@query(
+    "q_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+        SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), tot AS (
+        SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+               (SELECT SUM(len(t) - 1) FROM toks WHERE len(t) >= 2) AS n_bi
+    ), bi AS (
+        SELECT w1, w2, COUNT(*) AS c_ab
+        FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+            WHERE len(t) >= 2
+        )
+        GROUP BY w1, w2
+    ), scored AS (
+        SELECT w1, w2, c_ab,
+               ROUND(ln((CAST(c_ab AS DOUBLE) / n_bi)
+                        / ((CAST(a.c AS DOUBLE) / n_uni) * (CAST(b.c AS DOUBLE) / n_uni))), 6)
+                   AS pmi
+        FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w CROSS JOIN tot
+        WHERE c_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_ab, pmi FROM (
+        SELECT w1, w2, c_ab, pmi,
+               ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocations — pointwise mutual information
+    ln(p(ab)/(p(a)p(b))) over consecutive token pairs, support ≥
+    PMI_MIN_COUNT, top-20. The collocation-mining step of corpus analysis
+    (and the statistic behind phrase detection in word2vec-style
+    pipelines).
+
+    Float discipline: PMI is ln of a ratio of identical rationals on both
+    engines, ROUNDED to the 1e-6 grid BEFORE ranking (the q_tfidf
+    discipline) so the top-20 cut is cross-engine deterministic. Scale
+    shape: bigrams are built row-local (zip of the token array with its
+    tail), one hash aggregate each for unigram/bigram counts, two hash
+    joins against the (vocab-sized) unigram relation, broadcast totals,
+    global top-20 via per-partition heaps."""
+    d = load_spread(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = d.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    bi = pairs.select("p.w1", "p.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    tot = d.select(
+        F.sum(F.size("t")).alias("n_uni"),
+        F.sum(
+            F.when(F.size("t") >= 2, F.size("t") - 1).otherwise(F.lit(0))
+        ).alias("n_bi"),
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        # TakeOrderedAndProject, not a global row_number window: per-
+        # partition heaps, no single-partition sort of the bigram-type
+        # relation (which is vocab²-bounded and large at corpus scale)
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
