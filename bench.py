@@ -51,6 +51,10 @@ HEADLINE = [
     # content-hash decontamination — compare r5+ totals against 22 queries
     "q_cms_heavy_hitters",
     "q_decontaminate",
+    # round 4b: join-heavy text analytics (unigram-LM scoring, PMI
+    # collocations) — compare r5+ totals against 24 queries
+    "q_unigram_logprob",
+    "q_bigram_pmi",
 ]
 
 
