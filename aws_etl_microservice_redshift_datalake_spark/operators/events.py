@@ -530,3 +530,53 @@ def q_event_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+Z_THRESHOLD = 1.5  # |z| flagging threshold for daily-volume anomalies
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, ROUND(AVG(n_events), 4) AS mu,
+               ROUND(stddev_samp(n_events), 4) AS sd
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, day, n_events,
+           ROUND((n_events - mu) / sd, 4) AS z
+    FROM daily JOIN st USING (event_type)
+    WHERE abs(ROUND((n_events - mu) / sd, 4)) >= {Z_THRESHOLD}
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: flag (event_type, day) cells whose
+    event count deviates ≥ Z_THRESHOLD sample standard deviations from
+    that type's daily mean — the ops-dashboard spike/drop detector.
+
+    Float discipline: mean and stddev are rounded to the 1e-4 grid per
+    type BEFORE the z computation (the A5-proven stddev rule; AVG of
+    ints over 30 days cannot land on a rounding boundary), so z is an
+    IEEE-identical division of identical doubles on both engines and the
+    threshold cut is deterministic. Scale shape: one map-combinable
+    daily aggregate (cells ≤ types × days), a tiny per-type stats
+    aggregate broadcast back, map-side filter."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.round(F.avg("n_events"), 4).alias("mu"),
+        F.round(F.stddev_samp("n_events"), 4).alias("sd"),
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .select("event_type", "day", "n_events", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+    )
