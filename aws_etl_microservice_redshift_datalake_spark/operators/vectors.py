@@ -544,3 +544,68 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
+
+
+SEMDECON_TAU = 0.45  # cross-split cosine flagging threshold
+
+
+@query(
+    "q_decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+                   AS is_train
+        FROM embeddings
+    ),
+    cont AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.is_train AND NOT b.is_train
+        WHERE list_inner_product(a.v, b.v) >= {SEMDECON_TAU}
+    )
+    SELECT label,
+           COUNT(*) AS n_test,
+           COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM cont))
+               AS n_contaminated
+    FROM e WHERE NOT is_train
+    GROUP BY label
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space form of the train/test
+    leakage check (the third of the published trio: exact hash, n-gram,
+    embedding similarity): a held-out vector is contaminated if any
+    training vector sits within cosine ≥ SEMDECON_TAU.
+
+    Shape here: the test split (20%) is BROADCAST and the training split
+    STREAMS past it (the q_ann_topk pattern — zero shuffle of the big
+    side); per-pair cosine is the codegen `_dot` fold, so the ≥ τ cut is
+    bit-identical cross-engine with no rounding needed. At 100 TB the
+    broadcast side outgrows memory and the drop-in is the sign-LSH
+    bucketed candidate path of q_cosine_neardup (bucket equi-join + exact
+    verify) — same verify arithmetic, same output."""
+    e = _embeddings(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 100
+    tagged = e.select("vec_id", "label", "embedding", (bucket < 80).alias("is_train"))
+    train = tagged.filter("is_train").select(F.col("embedding").alias("tv"))
+    test = tagged.filter(~F.col("is_train")).select(
+        F.col("vec_id").alias("t_id"), F.col("embedding").alias("qv")
+    )
+    cont = (
+        train.crossJoin(F.broadcast(test))
+        .filter(_dot(F.col("tv"), F.col("qv")) >= SEMDECON_TAU)
+        .select("t_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tagged.filter(~F.col("is_train"))
+        .join(cont, tagged.vec_id == cont.t_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
