@@ -387,3 +387,110 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# Temperature-flattened language mixture (the mT5/UL2 p^alpha recipe with
+# alpha = 0.5): low-resource languages are up-weighted relative to their
+# natural share. alpha is fixed at 1/2 so the re-weighting is sqrt(p) —
+# IEEE sqrt is CORRECTLY ROUNDED on both engines (unlike pow, which is only
+# ~1-ulp), so every per-language rate below is bit-identical cross-engine
+# with no rounding discipline needed.
+TEMP_LANGS = ("de", "en", "es", "fr", "zh")  # fixture domain, FIXTURES.md
+TEMP_FRAC = 0.5  # sample down to half the corpus, temperature-re-weighted
+
+
+def _temp_oracle() -> str:
+    filt = ",\n               ".join(
+        f"COUNT(*) FILTER (WHERE lang = '{k}') AS n_{k}" for k in TEMP_LANGS
+    )
+    w = lambda k: f"sqrt(CAST(w.n_{k} AS DOUBLE) / w.n_total)"
+    z = w(TEMP_LANGS[0])
+    for k in TEMP_LANGS[1:]:
+        z = f"({z} + {w(k)})"
+    return f"""
+    WITH wide AS (
+        SELECT COUNT(*) AS n_total,
+               {filt}
+        FROM documents
+    ), counts AS (
+        SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ), rates AS (
+        SELECT c.lang, c.n_lang,
+               CAST(floor(least(1.0,
+                   (({TEMP_FRAC} * CAST(w.n_total AS DOUBLE))
+                    * (sqrt(CAST(c.n_lang AS DOUBLE) / w.n_total) / {z}))
+                   / c.n_lang) * 10000.0) AS BIGINT) AS cut_bp
+        FROM counts c CROSS JOIN wide w
+    )
+    SELECT d.lang,
+           MIN(r.n_lang) AS n_lang,
+           MIN(r.cut_bp) AS cut_bp,
+           COUNT(*) FILTER (
+               WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+                     % 10000 < r.cut_bp) AS n_selected
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang
+    """
+
+
+@query("q_temperature_sample", oracle=_temp_oracle())
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling — rebalance the language mixture toward
+    p_l^alpha / Z (alpha = 0.5) at TEMP_FRAC of corpus size, the standard
+    multilingual-pretraining re-weighting (mT5's temperature T = 1/alpha = 2).
+    Per-language rate = min(1, frac·N·(sqrt(p_l)/Z)/n_l) from one tiny
+    conditional aggregate; membership is the portable md5-bucket hash.
+
+    Float discipline without rounding: alpha is fixed at 1/2 so the only
+    non-rational op is sqrt (correctly rounded per IEEE 754 on both JVM and
+    DuckDB), every other op is a correctly-rounded +,*,/ with a FIXED
+    parenthesization (Z folds over TEMP_LANGS alphabetically on both sides),
+    so the rates — and hence floor(rate·1e4) — are bit-identical
+    cross-engine. Scale shape: one conditional aggregate (1 row), one
+    per-class aggregate (5 rows), broadcast back, map-side membership filter
+    — the corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.count(F.when(F.col("lang") == k, 1)).alias(f"n_{k}")
+            for k in TEMP_LANGS
+        ],
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+
+    def w(k: str):
+        return F.sqrt(F.col(f"n_{k}").cast("double") / F.col("n_total"))
+
+    z = w(TEMP_LANGS[0])
+    for k in TEMP_LANGS[1:]:
+        z = z + w(k)
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (F.lit(TEMP_FRAC) * F.col("n_total").cast("double"))
+            * (F.sqrt(F.col("n_lang").cast("double") / F.col("n_total")) / z)
+        )
+        / F.col("n_lang"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(wide))
+        .select(
+            "lang",
+            "n_lang",
+            F.floor(rate * 10000.0).cast("bigint").alias("cut_bp"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 10000
+    return (
+        d.select("lang", "doc_id")
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n_lang").alias("n_lang"),
+            F.min("cut_bp").alias("cut_bp"),
+            F.count(F.when(bucket < F.col("cut_bp"), 1)).alias("n_selected"),
+        )
+    )

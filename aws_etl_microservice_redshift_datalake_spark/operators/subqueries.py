@@ -714,3 +714,105 @@ def q_sql_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supp_value DESC, l_suppkey ASC
         """
     )
+
+
+@query(
+    "q_sql_regional_revenue",
+    oracle=f"""
+    SELECT n_name, {o_exact_sum(_REV4, 4)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for orders
+    where the CUSTOMER and the SUPPLIER sit in the same nation of one region
+    — the classic 6-table star-plus-snowflake join with an extra
+    same-nation equi-constraint (c_nationkey = s_nationkey) that is NOT a
+    star edge, so the optimizer must thread the constraint through the join
+    order rather than treat each dim independently.
+
+    Scale shape: region→nation prune first (broadcast, cuts customers and
+    suppliers to 1/5 before any fact-table work), lineitem joins suppliers
+    and orders on their keys (shuffle joins on the two fact keys — the only
+    big exchanges), dims broadcast. Revenue is exact_sum (grid 4) so the
+    ORDER BY on the double is deterministic cross-engine."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+        """
+    )
+
+
+@query(
+    "q_sql_parts_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    LIMIT 50
+    """,
+)
+def q_sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can ship each surviving (brand, type, size) combination,
+    excluding a supplier denylist via NOT IN. Fixture adaptation (documented
+    deviation, FIXTURES.md): no partsupp table exists, so lineitem IS the
+    part↔supplier relation, and the denylist (TPC-H's complaint-comment
+    suppliers) is suppliers with negative account balance.
+
+    Plan: the NOT IN subquery is uncorrelated over a NON-NULLABLE key, so
+    Catalyst plans a broadcast left-anti join (no null-aware penalty); the
+    IN-list and two <> predicates push into the part scan; distinct-count
+    runs as a two-phase partial/final aggregate over (brand,type,size,
+    suppkey). LIMIT 50 carries the full ORDER BY tie-break, so the cut is
+    deterministic."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        LIMIT 50
+        """
+    )

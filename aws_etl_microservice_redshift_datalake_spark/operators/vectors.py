@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import exact_sum, o_exact_sum, query
-from ..sources.io import load_spread, table_rows
+from ..sources.io import load_spread, load_table, table_rows
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -607,5 +607,75 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.count("hit").alias("n_contaminated"),
+        )
+    )
+
+
+SEARCH_QUERIES = 5  # vec_id < 5 are the retrieval queries
+SEARCH_K = 8
+
+
+@query(
+    "q_semantic_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {SEARCH_QUERIES}),
+    t AS (SELECT vec_id AS t_id, embedding::DOUBLE[] AS tv FROM embeddings),
+    hits AS (
+        SELECT q_id, t_id,
+               list_inner_product(qv, tv) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY list_inner_product(qv, tv) DESC, t_id ASC) AS rn
+        FROM q CROSS JOIN t
+        WHERE q_id <> t_id
+    )
+    SELECT q_id, CAST(rn AS INTEGER) AS rank, t_id AS doc_id,
+           ROUND(sim, 4) AS sim, lang, source,
+           substr(text, 1, 40) AS snippet
+    FROM hits JOIN documents ON doc_id = t_id
+    WHERE rn <= {SEARCH_K}
+    """,
+)
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style semantic retrieval: embedding top-k per query, then the hit
+    list hydrated with document metadata (lang, source, text snippet) — the
+    end-to-end search path a retrieval pipeline serves (embed → ANN → fetch).
+    vec_id indexes doc_id (FIXTURES.md: both 0-based dense; embeddings ⊆
+    documents at every sf).
+
+    Scale shape: the expensive stage is the broadcast-query × streamed-target
+    scan (the q_ann_topk pattern — big side never shuffles); the hydration
+    join runs AFTER top-k reduces the hit list to Q×K rows, so the tiny hit
+    set broadcasts into the documents scan — documents' text column never
+    moves through a shuffle, and at 100 TB the ANN stage swaps to the
+    LSH/IVF candidate path (q_ann_lsh_topk / q_ann_ivf_topk) with the same
+    hydration tail."""
+    e = _embeddings(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") < SEARCH_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    t = e.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("tv"))
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("t_id"))
+        .select("q_id", "t_id", _dot(F.col("qv"), F.col("tv")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("t_id"))
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_K)
+    )
+    return (
+        F.broadcast(hits)
+        .join(d, hits.t_id == d.doc_id)
+        .select(
+            "q_id",
+            "rank",
+            "doc_id",
+            F.round("sim", 4).alias("sim"),
+            "lang",
+            "source",
+            F.substring("text", 1, 40).alias("snippet"),
         )
     )
