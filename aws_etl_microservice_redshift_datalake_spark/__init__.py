@@ -52,6 +52,7 @@ from .operators import matview as _matview  # noqa: F401
 from .functions import families as _families  # noqa: F401
 from .streaming import streams as _streams  # noqa: F401
 from .sources import ingest as _ingest  # noqa: F401
+from .sources import maintenance as _maintenance  # noqa: F401
 
 __all__ = [
     "SCHEMAS",

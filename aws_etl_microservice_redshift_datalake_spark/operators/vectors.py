@@ -679,3 +679,83 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 40).alias("snippet"),
         )
     )
+
+
+SEMDEDUP_TAU = 0.45  # semantic-duplicate threshold (non-trivial at every sf)
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, d.n_chars
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    losers AS (
+        SELECT DISTINCT CASE WHEN a.n_chars > b.n_chars
+                               OR (a.n_chars = b.n_chars AND a.vec_id < b.vec_id)
+                             THEN b.vec_id ELSE a.vec_id END AS loser
+        FROM t a JOIN t b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) >= {SEMDEDUP_TAU}
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           COUNT(*) FILTER (WHERE vec_id IN (SELECT loser FROM losers))
+               AS n_dropped
+    FROM t
+    GROUP BY label
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic deduplication with canonical
+    selection — find embedding pairs above cosine SEMDEDUP_TAU and drop the
+    lower-quality member of each (quality proxy: document length via
+    vec_id = doc_id, ties to the lower id), i.e. a vector is dropped iff
+    some semantic near-duplicate beats it. Reports per-label corpus size vs
+    drops — the curation summary the pipeline logs before training.
+
+    Shape: pair generation is the broadcast self-join on ids+vectors (the
+    q_decontaminate_semantic pattern; at 100 TB the drop-in is the
+    q_cosine_neardup sign-LSH candidate path — same verify arithmetic,
+    same drop rule). Quality hydration joins the NARROW (doc_id, n_chars)
+    projection to the tiny pair set AFTER the cosine cut, so document data
+    never rides through the quadratic stage; the drop set broadcasts back
+    as a semi-join. The ≥ τ cut is the bit-identical `_dot` fold — no
+    rounding discipline needed anywhere."""
+    e = _embeddings(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = e.select("vec_id", "label", F.col("embedding").alias("v"))
+    right = t.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        t.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        .crossJoin(F.broadcast(right))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_dot(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+        .select("id_a", "id_b")
+    )
+    qa = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    qb = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    losers = (
+        F.broadcast(pairs)
+        .join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            F.when(
+                (F.col("ca") > F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_b"),
+            )
+            .otherwise(F.col("id_a"))
+            .alias("loser")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("hit").alias("n_dropped"),
+        )
+    )
