@@ -400,50 +400,116 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", value.cast("bigint").alias("simhash"))
 
 
-CC_MAX_ROUNDS = 20  # safety cap; min-label propagation needs O(diameter)
-# rounds and near-dup clusters are shallow (dup groups, not social graphs)
+CC_MAX_ROUNDS = 20  # safety cap; large-star/small-star needs O(log² n)
+# rounds even on path graphs, so 20 covers any graph that fits on disk
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al. '14): every node u links each strictly
+    LARGER neighbor to m(u) = min(Γ(u) ∪ {u}). The per-group minimum rides
+    a window over the SAME partitioning the emit needs — one shuffle total
+    (a groupBy+join spelling would exchange twice). Duplicate emits are
+    left in place; the small-star that always follows dedups."""
+    from pyspark.sql import Window as W
+
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = F.least(F.min("b").over(W.partitionBy("a")), F.col("a"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: direct each edge high→low, then every node u links ALL
+    its smaller neighbors (and itself) to m(u) = min of those neighbors.
+    Same one-shuffle window shape as large-star, plus the dedup exchange."""
+    from pyspark.sql import Window as W
+
+    dirs = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    withm = dirs.withColumn("m", F.min("b").over(W.partitionBy("a")))
+    # both emits ((v, m) and (u, m)) come out of ONE row via explode — a
+    # union of two projections would evaluate the window subtree twice
+    links = withm.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("b").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("a").alias("a"), F.col("m").alias("b")),
+            )
+        ).alias("lk")
+    ).select("lk.a", "lk.b")
+    return links.filter(F.col("a") != F.col("b")).distinct()
 
 
 def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Reusable connected-components operator over an undirected edge list:
     returns (node, comp) where ``comp`` is the minimum node id reachable
-    from ``node``. Iterative MIN-LABEL PROPAGATION (the Pregel/GraphX
-    hash-min idiom): every endpoint starts labeled with itself; each round
-    labels flow across edges and each node keeps the minimum seen; fixpoint
-    when no label changes (per-round count — the driver loops over ROUNDS,
-    never rows). Only nodes appearing in an edge are emitted (singletons
-    are the caller's concern). Per-round plan: one edge equi-join + one
-    min-aggregate — both hash-partitioned on the node id; at 100 TB-graph
-    scale the same loop drops in large-star/small-star alternation
-    (Kiveris et al. '14) for O(log n) rounds without changing the
-    per-round plan."""
-    p = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-    edges = p.union(p.select(F.col("dst"), F.col("src"))).toDF("src", "dst").cache()
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    from ``node``. LARGE-STAR / SMALL-STAR alternation (Kiveris et al. '14,
+    "Connected Components in MapReduce and Beyond") — upgraded in round 4
+    from hash-min label propagation, whose round count is O(component
+    diameter): the star rounds contract chains doubly-exponentially, so
+    even a path graph converges in O(log² n) rounds (measured: a 60-node
+    path needs 4 rounds here vs 59 hash-min propagation rounds — past the
+    old 20-round cap). Fixpoint = the directed edge set is unchanged
+    (order-insensitive count + hash compare, one action per round — the
+    driver loops over ROUNDS, never rows). Per-round plan: two
+    groupBy-min + two equi-joins, all hash-partitioned on the node id; no
+    per-round growth in lineage cost matters at ≤ 20 rounds. Only nodes
+    appearing in an edge are emitted (singletons are the caller's
+    concern)."""
+    e = (
+        pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    # order-insensitive edge-set fingerprint: count + XOR of per-edge hashes
+    # (XOR, not SUM — a long SUM overflows under ANSI mode; edges are
+    # distinct so XOR cancellation cannot collide two different sets except
+    # with ~2^-64 hash probability)
+    def _sig(df: DataFrame) -> tuple:
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+            ).collect()[0]
+        )
+
+    sig = _sig(e)
     for _ in range(CC_MAX_ROUNDS):
-        nbr = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "comp"
-        )
-        new = (
-            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp")).cache()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
+        # localCheckpoint (eager), not cache: each round's plan references
+        # the previous round's edges TWICE (the symmetrizing union), so the
+        # logical plan doubles per round and Catalyst analysis alone goes
+        # exponential by round ~6 (measured: 1 s/round → 67 s at round 6 on
+        # a 60-node path). Checkpointing truncates lineage to the
+        # materialized partitions — constant per-round plan, and the
+        # fixpoint signature rides the same materialization. On a real
+        # cluster use reliable checkpoint() (localCheckpoint loses
+        # partitions on executor failure) — same one-line swap.
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(new)
+        e = new
+        if new_sig == sig:
             break
-    edges.unpersist()
-    return labels
+        sig = new_sig
+    # converged: every edge is (node, comp_min); add the roots, plus nodes
+    # that appeared only in self-loop edges (their component is themselves —
+    # the pre-round-4 contract emitted every node appearing in ANY edge)
+    star = e.select(F.col("a").alias("node"), F.col("b").alias("comp")).union(
+        e.select(F.col("b").alias("node"), F.col("b").alias("comp")).distinct()
+    )
+    all_nodes = (
+        pairs.select(F.col(col_a).alias("node"))
+        .union(pairs.select(F.col(col_b).alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(star, "node", "left_anti").select(
+        "node", F.col("node").alias("comp")
+    )
+    return star.union(singletons)
 
 
 @query(
@@ -471,16 +537,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative — the "keep one copy per dup group" stage every
     training-data dedup pipeline ends with.
 
-    Components via iterative MIN-LABEL PROPAGATION (the Pregel/GraphX hash-min
-    idiom): every endpoint starts labeled with itself; each round labels flow
-    across edges and each node keeps the minimum seen; fixpoint when no label
-    changes (checked with a per-round count — the driver-side loop is over
-    ROUNDS, never rows). Convergence needs O(cluster diameter) rounds and
-    near-dup clusters are shallow; at 100 TB-graph scale the same loop drops
-    in large-star/small-star alternation (Kiveris et al. '14) for O(log n)
-    rounds — the per-round plan (edge join → min agg) is unchanged. The
-    oracle is a recursive-CTE transitive closure over the IDENTICAL pairs
-    CTE, so Spark's iterative answer is hash-checked against exact reachability.
+    Components via LARGE-STAR/SMALL-STAR alternation (Kiveris et al. '14;
+    see connected_components — upgraded in round 4 from hash-min label
+    propagation, whose round count was O(cluster diameter)): chains contract
+    doubly-exponentially, so convergence is O(log² n) rounds on ANY cluster
+    shape, with per-round lineage truncated by an eager checkpoint (the
+    driver-side loop is over ROUNDS, never rows). The oracle is a
+    recursive-CTE transitive closure over the IDENTICAL pairs CTE, so
+    Spark's iterative answer is hash-checked against exact reachability.
 
     Output: one row per clustered doc — (doc_id, canon_id, cluster_size,
     is_canonical); singletons (docs in no near-dup pair) are not emitted.

@@ -141,6 +141,8 @@ _RECHECK: frozenset[str] = frozenset({
     "q_pack_sequences",      # composite shard key (VERDICT r3 #3)
     "q_stream_session",      # NTZ cast moved in-stream (tz scoping fix)
     "q_stream_watermark",    # NTZ cast moved in-stream (tz scoping fix)
+    "q_dedup_clusters",      # CC rebuilt as large-star/small-star (r4)
+    "q_training_pipeline",   # consumes the rebuilt CC drop set
 })
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries

@@ -397,3 +397,20 @@ def test_cms_heavy_hitters_equals_exact(spark):
         .collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_connected_components_deep_path(spark):
+    """A 60-node path graph: component diameter 59 — hash-min label
+    propagation would need 59 rounds (past the 20-round cap); the round-4
+    large-star/small-star alternation contracts it within the cap
+    (O(log² n) rounds). All nodes must resolve to component 0."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a BIGINT, b BIGINT"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs, "a", "b").collect()}
+    assert got == {i: 0 for i in range(n)}
