@@ -150,7 +150,7 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "lineitem")
     (
         src.write.mode("overwrite")
-        .option("maxRecordsPerFile", 2000)
+        .option("maxRecordsPerFile", 10_000)
         .parquet(frag)
     )
     compact(spark, frag, compacted)

@@ -55,6 +55,13 @@ HEADLINE = [
     # collocations) — compare r5+ totals against 24 queries
     "q_unigram_logprob",
     "q_bigram_pmi",
+    # round 4c: semantic curation (SemDeDup drop report, RAG retrieval with
+    # hydration), star-graph cluster resolution on the new CC, and the
+    # compaction rewrite (write-path heavy) — compare r5+ vs 28 queries
+    "q_semdedup",
+    "q_semantic_search",
+    "q_dedup_clusters",
+    "q_compact_roundtrip",
 ]
 
 
