@@ -350,19 +350,24 @@ def compact(
     oversized file), staged to a sibling ``<path>.compacting`` directory and
     swapped with two renames — readers see the old or the new layout, never
     a partial one. Hive-partitioned layouts compact per partition directory
-    with the same routine."""
+    with the same routine.
+
+    Sibling verb: ``sources.maintenance.compact`` plans by target BYTES
+    (the maxPartitionBytes-aligned form) and rewrites to a destination the
+    caller swaps; ``maintenance.clustered_write`` adds the SORTKEY-style
+    sorted layout. This one stays records-based and in-place for
+    streaming-sink upkeep. Both size the rewrite from parquet FOOTER
+    metadata — no count() action over the data."""
     import math
     import shutil
 
     df = spark.read.parquet(path)
-    n = df.count()
+    n = _rows_for(_stat_sig(path))
     n_files = max(1, math.ceil(n / target_records_per_file))
     staged = path.rstrip("/") + ".compacting"
     old = path.rstrip("/") + ".old"
     shutil.rmtree(staged, ignore_errors=True)
-    cur_files = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet") or f.startswith("part-")
-    )
+    cur_files = len(_parquet_files(path))
     out = df.coalesce(n_files) if n_files <= cur_files else df.repartition(n_files)
     out.write.parquet(staged)
     shutil.rmtree(old, ignore_errors=True)
