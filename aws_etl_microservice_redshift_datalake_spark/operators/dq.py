@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import exact_sum, query
 from ..sources.io import load_spread, load_table
 
 # lineitem profile targets: (column, is_numeric) — numeric min/max reported
@@ -235,4 +235,68 @@ def q_dq_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH cells AS (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+    rl AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+    cs AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    grid AS (
+        SELECT rl.lang, cs.source, rl.nl, cs.ns,
+               COALESCE(cells.c, 0) AS obs
+        FROM rl CROSS JOIN cs
+        LEFT JOIN cells ON cells.lang = rl.lang AND cells.source = cs.source
+    ),
+    contrib AS (
+        SELECT lang, source,
+               (CAST(nl AS DOUBLE) * ns) / tot.n AS e,
+               CAST(obs AS DOUBLE) - (CAST(nl AS DOUBLE) * ns) / tot.n AS d
+        FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(ROUND(SUM(CAST(ROUND((d * d) / e, 6) AS DECIMAL(27,6))), 3) AS DOUBLE) AS chi2,
+           (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof,
+           (SELECT n FROM tot) AS n_total
+    FROM contrib
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between lang and source — the
+    corpus-balance diagnostic a curation pipeline runs to detect that some
+    sources are language-skewed (a provenance/contamination smell). Full
+    observed-vs-expected grid INCLUDING zero cells (absent (lang, source)
+    combos still contribute their expectation — skipping them understates
+    the statistic).
+
+    Float discipline: every per-cell term is built from integer counts with
+    one fixed parenthesization ((nl·ns)/N, obs−e, (d·d)/e — all correctly
+    rounded IEEE ops on bit-identical operands), so cells match
+    cross-engine exactly; only the cross-CELL sum is order-nondeterministic
+    and rides exact_sum (round to the 1e-6 grid, exact decimal sum, round
+    once). Scale shape: three tiny aggregates (|langs|, |sources|,
+    |langs|x|sources| rows) broadcast into a 100-row grid — the corpus is
+    scanned once for the cell counts and never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    rl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    cs = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rl.crossJoin(F.broadcast(cs))
+        .join(F.broadcast(cells), ["lang", "source"], "left")
+        .select("lang", "source", "nl", "ns", F.coalesce("c", F.lit(0)).alias("obs"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("nl").cast("double") * F.col("ns")) / F.col("n")
+    dd = F.col("obs").cast("double") - e
+    contrib = grid.select(
+        "lang", "source", "n", ((dd * dd) / e).alias("x")
+    )
+    return contrib.agg(
+        exact_sum(F.col("x"), 6, 3).alias("chi2"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)).alias("dof"),
+        F.min("n").alias("n_total"),
     )

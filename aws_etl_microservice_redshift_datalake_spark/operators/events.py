@@ -580,3 +580,58 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", z.alias("z"))
         .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
     )
+
+
+@query(
+    "q_event_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS next,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, next, COUNT(*) AS n_transitions
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, next
+    )
+    SELECT prev, next, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / SUM(n_transitions) OVER (PARTITION BY prev) AS prob
+    FROM trans
+    """,
+)
+def q_event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral-model prep (and sequence-corpus sanity check) run before
+    training on event streams: P(next event type | previous), estimated per
+    user-ordered history.
+
+    Determinism: sequences order by event_id alone (ts is ns-truncated on
+    the Spark side — FIXTURES.md — and monotone with event_id anyway, so
+    the id IS the event-time order without touching the ns/µs trap). The
+    probability is one integer÷integer division of bit-identical operands
+    (correctly rounded IEEE divide on both engines) — no rounding
+    discipline needed. Scale shape: one shuffle partitions users, the lag
+    window sorts per user; transitions collapse to |types|² rows, so the
+    normalizing window runs on a 25-row relation."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsum = Window.partitionBy("prev")
+    return trans.select(
+        "prev",
+        "next",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wsum)
+        ).alias("prob"),
+    )

@@ -816,3 +816,53 @@ def q_sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "q_sql_recursive_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2001-08-01'
+    )
+    SELECT m AS month,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM months
+    LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    """,
+)
+def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new native SQL surface in Spark 4.x;
+    Redshift supports the same ANSI recursion): generate an 80-month
+    calendar spine by recursion, then LEFT-join monthly order revenue onto
+    it so empty months survive with zero counts — the gap-preserving
+    report shape (the date-spine idiom every BI layer runs; the
+    non-recursive twin is q_time_gapfill's sequence() expansion).
+
+    Scale shape: recursion happens on the 1-row-per-level spine (driver-
+    side iteration over 80 levels, each a trivial localRelation step — the
+    corpus is NOT in the recursion); the fact table joins once, hashed on
+    the month key. Money sum is a raw 2-decimal column — plain ROUND is
+    exact (registry rnd contract); empty months yield NULL sums on both
+    engines identically."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < DATE '2001-08-01'
+        )
+        SELECT m AS month,
+               COUNT(o_orderkey) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM months
+        LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )
