@@ -878,3 +878,221 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("dist"),
         )
     )
+
+
+# Keyword retrieval: fixed query terms from the fixture's synthetic vocab
+KW_TERMS = ("hash", "scan", "join")
+KW_TOPK = 10
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def _kw_oracle() -> str:
+    tf = lambda t: (
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+    )
+    hit = lambda t: f"COUNT(*) FILTER (WHERE {tf(t)} > 0)"
+    idf = lambda t: f"ln((CAST(n_docs AS DOUBLE) + 1.0) / (df_{t} + 1.0))"
+    term = lambda t: (
+        f"CAST(ROUND(CAST({tf(t)} AS DOUBLE) * {idf(t)}, 6) AS DECIMAL(27,6))"
+    )
+    score = " + ".join(term(t) for t in KW_TERMS)
+    dfs = ", ".join(f"{hit(t)} AS df_{t}" for t in KW_TERMS)
+    anyhit = " OR ".join(f"{tf(t)} > 0" for t in KW_TERMS)
+    return f"""
+    WITH stats AS (SELECT COUNT(*) AS n_docs, {dfs} FROM documents)
+    SELECT doc_id, lang, CAST(({score}) AS DOUBLE) AS score
+    FROM documents CROSS JOIN stats
+    WHERE {anyhit}
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {KW_TOPK}
+    """
+
+
+@query("q_keyword_search", oracle=_kw_oracle())
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval (TF-IDF ranked, BM25's ancestor): rank documents
+    for a fixed conjunctive-ish query (docs matching ANY of KW_TERMS,
+    scored Σ_t tf(t,d)·idf(t), smoothed idf = ln((N+1)/(df+1))) — the
+    lexical half of a hybrid search stack (q_semantic_search is the dense
+    half; q_hybrid_search_rrf fuses them).
+
+    Scale shape: tf per term is ROW-LOCAL (filter over the token array —
+    no explode, no shuffle of the corpus); document frequencies come from
+    ONE tiny conditional aggregate (|terms| counters) broadcast back; the
+    ranking is a global top-k (TakeOrdered heaps, no full sort). Float
+    discipline: each tf·idf term is rounded to the 1e-6 grid and the
+    |terms|-term sum is exact decimal addition in a FIXED order (the
+    q_unigram_logprob rule) — the only cross-engine exposure is a libm ln
+    ulp landing exactly on a grid boundary."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
+    )
+
+    def idf(t: str):
+        return F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col(f"df_{t}") + F.lit(1.0))
+        )
+
+    score = None
+    for t in KW_TERMS:
+        term = F.round(tf(t).cast("double") * idf(t), 6).cast(
+            T.DecimalType(27, 6)
+        )
+        score = term if score is None else score + term
+    anyhit = None
+    for t in KW_TERMS:
+        h = tf(t) > 0
+        anyhit = h if anyhit is None else anyhit | h
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .filter(anyhit)
+        .select("doc_id", "lang", score.cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(KW_TOPK)
+    )
+
+
+def _rrf_oracle() -> str:
+    tf = lambda t: (
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+    )
+    idf = lambda t: f"ln((CAST(n_docs AS DOUBLE) + 1.0) / (df_{t} + 1.0))"
+    term = lambda t: (
+        f"CAST(ROUND(CAST({tf(t)} AS DOUBLE) * {idf(t)}, 6) AS DECIMAL(27,6))"
+    )
+    score = " + ".join(term(t) for t in KW_TERMS)
+    dfs = ", ".join(
+        f"COUNT(*) FILTER (WHERE {tf(t)} > 0) AS df_{t}" for t in KW_TERMS
+    )
+    anyhit = " OR ".join(f"{tf(t)} > 0" for t in KW_TERMS)
+    return f"""
+    WITH stats AS (SELECT COUNT(*) AS n_docs, {dfs} FROM documents),
+    kw AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY CAST(({score}) AS DOUBLE) DESC,
+                                  doc_id ASC) AS kw_rank
+        FROM documents CROSS JOIN stats
+        WHERE {anyhit}
+        ORDER BY kw_rank LIMIT {KW_TOPK}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY list_inner_product(qv, embedding::DOUBLE[]) DESC,
+                                  vec_id ASC) AS sem_rank
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY sem_rank LIMIT {KW_TOPK}
+    )
+    SELECT COALESCE(kw.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(1.0 / ({RRF_K} + kw_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0) AS rrf_score,
+           COALESCE(kw_rank, 0) AS kw_rank,
+           COALESCE(sem_rank, 0) AS sem_rank
+    FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {KW_TOPK}
+    """
+
+
+@query("q_hybrid_search_rrf", oracle=_rrf_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion (Cormack et al. '09): fuse
+    the lexical top-k (q_keyword_search's TF-IDF ranking) with the dense
+    top-k (cosine against query vector 0) as Σ 1/(K + rank) — the standard
+    score-free fusion every hybrid retrieval stack ships, here as one
+    full-outer join of two top-k lists.
+
+    Determinism: fusion arithmetic is built ONLY from integer ranks
+    (1/(60+r) — correctly-rounded IEEE division, two-term fixed-order sum),
+    so no float discipline is needed beyond the two input rankings, each of
+    which carries its own (rounded-grid TF-IDF / bit-identical dot) rule
+    with id tie-breaks. Scale shape: both arms end in Q×K-row lists, so
+    the fusion join is trivially broadcast; arm costs are the documented
+    per-arm plans."""
+    from ..operators.vectors import _dot, _embeddings
+
+    d = load_spread(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
+    )
+
+    def idf(t: str):
+        return F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col(f"df_{t}") + F.lit(1.0))
+        )
+
+    score = None
+    for t in KW_TERMS:
+        term = F.round(tf(t).cast("double") * idf(t), 6).cast(
+            T.DecimalType(27, 6)
+        )
+        score = term if score is None else score + term
+    anyhit = None
+    for t in KW_TERMS:
+        h = tf(t) > 0
+        anyhit = h if anyhit is None else anyhit | h
+    # global top-k FIRST via orderBy+limit (TakeOrdered per-partition heaps
+    # — no corpus-wide single-partition window), then rank the K survivors
+    # with a window over K rows only
+    wkw = Window.orderBy(F.col("kw_score").desc(), F.col("doc_id").asc())
+    kw = (
+        d.crossJoin(F.broadcast(stats))
+        .filter(anyhit)
+        .select("doc_id", score.cast("double").alias("kw_score"))
+        .orderBy(F.col("kw_score").desc(), F.col("doc_id").asc())
+        .limit(KW_TOPK)
+        .withColumn("kw_rank", F.row_number().over(wkw))
+        .select("doc_id", "kw_rank")
+    )
+    e = _embeddings(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    wsem = Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _dot(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(KW_TOPK)
+        .withColumn("sem_rank", F.row_number().over(wsem))
+        .select("doc_id", "sem_rank")
+    )
+    fused = (
+        kw.withColumnRenamed("doc_id", "kw_id")
+        .join(sem.withColumnRenamed("doc_id", "sem_id"),
+              F.col("kw_id") == F.col("sem_id"), "full_outer")
+        .select(
+            F.coalesce("kw_id", "sem_id").alias("doc_id"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+            F.coalesce("kw_rank", F.lit(0)).alias("kw_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        KW_TOPK
+    )

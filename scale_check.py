@@ -60,6 +60,15 @@ QUERIES = [
     "q_cms_heavy_hitters",
     "q_decontaminate",
     "q_stratified_sample",
+    # round 4c: star-graph cluster resolution (the log-round CC rebuild),
+    # retrieval with hydration (broadcast queries × streamed targets,
+    # linear), and temperature-mixture rates (map-side membership).
+    # q_semdedup is deliberately NOT here: it is the exact brute-force twin
+    # (quadratic by construction, like the cosine oracle) whose 100 TB form
+    # is the documented cluster-then-compare path.
+    "q_dedup_clusters",
+    "q_semantic_search",
+    "q_temperature_sample",
 ]
 
 

@@ -428,3 +428,39 @@ def test_ngram_postings_capped_before_collect(spark):
     p = audit.plan_str(df, "simple")
     assert "LeftSemi" in p, "expected the df-cap semi-join in the plan"
     assert "collect_list" in p
+
+
+def test_semantic_search_hydration_after_topk(spark):
+    """Retrieval: the ANN stage broadcasts the query vectors, and the
+    hydration stage broadcasts the Q×K hit list into the documents scan —
+    documents' text must never ride a shuffle, so total exchanges stay at
+    the window exchange (+ the under-split spread)."""
+    df = QS["q_semantic_search"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 2
+    assert not audit.has_sort_merge_join(df)
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_temperature_sample_no_corpus_shuffle(spark):
+    """Temperature mixture: per-class rates broadcast back; the corpus-side
+    exchanges are the two tiny aggregates' partials plus the final 5-row
+    group-by — the documents relation itself is never repartitioned."""
+    df = QS["q_temperature_sample"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 1
+    p = audit.plan_str(df)
+    assert "CartesianProduct" not in p  # the 1-row cross joins must broadcast
+
+
+def test_regional_revenue_dims_broadcast(spark):
+    """TPC-H Q5 shape: region/nation/supplier (and customer at this sf)
+    broadcast; the only shuffle-heavy edges are the two fact keys."""
+    df = QS["q_sql_regional_revenue"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 3
+
+
+def test_chi_square_all_broadcast(spark):
+    """The grid construction is tiny-by-tiny: every join in the chi-square
+    plan must broadcast — a sort-merge join here means a stats relation
+    got mis-estimated as corpus-sized."""
+    df = QS["q_chi_square"](spark, SF_MED)
+    assert not audit.has_sort_merge_join(df)
