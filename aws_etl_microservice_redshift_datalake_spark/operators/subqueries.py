@@ -866,3 +866,39 @@ def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "q_sql_lateral_topn",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer CROSS JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) t
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — the top-N-per-
+    group idiom written the way an ANSI-SQL user writes it (each customer's
+    two largest orders). The scale story is in what Catalyst does with it:
+    the correlated limit decorrelates into WindowGroupLimit — a PARTIAL
+    per-partition top-k before the shuffle and a FINAL one after, so only
+    ≤ N rows per key ever cross the exchange (verified by plan audit) —
+    exactly the hand-built shape of q_window_topk, derived automatically.
+    The money tie-break is o_orderkey, so the LIMIT cut is deterministic
+    and the raw parquet doubles hash bit-identically."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c_mktsegment = 'BUILDING'
+        """
+    )

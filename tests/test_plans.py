@@ -464,3 +464,14 @@ def test_chi_square_all_broadcast(spark):
     got mis-estimated as corpus-sized."""
     df = QS["q_chi_square"](spark, SF_MED)
     assert not audit.has_sort_merge_join(df)
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ... ORDER BY ... LIMIT subquery must decorrelate into
+    WindowGroupLimit (partial top-k before the shuffle), never a per-row
+    re-execution or nested-loop join."""
+    df = QS["q_sql_lateral_topn"](spark, SF_MED)
+    p = audit.plan_str(df, mode="simple")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
