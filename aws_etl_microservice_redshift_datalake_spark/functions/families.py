@@ -357,3 +357,38 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(price_dec).cast("double").alias("max_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           l_extendedprice / NULLIF(l_quantity - 1.0, 0.0) AS unit_price_m1,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           TRY_CAST(substr(l_returnflag, 1, 0) AS DOUBLE) AS empty_as_double
+    FROM lineitem
+    WHERE l_orderkey < 50
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: error-safe TRY_* surface under ANSI mode (Spark 4 ships
+    ANSI on, where bad casts and div-by-zero THROW — the ETL-safe forms
+    are try_cast / try_divide, Redshift's CAN_CAST-style guarded DML).
+    try_cast('A' as int) → NULL, try_divide(x, 0) → NULL, an
+    overflow-guarded int narrowing, and a cast of an empty string — each
+    oracled against DuckDB's TRY_CAST / NULLIF-div equivalents. Row-local,
+    codegen, pushdown-safe."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").try_cast("integer").alias("flag_as_int"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.lit(1.0)
+        ).alias("unit_price_m1"),
+        F.col("l_quantity").try_cast("integer").alias("qty_int"),
+        F.substring("l_returnflag", 1, 0).try_cast("double").alias(
+            "empty_as_double"
+        ),
+    )

@@ -902,3 +902,36 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment = 'BUILDING'
         """
     )
+
+
+@query(
+    "q_sql_modern_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_tax > 0.04), 2) AS qty_taxed
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def q_sql_modern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern ANSI aggregate surface: GROUP BY ALL (grouping keys inferred
+    from the non-aggregate select list) + the FILTER clause on aggregates
+    (the standard's form of conditional aggregation — q_agg_conditional is
+    the CASE-WHEN spelling). Both parse natively on Spark 4 and DuckDB, so
+    the oracle is the IDENTICAL string. Plans to the same partial/final
+    hash aggregate as an explicit GROUP BY — the sugar is analyzer-only.
+    l_quantity is integral-valued (FIXTURES.md) so its filtered SUM is
+    exact in doubles; ROUND is belt-and-braces on both sides."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               ROUND(SUM(l_quantity) FILTER (WHERE l_tax > 0.04), 2) AS qty_taxed
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

@@ -125,6 +125,49 @@ COMMENTARY = {
         "linearly with the corpus instead of pinning at the 20-source "
         "cardinality. One window exchange + one aggregate exchange."
     ),
+    "q_semantic_search": (
+        "RAG retrieval (round 4): broadcast query vectors stream past the "
+        "target scan (big side never shuffles), the per-query window ranks "
+        "inside one exchange, and the Q×K hit list broadcasts into the "
+        "documents scan for hydration — text never crosses a shuffle."
+    ),
+    "q_sql_lateral_topn": (
+        "LATERAL ... ORDER BY ... LIMIT (round 4): Catalyst decorrelates "
+        "the correlated limit into WindowGroupLimit — a PARTIAL top-k per "
+        "input partition runs before the exchange, so at most N rows per "
+        "key cross the wire; the customer filter side broadcasts. The "
+        "hand-built twin is q_window_topk — this plan is derived from "
+        "4 lines of ANSI SQL."
+    ),
+    "q_keyword_search": (
+        "Lexical retrieval (round 4): tf per query term is computed "
+        "ROW-LOCAL on the token array (no explode — the corpus is scanned "
+        "once, projected to 3 counters), document frequencies reduce to a "
+        "1-row conditional aggregate broadcast back, and the ranking is "
+        "TakeOrderedAndProject (per-partition heaps, no global sort)."
+    ),
+    "q_sql_regional_revenue": (
+        "TPC-H Q5 (round 4): region→nation prune first via broadcasts, the "
+        "same-nation constraint (c_nationkey = s_nationkey) rides the join "
+        "output rather than forcing a dim-dim join; the only corpus-sized "
+        "exchanges are the two fact keys. Revenue is the exact-decimal sum "
+        "so the final ORDER BY is deterministic."
+    ),
+    "q_temperature_sample": (
+        "Temperature mixture (round 4): the per-language rate table is a "
+        "1-row conditional aggregate × 5-row class aggregate, broadcast "
+        "back; corpus membership is a map-side hash filter. sqrt-only "
+        "arithmetic keeps the rates bit-identical cross-engine — the plan "
+        "has no corpus repartition at any scale."
+    ),
+    "q_semdedup": (
+        "SemDeDup (round 4): pair generation is the broadcast self-join "
+        "over vectors (exact twin of the oracle; the 100 TB drop-in is the "
+        "q_cosine_neardup bucketed candidate path), quality hydration "
+        "joins the NARROW (doc_id, n_chars) projection to the tiny "
+        "post-cut pair set, and the drop set broadcasts back as a "
+        "left-join tag — document text never enters the quadratic stage."
+    ),
 }
 
 
