@@ -132,6 +132,53 @@ class EtlJob:
         self._stages.append(_Stage(name, "sink", fn))
         return self
 
+    def compact(self, path: str, target_file_bytes: int | None = None) -> "EtlJob":
+        """Maintenance stage: OPTIMIZE the parquet layout a prior unload
+        produced (footer-planned, in-place atomic swap — sources.maintenance
+        / sources.io.compact). Skips as a no-op when the layout is already
+        at or below the planned file count, so jobs can schedule it
+        unconditionally. Reports the resulting file count as rows."""
+
+        def run(spark: SparkSession) -> int:
+            from .sources.maintenance import (
+                DEFAULT_TARGET_FILE_BYTES,
+                plan_compaction,
+            )
+            from .sources.io import compact as swap_compact, _parquet_files
+
+            tgt = target_file_bytes or DEFAULT_TARGET_FILE_BYTES
+            n_now, n_target = plan_compaction(path, tgt)
+            if n_now <= n_target:
+                return n_now  # already compact — no rewrite
+            from .sources.io import _rows_for, _stat_sig
+
+            rows = _rows_for(_stat_sig(path))
+            per_file = max(1, rows // n_target)
+            swap_compact(spark, path, target_records_per_file=per_file)
+            return len(_parquet_files(path))
+
+        self._stages.append(_Stage(f"compact:{path.rsplit('/', 1)[-1]}", "sink", run))
+        return self
+
+    def cluster(
+        self, view: str, path: str, cluster_cols: list[str], n_files: int
+    ) -> "EtlJob":
+        """Sink stage: SORTKEY-style clustered write of a view — each output
+        file covers a disjoint range of ``cluster_cols`` so downstream
+        predicate pushdown prunes whole files (sources.maintenance
+        .clustered_write)."""
+
+        def run(spark: SparkSession) -> int:
+            from .sources.maintenance import clustered_write
+
+            df = spark.table(view)
+            n = df.count()
+            clustered_write(df, path, cluster_cols, n_files)
+            return n
+
+        self._stages.append(_Stage(f"cluster:{view}", "sink", run))
+        return self
+
     def run(self, spark: SparkSession) -> JobReport:
         report = JobReport(self.name)
         for st in self._stages:

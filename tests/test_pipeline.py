@@ -117,3 +117,42 @@ def test_materialized_view_caches_and_refreshes(spark, tmp_path):
     assert spark.sql("SELECT SUM(n) AS s FROM mv_sums").collect()[0].s == 150
     p2 = spark.sql("SELECT SUM(n) FROM mv_sums")._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in p2, "refreshed MV queries must hit the cache again"
+
+
+def test_etl_job_compact_and_cluster_stages(spark):
+    """The maintenance verbs as job stages: a fragmented unload compacts in
+    place (idempotent — a second compact stage is a no-op), and a clustered
+    sink writes range-disjoint files."""
+    from aws_etl_microservice_redshift_datalake_spark.pipeline import EtlJob
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import _parquet_files, load_table
+    from aws_etl_microservice_redshift_datalake_spark.sources.maintenance import file_ranges
+
+    base = "/root/repo/.tmp/job-maint"
+    frag = f"{base}/orders"
+    clus = f"{base}/orders-clustered"
+
+    job = (
+        EtlJob("maintenance")
+        .ingest("orders", lambda s: load_table(s, SF_MED, "orders"))
+        .transform("big", "SELECT * FROM orders")
+        .sink(
+            "fragment",
+            lambda s: s.table("big")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 500)
+            .parquet(frag),
+        )
+        .compact(frag)
+        .compact(frag)  # second pass must be a no-op
+        .cluster("big", clus, ["o_orderkey"], n_files=4)
+    )
+    report = job.run(spark)
+    by_name = {s.name: s for s in report.stages}
+    assert len(_parquet_files(frag)) == 1
+    # idempotence: the second compact stage reported the already-compact count
+    compact_stages = [s for s in report.stages if s.name.startswith("compact:")]
+    assert compact_stages[1].rows == 1
+    ranges = sorted(file_ranges(clus, "o_orderkey"))
+    assert len(ranges) == 4
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
