@@ -411,6 +411,78 @@ IVF_NPROBE = 8  # cells probed per query (of ~√n cells)
 IVF_ITERS = 2  # Lloyd refinement passes over the deterministic seed set
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, n_assign: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Train the spherical-k-means coarse quantizer and materialize the
+    inverted index (code-moved from q_ann_ivf_topk in round 4 so SemDeDup's
+    clustered path reuses the same model): returns ``(index, cents)`` with
+    index = (cell, t_id, label, tv) and cents = (cell, cv).
+
+    ``n_assign`` > 1 indexes each vector into its top-n cells (multi-probe
+    indexing): membership doubles but pair-recall across cell boundaries
+    rises sharply — the standard dedup-side trade, where a missed neighbor
+    is a missed duplicate rather than a slightly-worse ANN hit."""
+    import math
+
+    e = _embeddings(spark, sf_dir)
+    t = e.select(F.col("vec_id").alias("t_id"), "label", F.col("embedding").alias("tv"))
+    n = table_rows(sf_dir, "embeddings")
+    n_cells = max(4, min(4096, int(math.isqrt(n))))
+
+    def _norm_mean(dim: int):
+        return [F.avg(_el(F.col("tv"), i + 1)).alias(f"d{i}") for i in range(dim)]
+
+    cents = (
+        t.orderBy(F.xxhash64("t_id")).limit(n_cells)
+        .select(F.monotonically_increasing_id().alias("cell"), F.col("tv").alias("cv"))
+        .cache()
+    )
+    for _ in range(IVF_ITERS):
+        payload = F.struct(F.col("cell"), F.col("t_id"), F.col("tv"))
+        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
+        assigned = (
+            t.crossJoin(F.broadcast(cents))
+            .select("t_id", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+            .groupBy("t_id")
+            .agg(F.max_by(payload, order).alias("b"))
+            .select(F.col("b.cell").alias("cell"), F.col("b.tv").alias("tv"))
+        )
+        raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
+        norm = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(DIM))
+        cents = raw.select(
+            "cell",
+            F.array(
+                *[(F.col(f"d{i}") / F.sqrt(norm)).cast("double") for i in range(DIM)]
+            ).alias("cv"),
+        ).cache()
+
+    # final assignment: each vector into its top-n_assign cells. n_assign=1
+    # keeps the max_by shape (map-side argmax, n-row shuffle); n_assign>1
+    # ranks the C scored rows per id with a window (still one task per id
+    # under the broadcast join) and keeps n rows per vector.
+    if n_assign == 1:
+        payload = F.struct(F.col("cell"), F.col("t_id"), F.col("label"), F.col("tv"))
+        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
+        index = (
+            t.crossJoin(F.broadcast(cents))
+            .select("t_id", "label", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+            .groupBy("t_id")
+            .agg(F.max_by(payload, order).alias("b"))
+            .select("b.cell", "b.t_id", "b.label", "b.tv")
+        )
+    else:
+        w = Window.partitionBy("t_id").orderBy(F.desc("cdot"), F.asc("cell"))
+        index = (
+            t.crossJoin(F.broadcast(cents))
+            .select("t_id", "label", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_assign)
+            .select("cell", "t_id", "label", "tv")
+        )
+    return index, cents
+
+
 @query("q_ann_ivf_topk")  # rows-only: approximate recall is the contract
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 scale path #2: IVF-Flat ANN (inverted-file index with a spherical
@@ -436,59 +508,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only, with the recall floor vs brute force enforced in
     tests/test_quality.py. Centroid count and nprobe grow with √n and the
     target recall; the plan shape (broadcast assign → equi-join probe) is
-    size-invariant."""
-    import math
-
+    size-invariant. The train/index stages live in build_ivf_index (shared
+    with q_semdedup_clustered since round 4); assignment is max_by
+    aggregation, not a window sort — the broadcast crossJoin's n×C scored
+    rows collapse map-side, so the shuffle moves n rows."""
     e = _embeddings(spark, sf_dir)
-    t = e.select(F.col("vec_id").alias("t_id"), "label", F.col("embedding").alias("tv"))
-    n = table_rows(sf_dir, "embeddings")
-    n_cells = max(4, min(4096, int(math.isqrt(n))))
+    index, cents = build_ivf_index(spark, sf_dir)
 
-    def _norm_mean(dim: int):
-        # spherical mean: per-dim avg, then L2-renormalize (norm computed
-        # once via a lateral struct would re-evaluate per dim — the column
-        # optimizer CSEs the shared subexpression, verified in the plan)
-        avgs = [F.avg(_el(F.col("tv"), i + 1)).alias(f"d{i}") for i in range(dim)]
-        return avgs
-
-    def _assign(df, id_cols: list[str]):
-        """Argmax-cell assignment via max_by aggregation, not a window sort:
-        the broadcast crossJoin emits n×C scored rows, but every id's C rows
-        sit in ONE task (broadcast join preserves partitioning), so the
-        partial max_by collapses them map-side and the shuffle moves n rows,
-        not n×C — and nothing sorts. Tie-break: higher cdot, then lower cell
-        (the -cell field). At 100 TB this is a map stage + an n-row shuffle
-        per pass instead of an n×C window sort."""
-        payload = F.struct(*[F.col(c) for c in ["cell", *id_cols]])
-        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .select(*id_cols, "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
-            .groupBy(id_cols[0])
-            .agg(F.max_by(payload, order).alias("b"))
-            .select(F.col("b.cell").alias("cell"), *[F.col(f"b.{c}") for c in id_cols])
-        )
-
-    cents = (
-        t.orderBy(F.xxhash64("t_id")).limit(n_cells)
-        .select(F.monotonically_increasing_id().alias("cell"), F.col("tv").alias("cv"))
-        .cache()
-    )
-    for _ in range(IVF_ITERS):
-        assigned = _assign(t, ["t_id", "tv"])
-        raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
-        norm = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(DIM))
-        cents = raw.select(
-            "cell",
-            F.array(
-                *[(F.col(f"d{i}") / F.sqrt(norm)).cast("double") for i in range(DIM)]
-            ).alias("cv"),
-        ).cache()
-
-    # 2. final inverted index: cell -> member vectors
-    index = _assign(t, ["t_id", "label", "tv"]).select("cell", "t_id", "label", "tv")
-
-    # 3. probe: nprobe best cells per query — the query relation is tiny
+    # probe: nprobe best cells per query — the query relation is tiny
     # (|queries| × C scored rows), so a window top-nprobe costs nothing
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -751,6 +778,68 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    return (
+        t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("hit").alias("n_dropped"),
+        )
+    )
+
+
+@query("q_semdedup_clustered")  # rows-only: within-cluster recall < 1 is the
+# published algorithm's contract; recall vs the exact twin is pytest-floored
+def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as PUBLISHED (Abbas et al. '23) — the 100 TB path that
+    q_semdedup's exact broadcast twin stands in for at test scale: cluster
+    the embeddings with the spherical k-means coarse quantizer
+    (build_ivf_index, √n cells), then compare pairs WITHIN a cell only and
+    drop the lower-quality member (document length, ties to lower id).
+    Cross-cell pairs are missed by design — the paper's accepted trade.
+    Each vector indexes into its top-2 cells (multi-probe indexing), which
+    recovers most boundary pairs for 2× index size.
+
+    Scale shape: per-cell self-equi-join on the cell id — with ~√n-sized
+    cells the pair work is Σ|cell|² ≈ n·√n ≪ n², and at a fixed cell-size
+    cap it is LINEAR in n; the quality hydration and report joins are the
+    same narrow-projection broadcasts as the exact twin. Output shape
+    matches q_semdedup (label, n_vecs, n_dropped)."""
+    index, _cents = build_ivf_index(spark, sf_dir, n_assign=2)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    left = index.select(
+        "cell", F.col("t_id").alias("id_a"), F.col("tv").alias("va")
+    )
+    right = index.select(
+        "cell", F.col("t_id").alias("id_b"), F.col("tv").alias("vb")
+    )
+    pairs = (
+        left.join(right.hint("shuffle_hash"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_dot(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # top-2 cells can emit a pair twice
+    )
+    qa = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    qb = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    losers = (
+        F.broadcast(pairs)
+        .join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            F.when(
+                (F.col("ca") > F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_b"),
+            )
+            .otherwise(F.col("id_a"))
+            .alias("loser")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    e = _embeddings(spark, sf_dir)
+    t = e.select("vec_id", "label")
     return (
         t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
         .groupBy("label")

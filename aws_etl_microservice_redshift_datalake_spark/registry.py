@@ -143,6 +143,7 @@ _RECHECK: frozenset[str] = frozenset({
     "q_stream_watermark",    # NTZ cast moved in-stream (tz scoping fix)
     "q_dedup_clusters",      # CC rebuilt as large-star/small-star (r4)
     "q_training_pipeline",   # consumes the rebuilt CC drop set
+    "q_ann_ivf_topk",        # train/index stages code-moved to build_ivf_index (r4)
 })
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries
