@@ -146,3 +146,77 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("int").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+RESIZE_BOX = 256  # fit-within box for the resize kernel
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+               CAST((doc_id * 37) % 480 + 1 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT asset_id, width, height,
+           CAST(GREATEST(1, (width * {RESIZE_BOX}) // GREATEST(width, height))
+                AS INTEGER) AS out_w,
+           CAST(GREATEST(1, (height * {RESIZE_BOX}) // GREATEST(width, height))
+                AS INTEGER) AS out_h,
+           CAST((n_bytes
+                 * (GREATEST(1, (width * {RESIZE_BOX}) // GREATEST(width, height))
+                    * GREATEST(1, (height * {RESIZE_BOX}) // GREATEST(width, height))))
+                // (width * height) AS BIGINT) AS est_bytes
+    FROM assets
+    WHERE GREATEST(width, height) > {RESIZE_BOX}
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10d: the resize stage of an image-preprocessing pipeline — payloads
+    and their metadata flow through mapInPandas together, the kernel
+    computes fit-within-{box} output dimensions (aspect preserved) and an
+    estimated output size, and assets already inside the box are pruned
+    BEFORE bytes reach Python (metadata predicate, pushdown-checked by the
+    oracle's WHERE twin). The kernel is integer arithmetic (floor division
+    — bit-exact cross-engine), standing in for a real interpolating
+    resampler; swap the body for PIL/cv2 on a cluster image with codecs —
+    the Arrow plumbing, schema contract, and metadata pruning are the real,
+    tested part."""
+    a = _assets(spark, sf_dir).filter(
+        F.greatest(F.col("meta.width"), F.col("meta.height")) > RESIZE_BOX
+    ).select(
+        "asset_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            m = pd.concat([w, h], axis=1).max(axis=1)
+            out_w = (w * RESIZE_BOX // m).clip(lower=1).astype("int32")
+            out_h = (h * RESIZE_BOX // m).clip(lower=1).astype("int32")
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            est = (n_bytes * (out_w.astype("int64") * out_h.astype("int64"))) // (
+                w * h
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "est_bytes": est.astype("int64"),
+                }
+            )
+
+    return a.mapInPandas(
+        _resize_batch,
+        schema="asset_id long, width int, height int, out_w int, out_h int, est_bytes long",
+    )
