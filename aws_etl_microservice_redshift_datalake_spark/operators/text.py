@@ -1096,3 +1096,81 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
         KW_TOPK
     )
+
+
+# fixed quality-model weights (a trained classifier's coefficients would be
+# broadcast the same way; literals keep the oracle self-contained)
+QL_BIAS = -2.0
+QL_W_TOKENS = 0.01
+QL_W_TTR = 2.5
+QL_W_MWL = 0.1
+
+
+@query(
+    "q_quality_logistic",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+               n_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               ({QL_BIAS} + ({QL_W_TOKENS} * n_tokens))
+                 + ({QL_W_TTR} * (CAST(n_types AS DOUBLE) / n_tokens))
+                 + ({QL_W_MWL} * (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens))
+                   AS z
+        FROM feats
+    )
+    SELECT doc_id, lang,
+           ROUND(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+           z > 0.0 AS keep
+    FROM scored
+    """,
+)
+def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the fastText-classifier stand-in every
+    published pretraining pipeline runs (CCNet/GPT-3's quality filter):
+    a linear model over row-local features (token count, type-token ratio,
+    mean word length) squashed through a sigmoid, plus the keep/drop
+    decision. A trained model's coefficients would broadcast exactly like
+    these literals; the feature extraction and scoring plan is the real
+    part.
+
+    Float discipline: z is rational arithmetic in one fixed
+    parenthesization (bit-identical cross-engine), so the KEEP decision
+    (z > 0 ⟺ score > ½) is exact — the only transcendental (exp) is
+    display-only, rounded to the 1e-4 grid (libm 1-ulp differences flip a
+    rounding only on a measure-zero boundary — the q_unigram_logprob
+    precedent). Scale: fully row-local, codegen, zero shuffles."""
+    d = load_spread(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_types"),
+        "n_chars",
+    )
+    z = (
+        (F.lit(QL_BIAS) + (F.lit(QL_W_TOKENS) * F.col("n_tokens")))
+        + (F.lit(QL_W_TTR) * (F.col("n_types").cast("double") / F.col("n_tokens")))
+        + (
+            F.lit(QL_W_MWL)
+            * (
+                (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double")
+                / F.col("n_tokens")
+            )
+        )
+    )
+    scored = feats.select("doc_id", "lang", z.alias("z"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4).alias(
+            "quality_score"
+        ),
+        (F.col("z") > 0.0).alias("keep"),
+    )
