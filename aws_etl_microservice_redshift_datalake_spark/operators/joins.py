@@ -233,3 +233,50 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(p, li.l_partkey == p.p_partkey, "right").select(
         "p_partkey", "p_name", "l_orderkey", "l_quantity"
     )
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join — the manual remedy for a join key too hot for AQE's
+    skew split (one key holding >> a partition's worth of rows): the FACT
+    side adds a deterministic salt (pmod(xxhash64(key), S)) and the DIM
+    side replicates each row S times (explode over the salt domain), so
+    the hot key's rows spread across S tasks and join on (key, salt).
+    Results are identical to the plain join — the oracle IS the plain
+    join — which is the point: salting is a physical rewrite, not a
+    semantic one. The shuffle hint pins a shuffle join so the salted path
+    is actually exercised (a broadcast would bypass the salt); at real
+    scale the dim side is S× bigger but still dim-sized. S = 8 here; in
+    production S ≈ ceil(hot-key rows / target-partition rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    replicated_dim = o.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])),
+    )
+    joined = salted_fact.join(
+        replicated_dim.hint("shuffle_hash"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (salted_fact.salt == replicated_dim.salt),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        rnd(F.sum("l_extendedprice")).alias("sum_price"),
+    )

@@ -494,3 +494,87 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(bucket < F.col("cut_bp"), 1)).alias("n_selected"),
         )
     )
+
+
+TOKEN_BUDGET = 20_000  # per-language token budget for curation pruning
+
+
+@query(
+    "q_token_budget_prune",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    hist AS (
+        SELECT lang, n_chars, SUM(n_tokens) AS bucket_tokens
+        FROM feats GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars,
+               SUM(bucket_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM hist
+    ),
+    thresh AS (
+        SELECT lang, MIN(n_chars) AS cut
+        FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+        GROUP BY lang
+    )
+    SELECT f.lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS tokens_kept,
+           MIN(t.cut) AS quality_cut
+    FROM feats f JOIN thresh t ON f.lang = t.lang
+    WHERE f.n_chars >= t.cut
+    GROUP BY f.lang
+    """,
+)
+def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation — keep each language's highest-quality documents
+    until a per-language token budget fills (the data-pruning step of a
+    fixed-compute pretraining run; quality proxy = document length). The
+    100 TB-safe shape: NO per-class sort of the corpus — a (lang, quality)
+    HISTOGRAM (tiny: |langs| × |distinct quality| rows) is aggregated
+    map-side, the cumulative-from-the-top walk and threshold pick run on
+    that tiny relation, and the cut broadcasts back as a map-side filter.
+    Boundary buckets are all-or-nothing (never split), so the selection is
+    a pure function of the histogram — deterministic on any engine or
+    partitioning. Integer arithmetic throughout; no float discipline
+    needed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    hist = feats.groupBy("lang", "n_chars").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+    thresh = (
+        cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("cut"))
+    )
+    return (
+        feats.join(F.broadcast(thresh), "lang")
+        .filter(F.col("n_chars") >= F.col("cut"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.min("cut").alias("quality_cut"),
+        )
+    )
