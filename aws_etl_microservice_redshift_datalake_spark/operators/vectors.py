@@ -848,3 +848,67 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_dropped"),
         )
     )
+
+
+@query(
+    "q_cross_lingual_neardup",
+    oracle=f"""
+    WITH t AS (
+        SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS v
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    pairs AS (
+        SELECT LEAST(a.lang, b.lang) AS lang_a,
+               GREATEST(a.lang, b.lang) AS lang_b,
+               list_inner_product(a.v, b.v) AS sim
+        FROM t a JOIN t b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) >= {SEMDEDUP_TAU}
+          AND a.lang <> b.lang
+    )
+    SELECT lang_a, lang_b,
+           COUNT(*) AS n_pairs,
+           ROUND(MAX(sim), 4) AS max_sim
+    FROM pairs
+    GROUP BY lang_a, lang_b
+    """,
+)
+def q_cross_lingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate report — the bitext/translation-leak
+    check a multilingual corpus build runs: embedding pairs above cosine τ
+    whose documents carry DIFFERENT language tags, summarized per
+    (unordered) language pair. High counts flag either machine-translated
+    duplicates or a broken language-ID stage.
+
+    Shape: the pair stage is the q_semdedup broadcast twin (LSH/clustered
+    candidates at 100 TB); language hydration joins the narrow (doc_id,
+    lang) projection AFTER the cosine cut; MAX over bit-identical dots
+    needs no rounding discipline (rounded for display only)."""
+    e = _embeddings(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = e.select("vec_id", F.col("embedding").alias("v"))
+    right = t.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        t.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        .crossJoin(F.broadcast(right))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_TAU)
+    )
+    la = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
+    lb = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"))
+    return (
+        F.broadcast(pairs)
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+            "sim",
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("sim"), 4).alias("max_sim"),
+        )
+    )
