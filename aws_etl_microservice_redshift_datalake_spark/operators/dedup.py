@@ -406,16 +406,24 @@ CC_MAX_ROUNDS = 20  # safety cap; large-star/small-star needs O(log² n)
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star (Kiveris et al. '14): every node u links each strictly
-    LARGER neighbor to m(u) = min(Γ(u) ∪ {u}). The per-group minimum rides
-    a window over the SAME partitioning the emit needs — one shuffle total
-    (a groupBy+join spelling would exchange twice). Duplicate emits are
-    left in place; the small-star that always follows dedups."""
-    from pyspark.sql import Window as W
+    LARGER neighbor to m(u) = min(Γ(u) ∪ {u}).
 
+    Spelled groupBy-min + equi-join, NOT a min-over-window: in a converged
+    component the root's degree equals the component size, and WindowExec
+    buffers/sorts that whole adjacency inside ONE task (a billion-edge
+    component would spill-sort in a single straggler). The groupBy's
+    partial min collapses the hot node map-side to one row, and the join
+    back redistributes edges hash-wise, where AQE's skew split CAN divide
+    a hot key — two exchanges per round, each skew-tolerant. Duplicate
+    emits are left in place; the small-star that follows dedups."""
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    m = F.least(F.min("b").over(W.partitionBy("a")), F.col("a"))
+    m = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
     return (
-        sym.withColumn("m", m)
+        sym.join(m.hint("shuffle_hash"), "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
@@ -424,15 +432,15 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star: direct each edge high→low, then every node u links ALL
     its smaller neighbors (and itself) to m(u) = min of those neighbors.
-    Same one-shuffle window shape as large-star, plus the dedup exchange."""
-    from pyspark.sql import Window as W
-
+    Same skew-tolerant groupBy+join shape as large-star, plus the dedup
+    exchange."""
     dirs = e.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).filter(F.col("a") != F.col("b"))
-    withm = dirs.withColumn("m", F.min("b").over(W.partitionBy("a")))
+    m = dirs.groupBy("a").agg(F.min("b").alias("m"))
+    withm = dirs.join(m.hint("shuffle_hash"), "a")
     # both emits ((v, m) and (u, m)) come out of ONE row via explode — a
-    # union of two projections would evaluate the window subtree twice
+    # union of two projections would evaluate the join subtree twice
     links = withm.select(
         F.explode(
             F.array(
