@@ -635,3 +635,60 @@ def q_event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wsum)
         ).alias("prob"),
     )
+
+
+RFM_ASOF = "2001-09-01 00:00:00"  # analysis date just past the order range
+
+
+@query(
+    "q_customer_rfm",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', MAX(o_orderdate),
+                              TIMESTAMP '{RFM_ASOF}') AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS INTEGER) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS INTEGER) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS INTEGER) AS m_quartile
+    FROM base
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer-value report:
+    recency (days since last order at a fixed analysis date), frequency
+    (order count), monetary (total spend), each quartiled with NTILE.
+
+    Determinism: every NTILE ordering carries a custkey tie-break, so the
+    quartile boundaries are exact cross-engine; monetary is a raw
+    2-decimal money sum (plain ROUND is exact per the registry rnd
+    contract) and the ORDER is on the rounded value. Scale shape: one
+    per-customer aggregate (map-combinable), then three rank windows over
+    the aggregated relation — |customers| rows, not |orders|; at true
+    scale NTILE's single global ordering becomes the documented
+    percentile-threshold rewrite (q_quality_quartile's pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        rnd(F.sum("o_totalprice")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )

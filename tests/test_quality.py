@@ -379,3 +379,24 @@ def test_semdedup_clustered_subset_and_recall(spark):
         te, tc = sum(exact.values()), sum(clus.values())
         assert te > 0
         assert tc / te >= 0.5, f"clustered drop recall too low at {sf}: {tc}/{te}"
+
+
+def test_token_budget_respected(spark):
+    """q_token_budget_prune's kept token mass must be within budget per
+    language (boundary buckets are all-or-nothing, so kept ≤ budget by
+    construction of the threshold pick)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import TOKEN_BUDGET
+
+    for r in QS["q_token_budget_prune"](spark, SF_MED).collect():
+        assert 0 < r.tokens_kept <= TOKEN_BUDGET, (r.lang, r.tokens_kept)
+
+
+def test_salted_join_plan_shape(spark):
+    """The salted join must actually execute the salted shuffle-hash path
+    (a broadcast of the replicated dim would bypass the salt spread)."""
+    from aws_etl_microservice_redshift_datalake_spark.plans import audit
+
+    df = QS["q_join_salted"](spark, SF_MED)
+    p = audit.plan_str(df, mode="simple")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
