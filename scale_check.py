@@ -69,6 +69,11 @@ QUERIES = [
     "q_dedup_clusters",
     "q_semantic_search",
     "q_temperature_sample",
+    # round 4d: histogram-threshold curation, row-local-tf retrieval, and
+    # the per-customer RFM aggregate — all shuffle-bounded by tiny relations
+    "q_token_budget_prune",
+    "q_keyword_search",
+    "q_customer_rfm",
 ]
 
 

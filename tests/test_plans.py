@@ -25,6 +25,7 @@ PYTHON_ALLOWED = {
     "q_udtf_bigrams",       # U4
     "q_multimodal_decode",  # mapInPandas plumbing
     "q_multimodal_frames",  # mapInPandas plumbing
+    "q_multimodal_resize",  # mapInPandas plumbing
     "q_stream_stateful",    # applyInPandasWithState
 }
 
