@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import query, rnd
 from ..sources.io import load_table
@@ -264,4 +265,69 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") / rnd(F.sum("o_totalprice").over(w))).alias(
             "price_share"
         ),
+    )
+
+
+@query(
+    "q_supplier_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(CAST(ROUND(l_extendedprice * (1.0::DOUBLE - l_discount), 4)
+                        AS DECIMAL(27,4))) AS r
+        FROM lineitem GROUP BY l_suppkey
+    ), c AS (
+        SELECT suppkey, r,
+               SUM(r) OVER (ORDER BY r DESC, suppkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(r) OVER () AS tot
+        FROM rev
+    )
+    SELECT suppkey,
+           CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           (cum * 10) <= (tot * 8) AS is_top80
+    FROM c
+    """,
+)
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration analysis — the classic warehouse report
+    (which suppliers carry 80% of revenue): revenue ranked descending with
+    a running cumulative share and an in-top-80% flag.
+
+    Float discipline: per-supplier revenue is the exact_sum DECIMAL (grid
+    4) and stays DECIMAL through the ordering, the running window SUM, and
+    the 80% test — which is the INTEGER-decimal comparison cum·10 ≤ tot·8,
+    exact on both engines even when a supplier lands precisely on the
+    boundary. Doubles appear only in display columns (exact decimal→double
+    conversion + one correctly-rounded division). Scale shape: one
+    map-combinable per-supplier aggregate, then windows over |suppliers|
+    rows (dim-sized, not fact-sized); the at-scale form for a fact-sized
+    key is the histogram-threshold pick (q_token_budget_prune's pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).cast(T.DecimalType(27, 4))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(r.alias("r"))
+    w = (
+        Window.orderBy(F.desc("r"), F.asc("suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    c = rev.select(
+        "suppkey",
+        "r",
+        F.sum("r").over(w).alias("cum"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    return c.select(
+        "suppkey",
+        F.round("r", 2).cast("double").alias("revenue"),
+        F.round(F.col("cum").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        ((F.col("cum") * 10) <= (F.col("tot") * 8)).alias("is_top80"),
     )
