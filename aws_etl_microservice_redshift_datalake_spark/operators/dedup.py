@@ -506,8 +506,16 @@ def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
     # converged: every edge is (node, comp_min); add the roots, plus nodes
     # that appeared only in self-loop edges (their component is themselves —
     # the pre-round-4 contract emitted every node appearing in ANY edge)
-    star = e.select(F.col("a").alias("node"), F.col("b").alias("comp")).union(
-        e.select(F.col("b").alias("node"), F.col("b").alias("comp")).distinct()
+    # groupBy-min, not a bare projection: a converged star has exactly one
+    # (node, comp) row per node, but if CC_MAX_ROUNDS ever exhausted first,
+    # a node could still carry edges to two different labels — the min
+    # guard preserves the one-label-per-node contract (the pre-round-4
+    # behavior on unconverged graphs) instead of emitting duplicates.
+    star = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+        .union(e.select(F.col("b").alias("node"), F.col("b").alias("comp")))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
     )
     all_nodes = (
         pairs.select(F.col(col_a).alias("node"))

@@ -251,21 +251,27 @@ SALT_BUCKETS = 8
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join — the manual remedy for a join key too hot for AQE's
     skew split (one key holding >> a partition's worth of rows): the FACT
-    side adds a deterministic salt (pmod(xxhash64(key), S)) and the DIM
+    side adds a deterministic ROW-level salt and the DIM
     side replicates each row S times (explode over the salt domain), so
     the hot key's rows spread across S tasks and join on (key, salt).
     Results are identical to the plain join — the oracle IS the plain
     join — which is the point: salting is a physical rewrite, not a
-    semantic one. The shuffle hint pins a shuffle join so the salted path
+    semantic one. The salt must be a function of the ROW, never of the
+    join key alone: pmod(hash(key), S) hands every row of the hot key the
+    SAME salt, so the pile-up just moves to (key, salt) — here the salt
+    hashes (l_orderkey, l_linenumber), row-unique and deterministic. The shuffle hint pins a shuffle join so the salted path
     is actually exercised (a broadcast would bypass the salt); at real
     scale the dim side is S× bigger but still dim-sized. S = 8 here; in
     production S ≈ ceil(hot-key rows / target-partition rows)."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
+        "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     salted_fact = li.withColumn(
-        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT_BUCKETS)).cast("int")
+        "salt",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)
+        ).cast("int"),
     )
     replicated_dim = o.withColumn(
         "salt",

@@ -523,14 +523,22 @@ TOKEN_BUDGET = 20_000  # per-language token budget for curation pruning
         SELECT lang, MIN(n_chars) AS cut
         FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
         GROUP BY lang
+    ),
+    kept AS (
+        SELECT f.lang,
+               COUNT(*) AS n_kept,
+               CAST(SUM(f.n_tokens) AS BIGINT) AS tokens_kept,
+               MIN(t.cut) AS quality_cut
+        FROM feats f JOIN thresh t ON f.lang = t.lang
+        WHERE f.n_chars >= t.cut
+        GROUP BY f.lang
     )
-    SELECT f.lang,
-           COUNT(*) AS n_kept,
-           CAST(SUM(f.n_tokens) AS BIGINT) AS tokens_kept,
-           MIN(t.cut) AS quality_cut
-    FROM feats f JOIN thresh t ON f.lang = t.lang
-    WHERE f.n_chars >= t.cut
-    GROUP BY f.lang
+    SELECT l.lang,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept,
+           k.quality_cut
+    FROM (SELECT DISTINCT lang FROM feats) l
+    LEFT JOIN kept k ON l.lang = k.lang
     """,
 )
 def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,8 +551,10 @@ def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tiny relation, and the cut broadcasts back as a map-side filter.
     Boundary buckets are all-or-nothing (never split), so the selection is
     a pure function of the histogram — deterministic on any engine or
-    partitioning. Integer arithmetic throughout; no float discipline
-    needed."""
+    partitioning. A language whose single best bucket already exceeds the
+    budget keeps NOTHING — it still appears in the report with zero counts
+    and a NULL cut (silently vanishing would under-describe the corpus).
+    Integer arithmetic throughout; no float discipline needed."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -568,7 +578,7 @@ def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.min("n_chars").alias("cut"))
     )
-    return (
+    kept = (
         feats.join(F.broadcast(thresh), "lang")
         .filter(F.col("n_chars") >= F.col("cut"))
         .groupBy("lang")
@@ -577,4 +587,11 @@ def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
             F.min("cut").alias("quality_cut"),
         )
+    )
+    langs = feats.select("lang").distinct()
+    return langs.join(F.broadcast(kept), "lang", "left").select(
+        "lang",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("tokens_kept", F.lit(0).cast("bigint")).alias("tokens_kept"),
+        "quality_cut",
     )

@@ -886,26 +886,73 @@ KW_TOPK = 10
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 
 
-def _kw_oracle() -> str:
-    tf = lambda t: (
-        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
-    )
-    hit = lambda t: f"COUNT(*) FILTER (WHERE {tf(t)} > 0)"
+# ---- TF-IDF arm, defined ONCE for the standalone keyword query AND the
+# hybrid fusion (both SQL-fragment builders and the Spark expressions):
+# a smoothing or rounding tweak applied in one place reaches all four
+# call sites, so the fused kw ranks can never drift from the standalone
+# ranking.
+
+def _kw_tf_sql(t: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+
+
+def _kw_score_sql() -> str:
     idf = lambda t: f"ln((CAST(n_docs AS DOUBLE) + 1.0) / (df_{t} + 1.0))"
     term = lambda t: (
-        f"CAST(ROUND(CAST({tf(t)} AS DOUBLE) * {idf(t)}, 6) AS DECIMAL(27,6))"
+        f"CAST(ROUND(CAST({_kw_tf_sql(t)} AS DOUBLE) * {idf(t)}, 6) AS DECIMAL(27,6))"
     )
-    score = " + ".join(term(t) for t in KW_TERMS)
-    dfs = ", ".join(f"{hit(t)} AS df_{t}" for t in KW_TERMS)
-    anyhit = " OR ".join(f"{tf(t)} > 0" for t in KW_TERMS)
+    return " + ".join(term(t) for t in KW_TERMS)
+
+
+def _kw_dfs_sql() -> str:
+    return ", ".join(
+        f"COUNT(*) FILTER (WHERE {_kw_tf_sql(t)} > 0) AS df_{t}" for t in KW_TERMS
+    )
+
+
+def _kw_anyhit_sql() -> str:
+    return " OR ".join(f"{_kw_tf_sql(t)} > 0" for t in KW_TERMS)
+
+
+def _kw_oracle() -> str:
     return f"""
-    WITH stats AS (SELECT COUNT(*) AS n_docs, {dfs} FROM documents)
-    SELECT doc_id, lang, CAST(({score}) AS DOUBLE) AS score
+    WITH stats AS (SELECT COUNT(*) AS n_docs, {_kw_dfs_sql()} FROM documents)
+    SELECT doc_id, lang, CAST(({_kw_score_sql()}) AS DOUBLE) AS score
     FROM documents CROSS JOIN stats
-    WHERE {anyhit}
+    WHERE {_kw_anyhit_sql()}
     ORDER BY score DESC, doc_id ASC
     LIMIT {KW_TOPK}
     """
+
+
+def _kw_spark(d):
+    """(stats_df, score_col, anyhit_col) — the Spark half of the shared
+    TF-IDF arm; score/anyhit reference the stats columns, so apply them
+    AFTER crossJoin(broadcast(stats))."""
+    toks = F.split("text", " ")
+
+    def tf(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
+    )
+
+    def idf(t: str):
+        return F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col(f"df_{t}") + F.lit(1.0))
+        )
+
+    score = None
+    anyhit = None
+    for t in KW_TERMS:
+        term = F.round(tf(t).cast("double") * idf(t), 6).cast(T.DecimalType(27, 6))
+        score = term if score is None else score + term
+        h = tf(t) > 0
+        anyhit = h if anyhit is None else anyhit | h
+    return stats, score, anyhit
 
 
 @query("q_keyword_search", oracle=_kw_oracle())
@@ -925,32 +972,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_unigram_logprob rule) — the only cross-engine exposure is a libm ln
     ulp landing exactly on a grid boundary."""
     d = load_spread(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def tf(t: str):
-        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
-
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
-    )
-
-    def idf(t: str):
-        return F.log(
-            (F.col("n_docs").cast("double") + F.lit(1.0))
-            / (F.col(f"df_{t}") + F.lit(1.0))
-        )
-
-    score = None
-    for t in KW_TERMS:
-        term = F.round(tf(t).cast("double") * idf(t), 6).cast(
-            T.DecimalType(27, 6)
-        )
-        score = term if score is None else score + term
-    anyhit = None
-    for t in KW_TERMS:
-        h = tf(t) > 0
-        anyhit = h if anyhit is None else anyhit | h
+    stats, score, anyhit = _kw_spark(d)
     return (
         d.crossJoin(F.broadcast(stats))
         .filter(anyhit)
@@ -961,18 +983,9 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_oracle() -> str:
-    tf = lambda t: (
-        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
-    )
-    idf = lambda t: f"ln((CAST(n_docs AS DOUBLE) + 1.0) / (df_{t} + 1.0))"
-    term = lambda t: (
-        f"CAST(ROUND(CAST({tf(t)} AS DOUBLE) * {idf(t)}, 6) AS DECIMAL(27,6))"
-    )
-    score = " + ".join(term(t) for t in KW_TERMS)
-    dfs = ", ".join(
-        f"COUNT(*) FILTER (WHERE {tf(t)} > 0) AS df_{t}" for t in KW_TERMS
-    )
-    anyhit = " OR ".join(f"{tf(t)} > 0" for t in KW_TERMS)
+    score = _kw_score_sql()
+    dfs = _kw_dfs_sql()
+    anyhit = _kw_anyhit_sql()
     return f"""
     WITH stats AS (SELECT COUNT(*) AS n_docs, {dfs} FROM documents),
     kw AS (
@@ -1021,32 +1034,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vectors import _dot, _embeddings
 
     d = load_spread(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def tf(t: str):
-        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
-
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
-    )
-
-    def idf(t: str):
-        return F.log(
-            (F.col("n_docs").cast("double") + F.lit(1.0))
-            / (F.col(f"df_{t}") + F.lit(1.0))
-        )
-
-    score = None
-    for t in KW_TERMS:
-        term = F.round(tf(t).cast("double") * idf(t), 6).cast(
-            T.DecimalType(27, 6)
-        )
-        score = term if score is None else score + term
-    anyhit = None
-    for t in KW_TERMS:
-        h = tf(t) > 0
-        anyhit = h if anyhit is None else anyhit | h
+    stats, score, anyhit = _kw_spark(d)
     # global top-k FIRST via orderBy+limit (TakeOrdered per-partition heaps
     # — no corpus-wide single-partition window), then rank the K survivors
     # with a window over K rows only

@@ -433,21 +433,30 @@ def build_ivf_index(
     def _norm_mean(dim: int):
         return [F.avg(_el(F.col("tv"), i + 1)).alias(f"d{i}") for i in range(dim)]
 
+    def _assign(cents, carry_cols: list[str]):
+        """Argmax-cell assignment via max_by, not a window sort: the
+        broadcast crossJoin's n×C scored rows collapse map-side in the
+        partial aggregate, so the shuffle moves n rows. Tie-break: higher
+        cdot, then lower cell. One definition serves both the Lloyd passes
+        and the final indexing — a drifted copy would silently train on a
+        different assignment than it indexes."""
+        payload = F.struct(F.col("cell"), *[F.col(c) for c in ["t_id", *carry_cols]])
+        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
+        return (
+            t.crossJoin(F.broadcast(cents))
+            .select("t_id", *carry_cols, "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
+            .groupBy("t_id")
+            .agg(F.max_by(payload, order).alias("b"))
+            .select("b.cell", "b.t_id", *[F.col(f"b.{c}") for c in carry_cols])
+        )
+
     cents = (
         t.orderBy(F.xxhash64("t_id")).limit(n_cells)
         .select(F.monotonically_increasing_id().alias("cell"), F.col("tv").alias("cv"))
         .cache()
     )
     for _ in range(IVF_ITERS):
-        payload = F.struct(F.col("cell"), F.col("t_id"), F.col("tv"))
-        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
-        assigned = (
-            t.crossJoin(F.broadcast(cents))
-            .select("t_id", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
-            .groupBy("t_id")
-            .agg(F.max_by(payload, order).alias("b"))
-            .select(F.col("b.cell").alias("cell"), F.col("b.tv").alias("tv"))
-        )
+        assigned = _assign(cents, ["tv"])
         raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
         norm = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(DIM))
         cents = raw.select(
@@ -462,15 +471,7 @@ def build_ivf_index(
     # ranks the C scored rows per id with a window (still one task per id
     # under the broadcast join) and keeps n rows per vector.
     if n_assign == 1:
-        payload = F.struct(F.col("cell"), F.col("t_id"), F.col("label"), F.col("tv"))
-        order = F.struct(F.col("cdot"), (-F.col("cell")).alias("negcell"))
-        index = (
-            t.crossJoin(F.broadcast(cents))
-            .select("t_id", "label", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
-            .groupBy("t_id")
-            .agg(F.max_by(payload, order).alias("b"))
-            .select("b.cell", "b.t_id", "b.label", "b.tv")
-        )
+        index = _assign(cents, ["label", "tv"])
     else:
         w = Window.partitionBy("t_id").orderBy(F.desc("cdot"), F.asc("cell"))
         index = (
@@ -760,6 +761,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_dot(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
         .select("id_a", "id_b")
     )
+    return _semdedup_report(spark, sf_dir, d, pairs)
+
+
+def _semdedup_report(
+    spark: SparkSession, sf_dir: str, d: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Shared canonical-selection + report tail for the SemDeDup family —
+    ONE definition of the drop rule (longer doc wins, ties to the lower
+    id), so the exact twin and the clustered path can never drift apart
+    (the precision-1/recall test's premise). ``pairs`` = (id_a, id_b)
+    with id_a < id_b, already cosine-verified."""
     qa = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
     qb = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
     losers = (
@@ -778,6 +790,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    t = _embeddings(spark, sf_dir).select("vec_id", "label")
     return (
         t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
         .groupBy("label")
@@ -820,34 +833,7 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # top-2 cells can emit a pair twice
     )
-    qa = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
-    qb = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
-    losers = (
-        F.broadcast(pairs)
-        .join(qa, "id_a")
-        .join(qb, "id_b")
-        .select(
-            F.when(
-                (F.col("ca") > F.col("cb"))
-                | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
-                F.col("id_b"),
-            )
-            .otherwise(F.col("id_a"))
-            .alias("loser")
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    e = _embeddings(spark, sf_dir)
-    t = e.select("vec_id", "label")
-    return (
-        t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.count("hit").alias("n_dropped"),
-        )
-    )
+    return _semdedup_report(spark, sf_dir, d, pairs)
 
 
 @query(

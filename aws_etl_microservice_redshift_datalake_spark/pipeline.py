@@ -153,7 +153,11 @@ class EtlJob:
             from .sources.io import _rows_for, _stat_sig
 
             rows = _rows_for(_stat_sig(path))
-            per_file = max(1, rows // n_target)
+            # CEILING division: rows // n_target undershoots records-per-file,
+            # which overshoots the file count past the plan and makes every
+            # later scheduled compact re-rewrite the table (n_now > n_target
+            # forever) — the exact no-op idempotence this stage promises
+            per_file = max(1, -(-rows // n_target))
             swap_compact(spark, path, target_records_per_file=per_file)
             return len(_parquet_files(path))
 
@@ -169,12 +173,14 @@ class EtlJob:
         .clustered_write)."""
 
         def run(spark: SparkSession) -> int:
+            from .sources.io import _rows_for, _stat_sig
             from .sources.maintenance import clustered_write
 
-            df = spark.table(view)
-            n = df.count()
-            clustered_write(df, path, cluster_cols, n_files)
-            return n
+            # write first, count from the OUTPUT footers — a count() on the
+            # view would execute its whole (possibly uncached) plan a second
+            # time just for the report
+            clustered_write(spark.table(view), path, cluster_cols, n_files)
+            return _rows_for(_stat_sig(path))
 
         self._stages.append(_Stage(f"cluster:{view}", "sink", run))
         return self

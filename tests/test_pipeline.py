@@ -152,6 +152,30 @@ def test_etl_job_compact_and_cluster_stages(spark):
     # idempotence: the second compact stage reported the already-compact count
     compact_stages = [s for s in report.stages if s.name.startswith("compact:")]
     assert compact_stages[1].rows == 1
+
+    # multi-file idempotence (regression: floor-divided records-per-file
+    # overshot the planned file count, so every later compact re-rewrote
+    # the table): with a target that plans n_target > 1, the rewrite must
+    # land AT or UNDER the plan and the next compact must be a no-op
+    from aws_etl_microservice_redshift_datalake_spark.sources.maintenance import (
+        plan_compaction,
+        table_bytes,
+    )
+
+    frag2 = f"{base}/orders-multi"
+    spark.table("big").write.mode("overwrite").option(
+        "maxRecordsPerFile", 500
+    ).parquet(frag2)
+    tgt = max(1, table_bytes(frag2) // 3)  # plans ~3-4 files
+    n_before, n_target = plan_compaction(frag2, tgt)
+    assert n_target > 1
+    job2 = EtlJob("maint2").compact(frag2, tgt).compact(frag2, tgt)
+    rep2 = job2.run(spark)
+    stages2 = [s for s in rep2.stages if s.name.startswith("compact:")]
+    n_after = len(_parquet_files(frag2))
+    assert n_after <= n_target, (n_after, n_target)
+    # second stage saw an already-compact layout and skipped the rewrite
+    assert stages2[1].rows == n_after
     ranges = sorted(file_ranges(clus, "o_orderkey"))
     assert len(ranges) == 4
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
