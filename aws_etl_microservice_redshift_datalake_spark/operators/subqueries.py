@@ -935,3 +935,56 @@ def q_sql_modern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "q_sql_relational_division",
+    oracle="""
+    WITH statuses AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+    missing AS (
+        SELECT c.c_custkey
+        FROM customer c CROSS JOIN statuses s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = s.st
+        )
+    )
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM missing)
+    ORDER BY c_custkey ASC
+    """,
+)
+def q_sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (Codd's ÷, the classic "for all" query): customers
+    who have placed orders in EVERY order status. The textbook spelling is
+    a double-NOT-EXISTS whose innermost query correlates TWO scopes up;
+    Spark's decorrelation supports only single-level correlation
+    (UNRESOLVED_COLUMN on the outer reference — measured), so this uses
+    the equally classic set-difference spelling: build the (customer,
+    status) pairs that are MISSING (cross join the tiny domain, one-level
+    NOT EXISTS), then anti-join customers with any missing pair.
+
+    Plan: the NOT EXISTS decorrelates to an anti-join of the customer ×
+    status cross product (|customers|·|statuses| rows — the domain is 3)
+    against the distinct order pairs, then NOT IN (non-nullable key) is a
+    second plain anti-join. The status domain is data-derived, so the
+    query stays correct if the domain grows."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH statuses AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+        missing AS (
+            SELECT c.c_custkey
+            FROM customer c CROSS JOIN statuses s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = s.st
+            )
+        )
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM missing)
+        ORDER BY c_custkey ASC
+        """
+    )
