@@ -160,6 +160,22 @@ COMMENTARY = {
         "arithmetic keeps the rates bit-identical cross-engine — the plan "
         "has no corpus repartition at any scale."
     ),
+    "q_join_salted": (
+        "Skew-salted join (round 4): the fact side carries a ROW-level salt "
+        "(hash of orderkey+linenumber — a key-derived salt would hand a hot "
+        "key's rows one salt and re-create the pile-up), the dim side "
+        "explodes over the salt domain, and the shuffle-hash hint pins the "
+        "salted exchange. Identical output to the plain join by "
+        "construction — the oracle IS the plain join."
+    ),
+    "q_sql_relational_division": (
+        "Codd division (round 4): 'customers who ordered in EVERY status' "
+        "via the set-difference spelling (Spark's decorrelation is single-"
+        "level, rejecting the textbook double-NOT-EXISTS) — the missing "
+        "(customer, status) pairs anti-join against the distinct order "
+        "pairs, then a NOT IN anti-join on the non-nullable key. Two plain "
+        "anti-joins, no per-row re-execution."
+    ),
     "q_semdedup": (
         "SemDeDup (round 4): pair generation is the broadcast self-join "
         "over vectors (exact twin of the oracle; the 100 TB drop-in is the "
