@@ -400,3 +400,39 @@ def test_salted_join_plan_shape(spark):
     p = audit.plan_str(df, mode="simple")
     assert "ShuffledHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_temperature_sample_rebalances_toward_uniform(spark):
+    """Temperature flattening (alpha=1/2) must move the selected mixture
+    TOWARD uniform relative to the natural distribution: every language's
+    selected count stays within its availability, the majority language's
+    selected SHARE drops below its natural share, and every minority
+    language's share rises (the mT5 re-weighting contract)."""
+    rows = {r.lang: r for r in QS["q_temperature_sample"](spark, SF_MED).collect()}
+    n_total = sum(r.n_lang for r in rows.values())
+    sel_total = sum(r.n_selected for r in rows.values())
+    assert sel_total > 0
+    majority = max(rows.values(), key=lambda r: r.n_lang)
+    for r in rows.values():
+        assert 0 <= r.n_selected <= r.n_lang
+        natural = r.n_lang / n_total
+        selected = r.n_selected / sel_total
+        if r.lang == majority.lang:
+            assert selected < natural, (r.lang, selected, natural)
+        elif r.n_lang < majority.n_lang:
+            assert selected >= natural * 0.9, (r.lang, selected, natural)
+
+
+def test_hybrid_rrf_fuses_its_arms(spark):
+    """The fused list must come from the union of the two arms, with scores
+    bounded by the two-term RRF maximum and decreasing in rank order."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import RRF_K
+
+    rows = QS["q_hybrid_search_rrf"](spark, SF_MED).collect()
+    assert rows
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.kw_rank >= 0 and r.sem_rank >= 0
+        assert r.kw_rank > 0 or r.sem_rank > 0  # must appear in >= 1 arm
+        assert r.rrf_score <= 2.0 / (RRF_K + 1)
