@@ -414,3 +414,22 @@ def test_connected_components_deep_path(spark):
     )
     got = {r.node: r.comp for r in connected_components(pairs, "a", "b").collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_random_graph_400(spark):
+    """Seeded 400-node / 300-edge random graph vs brute union-find — the
+    hypothesis strategy stays tiny (≤ 13 nodes) for per-example Spark cost,
+    so this one larger deterministic case guards the algebra at a size
+    where multi-component structure, singleton self-loops, and several
+    star rounds all occur together."""
+    import random
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 400), rng.randint(0, 400)) for _ in range(300)]
+    pairs = spark.createDataFrame(edges, "a BIGINT, b BIGINT").coalesce(4)
+    got = {r.node: r.comp for r in connected_components(pairs, "a", "b").collect()}
+    assert got == _brute_components(edges)
