@@ -392,3 +392,62 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empty_as_double"
         ),
     )
+
+
+@query(
+    "q_bitwise_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(CAST(l_quantity AS BIGINT)) AS qty_and,
+           BIT_OR(CAST(l_quantity AS BIGINT)) AS qty_or,
+           BIT_XOR(CAST(l_quantity AS BIGINT)) AS qty_xor,
+           BIT_OR(1 << (l_linenumber % 7)) AS line_mask
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: bitwise aggregate surface (BIT_AND / BIT_OR / BIT_XOR) —
+    the flag-mask rollup idiom (e.g. which linenumber slots ever occur per
+    group, as one bigint mask). Fully associative/commutative integer
+    lattice operations → two-phase map-side-combinable aggregates with no
+    ordering sensitivity at all — the easiest possible 100 TB aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_and"),
+        F.bit_or(q).alias("qty_or"),
+        F.bit_xor(q).alias("qty_xor"),
+        F.bit_or(F.expr("shiftleft(1, l_linenumber % 7)")).alias("line_mask"),
+    )
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS INTEGER) + 1 AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: equi-width histogram — the profiling histogram every
+    warehouse exposes (Redshift: WIDTH_BUCKET; Spark ships width_bucket
+    too, but DuckDB 1.0 does not, so BOTH sides spell the 50-unit bucket
+    explicitly: floor(value/50)+1 — one correctly-rounded division + floor
+    on the same parquet doubles, bit-identical cross-engine). Min/max per
+    bucket are raw parquet values, rounded only for display. Shuffle
+    bounded by |types|×|buckets| groups."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        (F.floor(F.col("value") / 50.0).cast("int") + 1).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
