@@ -404,43 +404,58 @@ CC_MAX_ROUNDS = 20  # safety cap; large-star/small-star needs O(log² n)
 # rounds even on path graphs, so 20 covers any graph that fits on disk
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Large-star (Kiveris et al. '14): every node u links each strictly
-    LARGER neighbor to m(u) = min(Γ(u) ∪ {u}).
+# Two spellings of the per-node minimum, picked ADAPTIVELY per round from
+# the measured edge count (both produce identical edges, so the choice is
+# purely physical):
+# - window (1 exchange/operator): fastest while edge sets are modest —
+#   measured 12 s vs 24 s for the ×10 dup graph — but WindowExec
+#   buffers/sorts each node's whole adjacency in ONE task, and in a
+#   converged component the root's degree equals the component size, so a
+#   billion-edge component would spill-sort in a single straggler;
+# - groupBy-min + equi-join (2 exchanges): the partial min collapses hot
+#   nodes map-side and the join back is an AQE-skew-splittable hash join —
+#   the only shape that survives mega-hub components.
+CC_WINDOW_MAX_EDGES = 5_000_000  # below this, per-round fixed cost dominates
 
-    Spelled groupBy-min + equi-join, NOT a min-over-window: in a converged
-    component the root's degree equals the component size, and WindowExec
-    buffers/sorts that whole adjacency inside ONE task (a billion-edge
-    component would spill-sort in a single straggler). The groupBy's
-    partial min collapses the hot node map-side to one row, and the join
-    back redistributes edges hash-wise, where AQE's skew split CAN divide
-    a hot key — two exchanges per round, each skew-tolerant. Duplicate
-    emits are left in place; the small-star that follows dedups."""
+
+def _large_star(e: DataFrame, use_window: bool) -> DataFrame:
+    """Large-star (Kiveris et al. '14): every node u links each strictly
+    LARGER neighbor to m(u) = min(Γ(u) ∪ {u}). Duplicate emits are left in
+    place; the small-star that follows dedups."""
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    m = (
-        sym.groupBy("a")
-        .agg(F.min("b").alias("mb"))
-        .select("a", F.least("mb", "a").alias("m"))
-    )
+    if use_window:
+        from pyspark.sql import Window as W
+
+        m = F.least(F.min("b").over(W.partitionBy("a")), F.col("a"))
+        withm = sym.withColumn("m", m)
+    else:
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        withm = sym.join(m.hint("shuffle_hash"), "a")
     return (
-        sym.join(m.hint("shuffle_hash"), "a")
-        .filter(F.col("b") > F.col("a"))
+        withm.filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, use_window: bool) -> DataFrame:
     """Small-star: direct each edge high→low, then every node u links ALL
-    its smaller neighbors (and itself) to m(u) = min of those neighbors.
-    Same skew-tolerant groupBy+join shape as large-star, plus the dedup
-    exchange."""
+    its smaller neighbors (and itself) to m(u) = min of those neighbors."""
     dirs = e.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).filter(F.col("a") != F.col("b"))
-    m = dirs.groupBy("a").agg(F.min("b").alias("m"))
-    withm = dirs.join(m.hint("shuffle_hash"), "a")
+    if use_window:
+        from pyspark.sql import Window as W
+
+        withm = dirs.withColumn("m", F.min("b").over(W.partitionBy("a")))
+    else:
+        m = dirs.groupBy("a").agg(F.min("b").alias("m"))
+        withm = dirs.join(m.hint("shuffle_hash"), "a")
     # both emits ((v, m) and (u, m)) come out of ONE row via explode — a
-    # union of two projections would evaluate the join subtree twice
+    # union of two projections would evaluate the min subtree twice
     links = withm.select(
         F.explode(
             F.array(
@@ -463,9 +478,12 @@ def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
     path needs 4 rounds here vs 59 hash-min propagation rounds — past the
     old 20-round cap). Fixpoint = the directed edge set is unchanged
     (order-insensitive count + hash compare, one action per round — the
-    driver loops over ROUNDS, never rows). Per-round plan: two
-    groupBy-min + two equi-joins, all hash-partitioned on the node id; no
-    per-round growth in lineage cost matters at ≤ 20 rounds. Only nodes
+    driver loops over ROUNDS, never rows). The per-node minimum picks its
+    physical spelling per round from the measured edge count (the sig
+    already carries it): min-over-window below CC_WINDOW_MAX_EDGES (one
+    exchange, fastest at bench scale), groupBy-min + skew-splittable join
+    above it (the only shape that survives a mega-hub component — see the
+    spelling comment). Only nodes
     appearing in an edge are emitted (singletons are the caller's
     concern)."""
     e = (
@@ -497,7 +515,10 @@ def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
         # fixpoint signature rides the same materialization. On a real
         # cluster use reliable checkpoint() (localCheckpoint loses
         # partitions on executor failure) — same one-line swap.
-        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        use_window = (sig[0] or 0) <= CC_WINDOW_MAX_EDGES
+        new = _small_star(
+            _large_star(e, use_window), use_window
+        ).localCheckpoint(eager=True)
         new_sig = _sig(new)
         e = new
         if new_sig == sig:
