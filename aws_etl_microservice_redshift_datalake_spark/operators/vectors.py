@@ -210,6 +210,8 @@ def _neardup_params(n: int) -> tuple[int, int]:
     return lsh_l, k
 
 
+_BUCKETS_MEMO: dict[tuple, DataFrame] = {}
+
 PLANE_NNZ = 8  # non-zero dims per hyperplane (sparse random projections)
 
 
@@ -327,20 +329,25 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides read it AND it is narrow-but-expensive (L×k sparse projections
     # per vector): measured at the 10× corpus, cached 2.90 s vs 4.47 s
     # recomputed — the opposite trade from the dedup shingle relations,
-    # whose fat arrays make recompute cheaper than caching
-    buckets = (
-        t.select(
-            "vec_id",
-            F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
+    # whose fat arrays make recompute cheaper than caching. Persist +
+    # count barrier (lazy cache races across the two self-join sides),
+    # MEMOIZED per (session, table-state) so repeated calls share one
+    # cached copy instead of stacking persists (the dedup-family rule).
+    from ..sources.io import _stat_sig, table_path
+
+    memo_key = (id(spark), sf_dir, _stat_sig(table_path(sf_dir, "embeddings")))
+    if memo_key not in _BUCKETS_MEMO:
+        b = (
+            t.select(
+                "vec_id",
+                F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
+            )
+            .select("vec_id", "tb.tbl", "tb.bkt")
+            .persist()
         )
-        .select("vec_id", "tb.tbl", "tb.bkt")
-        .cache()
-    )
-    # materialization barrier: both self-join sides read the cached buckets
-    # and Spark's lazy cache races across concurrent stages (each side
-    # would recompute AND serialize the L×k projections — the round-4
-    # dedup-family finding); the count() runs the projection exactly once
-    buckets.count()
+        b.count()
+        _BUCKETS_MEMO[memo_key] = b
+    buckets = _BUCKETS_MEMO[memo_key]
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
     b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
     cand = (
