@@ -58,93 +58,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # entries per round.  To maximize cumulative hard-signal coverage we emit a
 # deliberate order, derived automatically per query:
 #
-#   rank 0 — not yet driver-checked, HAS an oracle (full value-hash signal),
-#            plus _RECHECK (queries whose last driver row was red and whose
-#            fix must be re-verified);
+#   rank 0 — not yet driver-checked with an oracle (full value-hash signal),
+#            red in its LATEST driver row, or in _RECHECK (implementation
+#            changed after a green row — must be re-verified);
 #   rank 1 — not yet driver-checked, rows-only contract (weaker signal —
 #            they take window slots only after every oracled query has one);
-#   rank 2 — _DEFER: explicitly parked (already consumed a rows-only slot,
-#            or covered by the self-run gate);
-#   rank 3 — _DRIVER_CHECKED: green in a previous round's artifact.
+#   rank 1+R — green, last verified in round R: burn-in — leftover window
+#            slots re-verify the LEAST-RECENTLY-verified greens first to
+#            catch silent regressions (VERDICT r3 #6);
+#   rank ∞ — _DEFER: explicitly parked rows-only queries that must never
+#            hold a slot a burn-in re-verification could use.
 #
-# Update the era sets each round from CORRECTNESS_r{N}.json. The era split
-# exists for burn-in: once every query is green, leftover window slots
-# re-verify the OLDEST greens first (r1 before r2 before r3) to catch silent
-# regressions — VERDICT r3 "Next round" #6.
-_CHECKED_R1: frozenset[str] = frozenset({
-    # CORRECTNESS_r01.json — all 48 oracled pass + 2 rows-only by design.
-    "q_project", "q_filter", "q_filter_in_between", "q_filter_like",
-    "q_case_when", "q_cast", "q_pricing_summary", "q_agg_global",
-    "q_agg_count_distinct", "q_agg_approx_distinct", "q_agg_stats",
-    "q_agg_percentile", "q_agg_approx_pct", "q_agg_having",
-    "q_agg_conditional", "q_agg_collect", "q_agg_maxby", "q_agg_mode",
-    "q_pivot", "q_agg_salted", "q_join_inner", "q_join_broadcast",
-    "q_join_outer", "q_join_full_outer", "q_join_semi", "q_join_anti",
-    "q_join_cross", "q_join_theta", "q_star_join", "q_join_right",
-    "q_sort_nulls", "q_topk", "q_union_all", "q_union_distinct",
-    "q_intersect", "q_except_all", "q_distinct", "q_intersect_all",
-    "q_except_distinct", "q_window_rank", "q_window_ntile", "q_window_lag",
-    "q_window_frame", "q_window_running", "q_window_moving", "q_window_range",
-    "q_window_topk", "q_agg_rollup", "q_agg_cube", "q_sql_grouping_sets",
-})
+# The green/red/round facts are DERIVED from the CORRECTNESS_r*.json
+# artifacts on disk at import time (VERDICT r4 #1: the hand-maintained era
+# frozensets went stale the moment each round's artifact landed after the
+# builder's last commit — twice in a row). Only _RECHECK (a statement about
+# code churn, which no artifact can know) and _DEFER remain hand-maintained.
 
-_CHECKED_R2: frozenset[str] = frozenset({
-    # CORRECTNESS_r02.json — the 43 green oracled rows + 1 rows-only
-    # (q_freq_items, parked in _DEFER below), minus q_ngram_jaccard whose
-    # round-4 constant-space rebuild moved it to _RECHECK.
-    "q_sql_shipping_priority", "q_sql_returned_items", "q_sql_priority_class",
-    "q_join_range", "q_join_asof", "q_tumbling_window", "q_sliding_window",
-    "q_sessionize", "q_dedup_exact", "q_dedup_hash", "q_text_stats",
-    "q_word_freq", "q_tfidf_top_terms", "q_ngrams", "q_lang_id",
-    "q_text_quality", "q_token_regex", "q_fingerprint",
-    "q_dedup_minhash_pairs", "q_simhash", "q_ann_topk",
-    "q_knn_classify", "q_cosine_neardup", "q_multimodal_meta",
-    "q_multimodal_decode", "q_udf_digitsum", "q_pandas_udf_dot",
-    "q_pandas_udaf_centroid", "q_udtf_bigrams", "q_str_funcs", "q_date_funcs",
-    "q_math_funcs", "q_null_funcs", "q_array_funcs", "q_struct_map_funcs",
-    "q_json_funcs", "q_hash_funcs", "q_decimal_money", "q_stream_dedup",
-    "q_stream_static_join", "q_unload_roundtrip", "q_ingest_csv_roundtrip",
-})
+def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
+    """Scan CORRECTNESS_r*.json in the repo root: returns
+    ``(last_green_round, red)`` where ``last_green_round[name]`` is the
+    round number of the query's most recent green row and ``red`` holds
+    names whose LATEST row (any round) failed. Missing/empty artifacts mean
+    everything is unchecked — correct for a fresh clone."""
+    import glob
+    import json
+    import os
+    import re
 
-_CHECKED_R3: frozenset[str] = frozenset({
-    # CORRECTNESS_r03.json — all 50 rows green (46 hash + 4 rows-only by
-    # design), minus q_pack_sequences / q_stratified_sample whose round-4
-    # de-skew rebuilds moved them to _RECHECK.
-    "q_agg_listagg", "q_unpivot", "q_window_ratio_to_report",
-    "q_time_gapfill", "q_event_cohorts", "q_event_funnel", "q_event_wau",
-    "q_text_repetition", "q_fuzzy_match", "q_dedup_clusters",
-    "q_training_pipeline", "q_hash_sample", "q_train_test_split",
-    "q_mixture_sample", "q_subq_exists", "q_subq_not_exists",
-    "q_subq_in_agg", "q_subq_not_in", "q_subq_scalar_corr_avg",
-    "q_subq_corr_min", "q_sql_top_supplier", "q_sql_waiting_orders",
-    "q_sql_cust_distribution", "q_sql_promo_revenue",
-    "q_sql_disjunctive_pred", "q_sql_discount_revenue",
-    "q_sql_volume_shipping", "q_sql_market_share", "q_sql_product_profit",
-    "q_sql_value_concentration", "q_merge_upsert", "q_scd2_apply",
-    "q_dq_profile", "q_dq_fk_orphans", "q_dq_uniqueness",
-    "q_sql_parameterized", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_stream_join",
-    "q_stream_stateful", "q_ingest_json_roundtrip", "q_ingest_orc_roundtrip",
-    "q_ann_lsh_topk", "q_ann_ivf_topk", "q_multimodal_frames",
-    "q_dq_profile_approx",
-})
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    red: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd_no = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            green = row.get("err") == "no_oracle" or (
+                row.get("rows_match") and row.get("hash_match")
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd_no)
+                red.discard(name)
+            else:
+                red.add(name)
+    return last_green, frozenset(red)
 
-_DRIVER_CHECKED: frozenset[str] = _CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3
+
+_LAST_GREEN, _DRIVER_RED = _driver_history()
+_DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 
 # Queries whose implementation (or semantics) changed this round after a
 # green driver row: they re-enter the window first so the rebuild gets fresh
 # driver signal (green-but-rechecking is deliberate, see
-# tests/test_quality.py::test_registry_window_ordering).
+# tests/test_quality.py::test_registry_window_ordering). Red-last-round
+# queries re-enter automatically via _DRIVER_RED — no entry needed here.
 _RECHECK: frozenset[str] = frozenset({
-    "q_ngram_jaccard",       # constant-space DF cap (ADVICE r3, medium)
-    "q_stratified_sample",   # hash-threshold rebuild (VERDICT r3 #4)
-    "q_pack_sequences",      # composite shard key (VERDICT r3 #3)
-    "q_stream_session",      # NTZ cast moved in-stream (tz scoping fix)
-    "q_stream_watermark",    # NTZ cast moved in-stream (tz scoping fix)
-    "q_dedup_clusters",      # CC rebuilt as large-star/small-star (r4)
-    "q_training_pipeline",   # consumes the rebuilt CC drop set
-    "q_ann_ivf_topk",        # train/index stages code-moved to build_ivf_index (r4)
-})
+    "q_dedup_clusters",       # CC fixpoint now one action/round (r5)
+    "q_training_pipeline",    # consumes the CC drop set
+    "q_semdedup_clustered",   # build_ivf_index n_assign>1 path de-shuffled (r5)
+    "q_decontaminate_semantic",   # pair stage refactored to a shared tail (r5)
+    "q_cross_lingual_neardup",    # same refactor
+    "q_compact_roundtrip",    # scratch dir moved to env/pid-scoped path (r5)
+}) | _DRIVER_RED
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries
 # sketch, superset guarantee tested in tests/test_quality.py) and already
@@ -158,14 +139,10 @@ _DEFER: frozenset[str] = frozenset({
 def _rank(name: str) -> int:
     if name in _RECHECK:
         return 0
-    if name in _CHECKED_R1:
-        return 2  # burn-in: oldest greens re-verify first
-    if name in _CHECKED_R2:
-        return 3
-    if name in _CHECKED_R3:
-        return 4
     if name in _DEFER:
-        return 5  # parked rows-only: never displaces a burn-in slot
+        return 10_000  # parked rows-only: never displaces a burn-in slot
+    if name in _DRIVER_CHECKED:
+        return 1 + _LAST_GREEN[name]  # burn-in: oldest greens re-verify first
     return 0 if name in _ORACLES else 1
 
 

@@ -173,11 +173,14 @@ def test_adaptive_lsh_params():
 
 def test_registry_window_ordering():
     """The driver checks ~the first 50 queries() entries per round. Policy:
-    every full-signal query (oracled-and-never-checked, or red-last-round
-    _RECHECK) must lead the ordering and fit inside the 50-slot window;
-    rows-only unchecked queries may fill remaining slots; everything already
-    green sits behind. Cross-checked against the CORRECTNESS artifacts on
-    disk so the sets can't silently drift from driver reality."""
+    every full-signal query (oracled-and-never-checked, red in its latest
+    driver row, or code-churned _RECHECK) must lead the ordering and fit
+    inside the 50-slot window; rows-only unchecked queries may fill remaining
+    slots; greens sit behind in least-recently-verified order (burn-in). The
+    green/red/round facts are DERIVED from the CORRECTNESS_r*.json artifacts
+    at registry import (VERDICT r4 #1) — this test verifies the derivation
+    against an independent read of the same artifacts, so a new round's
+    artifact landing can never make it stale."""
     import glob
     import json
     import os
@@ -185,6 +188,8 @@ def test_registry_window_ordering():
     from aws_etl_microservice_redshift_datalake_spark.registry import (
         _DEFER,
         _DRIVER_CHECKED,
+        _DRIVER_RED,
+        _LAST_GREEN,
         _RECHECK,
     )
 
@@ -202,30 +207,40 @@ def test_registry_window_ordering():
         "a checked/deferred/rows-only query displaced a full-signal one"
     )
 
-    # registry sets must agree with the driver artifacts on disk
+    # independent re-derivation from the artifacts on disk must agree with
+    # the registry's import-time scan
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    last_green: dict[str, int] = {}
+    red: set = set()
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert paths, "driver artifacts missing — derivation untestable"
+    for path in paths:
+        rnd_no = int(path.rsplit("_r", 1)[-1].split(".")[0])
         for name, row in json.load(open(path)).items():
-            latest[name] = row
-    for name, row in latest.items():
-        if name not in QS:
-            continue  # renamed/retired queries may linger in old artifacts
-        green = row.get("err") == "no_oracle" or (
-            row.get("rows_match") and row.get("hash_match")
-        )
-        if green:
-            # _RECHECK is allowed here: a green query whose implementation
-            # changed this round deliberately re-enters the window for fresh
-            # driver signal. What's forbidden is a green query in NO set
-            # (driver signal silently dropped on the floor).
-            assert (
-                name in _DRIVER_CHECKED or name in _DEFER or name in _RECHECK
-            ), f"{name} is driver-green but not recorded as checked/deferred"
-        else:
-            assert name in _RECHECK, (
-                f"{name} was driver-red and must sit in _RECHECK until re-green"
+            green = row.get("err") == "no_oracle" or (
+                row.get("rows_match") and row.get("hash_match")
             )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd_no)
+                red.discard(name)
+            else:
+                red.add(name)
+    assert _DRIVER_RED == frozenset(red)
+    assert _DRIVER_CHECKED == frozenset(last_green) - red
+    for name, rnd_no in last_green.items():
+        assert _LAST_GREEN[name] == rnd_no
+    # every red query must sit at the front of the window for re-verification
+    for name in red:
+        if name in QS:
+            assert name in _RECHECK, f"{name} red but not re-entering window"
+    # burn-in ordering: among plain greens (not rechecking/deferred), an
+    # older green must never trail a newer one
+    tail = [
+        n for n in names
+        if n in _DRIVER_CHECKED and n not in _RECHECK and n not in _DEFER
+    ]
+    rounds = [_LAST_GREEN[n] for n in tail]
+    assert rounds == sorted(rounds), "burn-in order is not oldest-green-first"
 
 
 def test_approx_count_distinct_close(spark):
