@@ -1,0 +1,61 @@
+"""Session-scoped memo for persisted relations shared across queries.
+
+Several operator families (MinHash shingles, sign-LSH buckets) build one
+narrow-but-expensive relation that many queries re-read within a session.
+Re-persisting per call stacks identical cached copies into executor storage
+("Asked to cache already cached data") until eviction pressure slows
+everything — so those relations are memoized per (session, table-state).
+
+Round-5 hardening (ADVICE r4): the memo itself must not leak.
+
+- A rewritten corpus at the same sf_dir changes the parquet stat signature;
+  the SUPERSEDED entry is unpersisted and dropped on the next lookup, so the
+  stale relation can't stay pinned in executor storage forever.
+- Entries hold only a WEAK reference to their SparkSession; once a session
+  is garbage-collected its entries are purged (nothing to unpersist — the
+  executors died with the session), and a recycled ``id()`` can never be
+  mistaken for the old session because identity is re-checked through the
+  weakref, not the integer key.
+"""
+
+from __future__ import annotations
+
+import weakref
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def session_memo(
+    memo: dict,
+    spark: SparkSession,
+    sf_dir: str,
+    sig: object,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the memoized persisted relation for (``spark``, ``sf_dir``),
+    rebuilding when the table-state signature ``sig`` changed. The build is
+    persisted WITH a count() materialization barrier: a lazy cache shared by
+    several not-yet-materialized leaf stages inside one action makes each
+    racing stage recompute AND serialize the same partitions (measured 4×
+    re-shingling — the round-4 rule)."""
+    for k in [k for k, (ref, _, _) in memo.items() if ref() is None]:
+        del memo[k]  # session GC'd: executors (and their cache) are gone
+    skey = (id(spark), sf_dir)
+    ent = memo.get(skey)
+    if ent is not None:
+        ref, old_sig, df = ent
+        if ref() is spark and old_sig == sig:
+            return df
+        if ref() is spark:
+            # corpus rewritten at the same sf_dir: evict the superseded
+            # relation from executor storage before replacing it
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        del memo[skey]
+    df = build().persist()
+    df.count()
+    memo[skey] = (weakref.ref(spark), sig, df)
+    return df

@@ -68,7 +68,7 @@ _SHINGLE_SQL = """
 """
 
 
-_ARRS_MEMO: dict[tuple, DataFrame] = {}
+_ARRS_MEMO: dict[tuple, tuple] = {}
 
 
 def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,8 +79,9 @@ def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated invocations in one session (bench reps, composed queries)
     were piling identical cached relations into storage memory ("Asked to
     cache already cached data") until eviction pressure slowed everything.
-    The key includes the parquet stat signature, so a rewritten corpus
-    re-materializes (the sources.io cache-freshness rule).
+    The signature tracks the parquet footer state, so a rewritten corpus
+    re-materializes and the superseded relation is unpersisted
+    (operators._memo.session_memo — the sources.io cache-freshness rule).
 
     Why persist + count barrier at all (round 4, measured): the relation
     feeds 3+ plan branches and a LAZY cache races — concurrent leaf stages
@@ -88,13 +89,12 @@ def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     12.75 s lazily cached vs ~2.5 s barriered at the 10× corpus). The
     barrier runs at query-build time, which bench/driver timing includes."""
     from ..sources.io import _stat_sig, table_path
+    from ._memo import session_memo
 
-    key = (id(spark), sf_dir, _stat_sig(table_path(sf_dir, "documents")))
-    if key not in _ARRS_MEMO:
-        arrs = _shingle_arrays(spark, sf_dir).persist()
-        arrs.count()
-        _ARRS_MEMO[key] = arrs
-    return _ARRS_MEMO[key]
+    sig = _stat_sig(table_path(sf_dir, "documents"))
+    return session_memo(
+        _ARRS_MEMO, spark, sf_dir, sig, lambda: _shingle_arrays(spark, sf_dir)
+    )
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:

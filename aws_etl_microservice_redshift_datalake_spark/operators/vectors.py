@@ -210,7 +210,7 @@ def _neardup_params(n: int) -> tuple[int, int]:
     return lsh_l, k
 
 
-_BUCKETS_MEMO: dict[tuple, DataFrame] = {}
+_BUCKETS_MEMO: dict[tuple, tuple] = {}
 
 PLANE_NNZ = 8  # non-zero dims per hyperplane (sparse random projections)
 
@@ -334,20 +334,19 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMOIZED per (session, table-state) so repeated calls share one
     # cached copy instead of stacking persists (the dedup-family rule).
     from ..sources.io import _stat_sig, table_path
+    from ._memo import session_memo
 
-    memo_key = (id(spark), sf_dir, _stat_sig(table_path(sf_dir, "embeddings")))
-    if memo_key not in _BUCKETS_MEMO:
-        b = (
-            t.select(
-                "vec_id",
-                F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
-            )
-            .select("vec_id", "tb.tbl", "tb.bkt")
-            .persist()
-        )
-        b.count()
-        _BUCKETS_MEMO[memo_key] = b
-    buckets = _BUCKETS_MEMO[memo_key]
+    sig = _stat_sig(table_path(sf_dir, "embeddings"))
+    buckets = session_memo(
+        _BUCKETS_MEMO,
+        spark,
+        sf_dir,
+        sig,
+        lambda: t.select(
+            "vec_id",
+            F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
+        ).select("vec_id", "tb.tbl", "tb.bkt"),
+    )
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
     b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
     cand = (

@@ -439,6 +439,42 @@ def test_cross_lingual_clustered_subset_and_recall(spark):
         assert tc / te >= 0.5, f"clustered xling recall too low at {sf}: {tc}/{te}"
 
 
+def test_session_memo_evicts_superseded_and_dead(spark):
+    """The shared persisted-relation memo (operators._memo) must not leak:
+    a changed table-state signature at the same sf_dir unpersists and
+    replaces the superseded entry, and entries whose session object has
+    been garbage-collected are purged (ADVICE r4 / VERDICT r4 #7)."""
+    import gc
+    import weakref
+
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    a = session_memo(memo, spark, "/x", "sig1", lambda: spark.range(5))
+    assert a.storageLevel.useMemory and len(memo) == 1
+    # same signature: memo hit, the build lambda must not run
+    b = session_memo(memo, spark, "/x", "sig1",
+                     lambda: (_ for _ in ()).throw(AssertionError("rebuilt")))
+    assert b is a
+    # new signature at the same sf_dir: superseded entry unpersisted, replaced
+    c = session_memo(memo, spark, "/x", "sig2", lambda: spark.range(7))
+    assert c is not a
+    assert not a.storageLevel.useMemory, "superseded relation still pinned"
+    assert c.storageLevel.useMemory and len(memo) == 1
+    # dead-session entries are purged on the next lookup
+    class Dummy:
+        pass
+
+    dummy = Dummy()
+    memo[(id(dummy), "/y")] = (weakref.ref(dummy), "s", spark.range(3))
+    del dummy
+    gc.collect()
+    session_memo(memo, spark, "/z", "s", lambda: spark.range(1))
+    assert all(k[1] != "/y" for k in memo), "dead-session entry not purged"
+    for _, _, df in memo.values():
+        df.unpersist()
+
+
 def test_token_budget_respected(spark):
     """q_token_budget_prune's kept token mass must be within budget per
     language (boundary buckets are all-or-nothing, so kept ≤ budget by
