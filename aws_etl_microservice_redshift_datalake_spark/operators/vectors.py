@@ -474,18 +474,35 @@ def build_ivf_index(
 
     # final assignment: each vector into its top-n_assign cells. n_assign=1
     # keeps the max_by shape (map-side argmax, n-row shuffle); n_assign>1
-    # ranks the C scored rows per id with a window (still one task per id
-    # under the broadcast join) and keeps n rows per vector.
+    # scores the whole centroid set ROW-LOCALLY against a one-row broadcast
+    # array and takes top-n with array_sort + slice — zero shuffle (the
+    # previous Window.partitionBy(t_id) spelling hash-exchanged all n×C
+    # scored rows, ADVICE r4). Sort key (-cdot, cell) ascending ≡ the old
+    # window's (cdot DESC, cell ASC) tie-break, so assignments are
+    # unchanged. At 100 TB this is exactly how an IVF indexer runs: each
+    # row scores C centroids locally; only the (cell, id) index shuffles —
+    # and only if a downstream consumer asks it to.
     if n_assign == 1:
         index = _assign(cents, ["label", "tv"])
     else:
-        w = Window.partitionBy("t_id").orderBy(F.desc("cdot"), F.asc("cell"))
+        cents_arr = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+        top = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        (-_dot(F.col("tv"), c["cv"])).alias("negdot"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            n_assign,
+        )
         index = (
-            t.crossJoin(F.broadcast(cents))
-            .select("t_id", "label", "tv", "cell", _dot(F.col("tv"), F.col("cv")).alias("cdot"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n_assign)
-            .select("cell", "t_id", "label", "tv")
+            t.crossJoin(F.broadcast(cents_arr))
+            .select("t_id", "label", "tv", F.explode(top).alias("tc"))
+            .select("tc.cell", "t_id", "label", "tv")
         )
     return index, cents
 

@@ -29,7 +29,9 @@ from ..registry import query, rnd
 from ..schemas import SCHEMAS
 from .io import ingest_csv, ingest_json, load_table, unload, unload_csv
 
-SCRATCH = "/root/repo/.tmp"
+from ..scratch import process_scratch
+
+SCRATCH = process_scratch()  # per-process: concurrent runs cannot race (ADVICE r4)
 
 
 def _tag(sf_dir: str) -> str:

@@ -123,7 +123,9 @@ def file_ranges(path: str, col: str) -> list[tuple]:
     return out
 
 
-SCRATCH = "/root/repo/.tmp"
+from ..scratch import process_scratch
+
+SCRATCH = process_scratch()  # per-process: concurrent runs cannot race (ADVICE r4)
 
 
 @query(

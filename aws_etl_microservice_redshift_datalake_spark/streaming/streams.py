@@ -50,7 +50,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query, rnd
 
-SCRATCH = "/root/repo/.tmp"
+from ..scratch import process_scratch
+
+SCRATCH = process_scratch()  # per-process: concurrent runs cannot race (ADVICE r4)
 
 # stashed caller tz while a watermark stream is in flight — set by
 # stream_events_watermarkable (which pins the session to UTC), restored by
