@@ -256,3 +256,35 @@ def test_scan_splits_models_small_file_packing(tmp_path):
         pq.write_table(t, tmp_path / f"part-{i}.parquet")
     # 40 tiny files ≈ 40 * (size + 4MiB open cost) < 2 * 128MiB → ≤ 2 splits
     assert _scan_splits(str(tmp_path)) <= 2
+
+
+def test_table_rows_hive_partitioned_layout(spark):
+    """table_rows/_parquet_files over a hive-partitioned `k=v/` directory
+    tree (the ADVICE r3 recursive-listing fix was only exercised on flat
+    layouts): footer row counts must sum across nested partition dirs, the
+    stat signature must cover every leaf file, and a Spark read of the same
+    tree must agree with the metadata count."""
+    import uuid
+
+    from tests.conftest import SF_SMALL
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import (
+        _parquet_files,
+        _stat_sig,
+        load_table,
+        table_rows,
+    )
+
+    root = f"{SCRATCH}/hive-{uuid.uuid4().hex[:8]}"
+    src = load_table(spark, SF_SMALL, "orders")
+    n = src.count()
+    # partitioned write -> o_orderstatus=X/ subdirs, multiple leaf files
+    src.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
+        f"{root}/orders.parquet"
+    )
+    files = _parquet_files(f"{root}/orders.parquet")
+    assert len(files) >= 2
+    assert all("o_orderstatus=" in f for f in files)
+    assert len(_stat_sig(f"{root}/orders.parquet")) == len(files)
+    assert table_rows(root, "orders") == n
+    assert spark.read.parquet(f"{root}/orders.parquet").count() == n

@@ -433,3 +433,46 @@ def test_connected_components_random_graph_400(spark):
     pairs = spark.createDataFrame(edges, "a BIGINT, b BIGINT").coalesce(4)
     got = {r.node: r.comp for r in connected_components(pairs, "a", "b").collect()}
     assert got == _brute_components(edges)
+
+
+def test_normalize_epoch_ts_gate_boundary(spark):
+    """normalize_epoch_ts's 4e16 magnitude gate, exercised exactly at and
+    around the boundary plus seeded values from both regimes, all in ONE
+    Spark job (per-example Spark calls are too slow for hypothesis).
+    Contract: |v| <= gate reads as µs, |v| > gate as ns (integer `div`,
+    truncation toward zero); within the documented plausible-event-time
+    window (~mid-1971 .. year 3237) the µs and ns spellings of the SAME
+    instant agree."""
+    import random
+    from datetime import datetime, timezone
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import (
+        normalize_epoch_ts,
+    )
+
+    gate = 40_000_000_000_000_000
+    rng = random.Random(11)
+    vals = [gate - 1, gate, gate + 1, gate + 999, gate + 1000, gate + 1001,
+            0, 1, -gate - 1000, 1_700_000_000_000_000]
+    vals += [rng.randint(gate // 1000 + 1, gate - 1) for _ in range(50)]  # µs regime
+    vals += [rng.randint(gate + 1, 9 * 10**18) for _ in range(50)]        # ns regime
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+    got = {
+        r.v: r.ts
+        for r in df.select("v", normalize_epoch_ts("v").alias("ts")).collect()
+    }
+    for v in vals:
+        us = v if abs(v) <= gate else (v // 1000 if v > 0 else -((-v) // 1000))
+        want = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
+        g = got[v]
+        got_utc = (g.replace(tzinfo=timezone.utc) if g.tzinfo is None
+                   else g.astimezone(timezone.utc))
+        assert abs((got_utc - want).total_seconds()) < 0.002, (v, g, want)
+    # same-instant agreement across the two regimes (ns spelling must stay
+    # inside int64, so µs probes top out at int64_max/1000)
+    probes = [gate // 1000 + 1, 1_700_000_000_000_000, 9_000_000_000_000_000]
+    df2 = spark.createDataFrame([(us, us * 1000) for us in probes],
+                                "us BIGINT, ns BIGINT")
+    for r in df2.select(normalize_epoch_ts("us").alias("a"),
+                        normalize_epoch_ts("ns").alias("b")).collect():
+        assert r.a == r.b
