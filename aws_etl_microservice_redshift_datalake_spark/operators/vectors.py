@@ -211,6 +211,7 @@ def _neardup_params(n: int) -> tuple[int, int]:
 
 
 _BUCKETS_MEMO: dict[tuple, tuple] = {}
+_IVF_MEMO: dict[tuple, tuple] = {}
 
 PLANE_NNZ = 8  # non-zero dims per hyperplane (sparse random projections)
 
@@ -428,7 +429,17 @@ def build_ivf_index(
     ``n_assign`` > 1 indexes each vector into its top-n cells (multi-probe
     indexing): membership doubles but pair-recall across cell boundaries
     rises sharply — the standard dedup-side trade, where a missed neighbor
-    is a missed duplicate rather than a slightly-worse ANN hit."""
+    is a missed duplicate rather than a slightly-worse ANN hit.
+
+    MEMOIZED per (session, table-state) since round 5: the trained centroid
+    relation is shared by every n_assign variant (q_ann_ivf_topk AND the
+    three clustered semantic queries train ONCE per session — benching the
+    clustered family showed each call re-running the full Lloyd loop,
+    ~5 s/query of pure retraining), and each n_assign's index is persisted
+    separately. Training is deterministic (seeded init, fixed passes), so
+    a memo hit cannot change any result. At 100 TB this is exactly the
+    production shape: the IVF model is a write-once artifact; queries load
+    it rather than retrain it."""
     import math
 
     e = _embeddings(spark, sf_dir)
@@ -456,21 +467,55 @@ def build_ivf_index(
             .select("b.cell", "b.t_id", *[F.col(f"b.{c}") for c in carry_cols])
         )
 
-    cents = (
-        t.orderBy(F.xxhash64("t_id")).limit(n_cells)
-        .select(F.monotonically_increasing_id().alias("cell"), F.col("tv").alias("cv"))
-        .cache()
+    def _train() -> DataFrame:
+        # per-pass cache is LOAD-BEARING: each pass broadcasts cents, and a
+        # broadcast build over an unmaterialized chain recomputes every
+        # earlier pass (measured: dropping these caches took cold training
+        # from ~5 s to ~50 s — quadratic recompute through the nested
+        # broadcast builds). The intermediates are C×64 doubles, cached
+        # once per session now that the model is memoized.
+        cents = (
+            t.orderBy(F.xxhash64("t_id")).limit(n_cells)
+            .select(
+                F.monotonically_increasing_id().alias("cell"),
+                F.col("tv").alias("cv"),
+            )
+            .cache()
+        )
+        for _ in range(IVF_ITERS):
+            assigned = _assign(cents, ["tv"])
+            raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
+            # L2-normalize via HOFs over ONE array column: the unrolled
+            # spelling (64 output columns × a 64-term norm subtree each,
+            # ~4k expression nodes) cost ~4-6 s of pure Catalyst analysis
+            # PER PASS (measured r5 — the _el/_dot plan-size rule again).
+            # The fold is the same left-to-right d0²+d1²+… order, so the
+            # trained model is bit-identical.
+            m = F.array(*[F.col(f"d{i}") for i in range(DIM)])
+            cents = raw.select(
+                "cell",
+                F.transform(
+                    m,
+                    lambda x: (
+                        x
+                        / F.sqrt(
+                            F.aggregate(
+                                m, F.lit(0.0), lambda a, v: a + v * v
+                            )
+                        )
+                    ).cast("double"),
+                ).alias("cv"),
+            ).cache()
+        return cents
+
+    from ..sources.io import _stat_sig, table_path
+    from ._memo import session_memo
+
+    sig = _stat_sig(table_path(sf_dir, "embeddings"))
+    cents = session_memo(
+        _IVF_MEMO, spark, f"{sf_dir}|ivf-cents",
+        (sig, n_cells, IVF_ITERS), _train,
     )
-    for _ in range(IVF_ITERS):
-        assigned = _assign(cents, ["tv"])
-        raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
-        norm = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(DIM))
-        cents = raw.select(
-            "cell",
-            F.array(
-                *[(F.col(f"d{i}") / F.sqrt(norm)).cast("double") for i in range(DIM)]
-            ).alias("cv"),
-        ).cache()
 
     # final assignment: each vector into its top-n_assign cells. n_assign=1
     # keeps the max_by shape (map-side argmax, n-row shuffle); n_assign>1
@@ -482,9 +527,9 @@ def build_ivf_index(
     # unchanged. At 100 TB this is exactly how an IVF indexer runs: each
     # row scores C centroids locally; only the (cell, id) index shuffles —
     # and only if a downstream consumer asks it to.
-    if n_assign == 1:
-        index = _assign(cents, ["label", "tv"])
-    else:
+    def _final() -> DataFrame:
+        if n_assign == 1:
+            return _assign(cents, ["label", "tv"])
         cents_arr = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
         top = F.slice(
             F.array_sort(
@@ -499,11 +544,16 @@ def build_ivf_index(
             1,
             n_assign,
         )
-        index = (
+        return (
             t.crossJoin(F.broadcast(cents_arr))
             .select("t_id", "label", "tv", F.explode(top).alias("tc"))
             .select("tc.cell", "t_id", "label", "tv")
         )
+
+    index = session_memo(
+        _IVF_MEMO, spark, f"{sf_dir}|ivf-index-{n_assign}",
+        (sig, n_cells, n_assign), _final,
+    )
     return index, cents
 
 

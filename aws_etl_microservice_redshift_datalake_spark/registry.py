@@ -122,6 +122,7 @@ _RECHECK: frozenset[str] = frozenset({
     "q_dedup_clusters",       # CC fixpoint now one action/round (r5)
     "q_training_pipeline",    # consumes the CC drop set
     "q_semdedup_clustered",   # build_ivf_index n_assign>1 path de-shuffled (r5)
+    "q_ann_ivf_topk",         # IVF training memoized + HOF normalize (r5)
     "q_decontaminate_semantic",   # pair stage refactored to a shared tail (r5)
     "q_cross_lingual_neardup",    # same refactor
     "q_compact_roundtrip",    # scratch dir moved to env/pid-scoped path (r5)

@@ -62,6 +62,10 @@ HEADLINE = [
     "q_semantic_search",
     "q_dedup_clusters",
     "q_compact_roundtrip",
+    # round 5: the clustered at-scale candidate stage (IVF cells + exact
+    # verify shared by semdedup/decontaminate/cross-lingual) — compare r6+
+    # totals against 29 queries
+    "q_cross_lingual_neardup_clustered",
 ]
 
 
