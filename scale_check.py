@@ -74,6 +74,15 @@ QUERIES = [
     "q_token_budget_prune",
     "q_keyword_search",
     "q_customer_rfm",
+    # round 5: the clustered at-scale semantic family — within-cell pair
+    # work is Σ|cell|² ≈ 4·n^1.5 with √n cells and top-2 multi-probe, so
+    # the expected wall factor at 10× rows is ~√10 per row (≈3× on the
+    # pair stage) plus the once-per-process IVF training; their exact
+    # broadcast twins (q_semdedup etc.) stay out for the same reason the
+    # cosine oracle does — quadratic by construction.
+    "q_semdedup_clustered",
+    "q_decontaminate_semantic_clustered",
+    "q_cross_lingual_neardup_clustered",
 ]
 
 
