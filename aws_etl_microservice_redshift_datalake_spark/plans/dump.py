@@ -184,6 +184,18 @@ COMMENTARY = {
         "post-cut pair set, and the drop set broadcasts back as a "
         "left-join tag — document text never enters the quadratic stage."
     ),
+    "q_semdedup_clustered": (
+        "Clustered SemDeDup (round 5 — the registered 100 TB path, shared "
+        "candidate stage with the clustered decontamination and cross-"
+        "lingual twins): the memoized IVF model assigns each vector to its "
+        "top-2 cells ROW-LOCALLY against a one-row broadcast centroid "
+        "array (no t_id exchange — ADVICE r4), the within-cell self-join "
+        "is pinned SHUFFLE_HASH (both sides corpus-sized; pair work "
+        "Σ|cell|² ≈ n·√n), and the verify + report tail reuses the exact "
+        "twin's narrow-projection broadcasts. The InMemoryTableScan leaves "
+        "are the per-session persisted model — at 100 TB a write-once "
+        "index artifact."
+    ),
 }
 
 
@@ -208,6 +220,16 @@ def main() -> None:
     for name, comment in COMMENTARY.items():
         df = qs[name](spark, sf)
         tree = audit.plan_str(df).split("\n\n", 1)[0]
+        # queries over per-session persisted models drag the whole build
+        # lineage into the explain tree (InMemoryRelation shows its cached
+        # plan); cap the rendered tree so PLANS.md stays readable
+        tlines = tree.split("\n")
+        if len(tlines) > 100:
+            tree = "\n".join(
+                tlines[:100]
+                + [f"   … ({len(tlines) - 100} more lines — cached-model "
+                   "build lineage; run the dump module for full detail)"]
+            )
         lines += [
             f"## {name}",
             "",
