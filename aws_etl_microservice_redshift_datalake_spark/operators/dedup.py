@@ -630,7 +630,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per clustered doc — (doc_id, canon_id, cluster_size,
     is_canonical); singletons (docs in no near-dup pair) are not emitted.
     """
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_pairs_persisted(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
     )
@@ -640,6 +640,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("canon_id"),
         "cluster_size",
         (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+_PAIRS_MEMO: dict[tuple, tuple] = {}
+
+
+def _minhash_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified MinHash pair relation as a shared persisted intermediate
+    for its COMPOSITE consumers (cluster resolution, and through it the
+    training pipeline — q_dedup_minhash_pairs itself stays unmemoized so
+    the registered query always exercises the live plan): the same
+    (session, table-state) rule as the shingle/bucket relations. The pair
+    set is tiny (verified near-dups), so the persist is cheap and the CC
+    loop's initial checkpoint reads materialized rows instead of re-running
+    the band join + verify per call."""
+    from ..sources.io import _stat_sig, table_path
+    from ._memo import session_memo
+
+    sig = _stat_sig(table_path(sf_dir, "documents"))
+    return session_memo(
+        _PAIRS_MEMO, spark, f"{sf_dir}|minhash-pairs", sig,
+        lambda: q_dedup_minhash_pairs(spark, sf_dir),
     )
 
 
