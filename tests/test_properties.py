@@ -476,3 +476,26 @@ def test_normalize_epoch_ts_gate_boundary(spark):
     for r in df2.select(normalize_epoch_ts("us").alias("a"),
                         normalize_epoch_ts("ns").alias("b")).collect():
         assert r.a == r.b
+
+
+def test_connected_components_warns_when_rounds_exhausted(spark, monkeypatch):
+    """Exhausting CC_MAX_ROUNDS without a fixpoint must warn loudly
+    (ADVICE r4: silent return handed callers plausible-looking wrong
+    components), while the min-guard still emits one label per node."""
+    import warnings
+
+    from aws_etl_microservice_redshift_datalake_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_MAX_ROUNDS", 0)
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a BIGINT, b BIGINT")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.node: r.comp
+            for r in dedup.connected_components(pairs, "a", "b").collect()
+        }
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "no fixpoint" in str(w.message)
+        for w in caught
+    )
+    assert set(got) == {0, 1, 2}  # one label per node even unconverged
