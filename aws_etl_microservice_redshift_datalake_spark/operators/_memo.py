@@ -39,8 +39,20 @@ def session_memo(
     several not-yet-materialized leaf stages inside one action makes each
     racing stage recompute AND serialize the same partitions (measured 4×
     re-shingling — the round-4 rule)."""
-    for k in [k for k, (ref, _, _) in memo.items() if ref() is None]:
-        del memo[k]  # session GC'd: executors (and their cache) are gone
+    # purge dead entries: session GC'd (weakref cleared) OR stopped (the
+    # memoized DataFrame strongly references its session, so a stopped
+    # session would otherwise stay pinned through its own memo entry —
+    # executors and their cache are gone either way, nothing to unpersist)
+    def _dead(s) -> bool:
+        if s is None:
+            return True
+        try:
+            return s.sparkContext._jsc is None
+        except Exception:
+            return False
+
+    for k in [k for k, (ref, _, _) in memo.items() if _dead(ref())]:
+        del memo[k]
     skey = (id(spark), sf_dir)
     ent = memo.get(skey)
     if ent is not None:

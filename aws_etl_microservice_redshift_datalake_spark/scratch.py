@@ -19,10 +19,17 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(_REPO, ".tmp")
 
 
+_REGISTERED: set[str] = set()
+
+
 def process_scratch() -> str:
-    """This process's private scratch dir (created on first use)."""
+    """This process's private scratch dir (created on first use). Cleanup
+    registration is keyed on this process's own bookkeeping, not the
+    directory's existence — a recycled pid finding a stale dir from a dead
+    process must still adopt (and eventually remove) it."""
     d = os.path.join(SCRATCH_ROOT, f"p{os.getpid()}")
-    if not os.path.isdir(d):
+    if d not in _REGISTERED:
         os.makedirs(d, exist_ok=True)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _REGISTERED.add(d)
     return d
