@@ -11,11 +11,13 @@ Round-5 hardening (ADVICE r4): the memo itself must not leak.
 - A rewritten corpus at the same sf_dir changes the parquet stat signature;
   the SUPERSEDED entry is unpersisted and dropped on the next lookup, so the
   stale relation can't stay pinned in executor storage forever.
-- Entries hold only a WEAK reference to their SparkSession; once a session
-  is garbage-collected its entries are purged (nothing to unpersist — the
-  executors died with the session), and a recycled ``id()`` can never be
-  mistaken for the old session because identity is re-checked through the
-  weakref, not the integer key.
+- Entries are purged once their session is STOPPED (the load-bearing check:
+  a memoized DataFrame strongly references its session, so the weakref
+  below only clears in the unusual case where the memo entry itself was
+  dropped first — sessions abandoned WITHOUT ``stop()`` stay pinned by
+  their own entries, which is why cleanup keys on the stopped state).
+  A recycled ``id()`` can never be mistaken for the old session because
+  identity is re-checked through the weakref, not the integer key.
 """
 
 from __future__ import annotations

@@ -482,6 +482,7 @@ def build_ivf_index(
             )
             .cache()
         )
+        intermediates = [cents]
         for _ in range(IVF_ITERS):
             assigned = _assign(cents, ["tv"])
             raw = assigned.groupBy("cell").agg(*_norm_mean(DIM))
@@ -506,7 +507,18 @@ def build_ivf_index(
                     ).cast("double"),
                 ).alias("cv"),
             ).cache()
-        return cents
+            intermediates.append(cents)
+        # materialize the final model, then evict the per-pass scaffolding:
+        # without this, every table-state supersede strands IVF_ITERS+1
+        # cached relations in executor storage — the stacking-persists
+        # pathology the memo module exists to prevent, one layer down. The
+        # memo's own persist+count on the returned relation is then a no-op
+        # re-cache of already-materialized rows.
+        final = intermediates.pop()
+        final.count()
+        for d in intermediates:
+            d.unpersist()
+        return final
 
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
@@ -552,7 +564,8 @@ def build_ivf_index(
 
     index = session_memo(
         _IVF_MEMO, spark, f"{sf_dir}|ivf-index-{n_assign}",
-        (sig, n_cells, n_assign), _final,
+        (sig, n_cells, IVF_ITERS, n_assign), _final,  # IVF_ITERS: the index
+        # must supersede together with the model it was assigned from
     )
     return index, cents
 

@@ -89,11 +89,15 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
     red: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    found: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd_no = int(m.group(1))
+        if m:
+            found.append((int(m.group(1)), path))
+    # numeric round order, NOT lexicographic: r9 must process before r10 so
+    # the red/green state of a query's LATEST row resolves correctly past
+    # two digits
+    for rnd_no, path in sorted(found):
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):

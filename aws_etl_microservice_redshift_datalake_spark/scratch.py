@@ -16,10 +16,14 @@ import shutil
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(_REPO, ".tmp")
-
-
 _REGISTERED: set[str] = set()
+
+
+def scratch_root() -> str:
+    """Resolved at CALL time, not import: the env override must work even
+    when set after the package was first imported, and a fork()ed child
+    re-resolves its own pid below rather than inheriting the parent's."""
+    return os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(_REPO, ".tmp")
 
 
 def process_scratch() -> str:
@@ -27,9 +31,18 @@ def process_scratch() -> str:
     registration is keyed on this process's own bookkeeping, not the
     directory's existence — a recycled pid finding a stale dir from a dead
     process must still adopt (and eventually remove) it."""
-    d = os.path.join(SCRATCH_ROOT, f"p{os.getpid()}")
+    d = os.path.join(scratch_root(), f"p{os.getpid()}")
     if d not in _REGISTERED:
         os.makedirs(d, exist_ok=True)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        owner = os.getpid()
+
+        def _cleanup() -> None:
+            # atexit handlers are inherited across fork(): only the pid
+            # that registered the dir may remove it, or a child exiting
+            # via sys.exit would delete its parent's scratch mid-run
+            if os.getpid() == owner:
+                shutil.rmtree(d, ignore_errors=True)
+
+        atexit.register(_cleanup)
         _REGISTERED.add(d)
     return d

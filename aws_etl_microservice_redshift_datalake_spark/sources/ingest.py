@@ -31,8 +31,6 @@ from .io import ingest_csv, ingest_json, load_table, unload, unload_csv
 
 from ..scratch import process_scratch
 
-SCRATCH = process_scratch()  # per-process: concurrent runs cannot race (ADVICE r4)
-
 
 def _tag(sf_dir: str) -> str:
     return sf_dir.strip("/").replace("/", "-")
@@ -53,7 +51,7 @@ def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet (partitioned by status, file size bounded), re-read, aggregated.
     The hash match against the *original* table proves losslessness; the
     status filter below proves partition pruning works on the layout."""
-    path = f"{SCRATCH}/unload-orders-{_tag(sf_dir)}"
+    path = f"{process_scratch()}/unload-orders-{_tag(sf_dir)}"
     src = load_table(spark, sf_dir, "orders")
     unload(src, path, partition_cols=["o_orderstatus"], max_records_per_file=100_000)
     back = spark.read.parquet(path)
@@ -75,8 +73,8 @@ def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation and region written as gzip CSV with headers, ingested back through
     their DECLARED schemas (no inference), then joined."""
     np_, rp = (
-        f"{SCRATCH}/csv-nation-{_tag(sf_dir)}",
-        f"{SCRATCH}/csv-region-{_tag(sf_dir)}",
+        f"{process_scratch()}/csv-nation-{_tag(sf_dir)}",
+        f"{process_scratch()}/csv-region-{_tag(sf_dir)}",
     )
     unload_csv(load_table(spark, sf_dir, "nation"), np_, codec="gzip")
     unload_csv(load_table(spark, sf_dir, "region"), rp, codec="gzip")
@@ -102,7 +100,7 @@ def q_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: COPY ... FORMAT JSON analog — events written as newline-delimited
     JSON (sans the ns timestamp, which JSON cannot carry losslessly), ingested
     back through a declared schema, aggregated per event type."""
-    path = f"{SCRATCH}/json-events-{_tag(sf_dir)}"
+    path = f"{process_scratch()}/json-events-{_tag(sf_dir)}"
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
     )
@@ -135,7 +133,7 @@ def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference pass), aggregated; the hash match against the original parquet
     proves the cycle is lossless, doubles included (ORC roundtrips IEEE
     doubles bit-exactly)."""
-    path = f"{SCRATCH}/orc-customer-{_tag(sf_dir)}"
+    path = f"{process_scratch()}/orc-customer-{_tag(sf_dir)}"
     load_table(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
     back = spark.read.schema(SCHEMAS["customer"]).orc(path)
     return back.groupBy("c_mktsegment").agg(

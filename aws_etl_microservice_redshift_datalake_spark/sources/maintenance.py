@@ -125,8 +125,6 @@ def file_ranges(path: str, col: str) -> list[tuple]:
 
 from ..scratch import process_scratch
 
-SCRATCH = process_scratch()  # per-process: concurrent runs cannot race (ADVICE r4)
-
 
 @query(
     "q_compact_roundtrip",
@@ -147,8 +145,8 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lossless; tests/test_maintenance.py additionally asserts the file
     count collapses and clustered envelopes are disjoint."""
     tag = sf_dir.strip("/").replace("/", "-")
-    frag = f"{SCRATCH}/frag-lineitem-{tag}"
-    compacted = f"{SCRATCH}/compact-lineitem-{tag}"
+    frag = f"{process_scratch()}/frag-lineitem-{tag}"
+    compacted = f"{process_scratch()}/compact-lineitem-{tag}"
     src = load_table(spark, sf_dir, "lineitem")
     (
         src.write.mode("overwrite")

@@ -52,8 +52,6 @@ from ..registry import query, rnd
 
 from ..scratch import process_scratch
 
-SCRATCH = process_scratch()  # per-process: concurrent runs cannot race (ADVICE r4)
-
 # stashed caller tz while a watermark stream is in flight — set by
 # stream_events_watermarkable (which pins the session to UTC), restored by
 # run_stream once the stream terminates. None = nothing to restore.
@@ -84,7 +82,7 @@ def _source_dir(sf_dir: str) -> str:
     processes the whole table in a single micro-batch, so no event can be
     late relative to an earlier batch's watermark (initial watermark is 0)."""
     tag = sf_dir.strip("/").replace("/", "-")
-    d = f"{SCRATCH}/stream-src-{tag}"
+    d = f"{process_scratch()}/stream-src-{tag}"
     os.makedirs(d, exist_ok=True)
     link = f"{d}/events.parquet"
     # lexists, not exists: a broken symlink (events.parquet regenerated/moved)
@@ -145,7 +143,7 @@ def run_stream(sdf: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFr
     contents as a batch DataFrame. Checkpointed like any production query."""
     spark = sdf.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
-    ckpt = f"{SCRATCH}/ckpt-{name}"
+    ckpt = f"{process_scratch()}/ckpt-{name}"
     # Stateful streaming locks shuffle-partition count into the state store at
     # start(): a default-conf session (200) then pays 200 state-store dirs and
     # task launches PER STATEFUL OPERATOR for a corpus that fits in a handful.

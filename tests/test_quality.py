@@ -212,10 +212,13 @@ def test_registry_window_ordering():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
     red: set = set()
-    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    paths = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     assert paths, "driver artifacts missing — derivation untestable"
-    for path in paths:
-        rnd_no = int(path.rsplit("_r", 1)[-1].split(".")[0])
+    # numeric round order (r9 before r10) so latest-row red/green resolution
+    # matches the registry's derivation past two digits
+    for rnd_no, path in sorted(
+        (int(p.rsplit("_r", 1)[-1].split(".")[0]), p) for p in paths
+    ):
         for name, row in json.load(open(path)).items():
             green = row.get("err") == "no_oracle" or (
                 row.get("rows_match") and row.get("hash_match")

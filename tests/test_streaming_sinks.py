@@ -11,13 +11,15 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
+from aws_etl_microservice_redshift_datalake_spark.scratch import process_scratch
 from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
 from aws_etl_microservice_redshift_datalake_spark.streaming.streams import (
-    SCRATCH,
     stream_events,
     stream_foreach_batch,
     stream_to_parquet,
 )
+
+SCRATCH = process_scratch()
 
 
 def test_stream_to_parquet_roundtrip(spark):
