@@ -130,6 +130,7 @@ _RECHECK: frozenset[str] = frozenset({
     "q_decontaminate_semantic",   # pair stage refactored to a shared tail (r5)
     "q_cross_lingual_neardup",    # same refactor
     "q_compact_roundtrip",    # scratch dir moved to env/pid-scoped path (r5)
+    "q_unload_roundtrip",     # re-read uses declared schema, not inference (r5)
 }) | _DRIVER_RED
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries

@@ -54,7 +54,12 @@ def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{process_scratch()}/unload-orders-{_tag(sf_dir)}"
     src = load_table(spark, sf_dir, "orders")
     unload(src, path, partition_cols=["o_orderstatus"], max_records_per_file=100_000)
-    back = spark.read.parquet(path)
+    # read back with the DECLARED schema, not inference: an empty UNLOAD
+    # (0-row source → partitionBy writes no data files) has nothing to
+    # infer from and the re-read would fail — exactly the degenerate-branch
+    # outage tests/test_degenerate.py sweeps for. The declared DDL is the
+    # production contract anyway (the catalog, not the files, owns schema).
+    back = spark.read.schema(src.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         rnd(F.sum("o_totalprice")).alias("total_price"),
