@@ -88,3 +88,84 @@ def test_query_survives_empty_corpus(spark, empty_sf, name):
     n = df.count()
     assert n >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
+def alldup_sf(spark) -> str:
+    """The dedup-family worst case: 50 byte-identical documents (and 50
+    identical embeddings), other tables linked from sf0.001. Every pair is
+    a true duplicate — LSH buckets all collide, the pair graph is complete,
+    SemDeDup's τ-cut passes everywhere."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(process_scratch(), "sf-alldup")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        one_doc = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(1)
+        ids = spark.range(50).select(F.col("id").alias("doc_id"))
+        (
+            ids.crossJoin(one_doc.drop("doc_id"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/documents.parquet")
+        )
+        one_vec = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(1)
+        (
+            spark.range(50).select(F.col("id").alias("vec_id"))
+            .crossJoin(one_vec.drop("vec_id"))
+            .select("vec_id", "embedding", "label")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/embeddings.parquet")
+        )
+        for t in TABLES:
+            if t in ("documents", "embeddings"):
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+def test_alldup_exact_and_hash_dedup(spark, alldup_sf):
+    """50 identical texts collapse to exactly one survivor (lowest id)."""
+    rows = QS["q_dedup_exact"](spark, alldup_sf).collect()
+    assert len(rows) == 1 and rows[0].keep_id == 0 and rows[0].n_copies == 50
+    rows = QS["q_dedup_hash"](spark, alldup_sf).collect()
+    assert len(rows) == 1 and rows[0].keep_id == 0 and rows[0].n_copies == 50
+
+
+def test_alldup_minhash_complete_graph(spark, alldup_sf):
+    """Identical docs: every pair is a candidate AND verifies at J=1, so the
+    pair set is the complete graph C(50,2) — the LSH mega-bucket case the
+    banding must survive (bounded: candidates ≤ L·C(n,2) with n tiny here,
+    and at scale the posting-cap/banding keeps this linear per bucket)."""
+    n = QS["q_dedup_minhash_pairs"](spark, alldup_sf).count()
+    assert n == 50 * 49 // 2
+
+
+def test_alldup_cluster_resolution(spark, alldup_sf):
+    """The complete pair graph resolves to ONE cluster of 50 with doc 0
+    canonical — star contraction's densest input."""
+    rows = QS["q_dedup_clusters"](spark, alldup_sf).collect()
+    assert len(rows) == 50
+    assert all(r.canon_id == 0 and r.cluster_size == 50 for r in rows)
+    assert sum(1 for r in rows if r.is_canonical) == 1
+
+
+def test_alldup_semantic_family(spark, alldup_sf):
+    """Identical embeddings: cosine 1.0 everywhere. The exact SemDeDup twin
+    must drop exactly n-1 (one canonical survives); the near-dup self-join
+    must emit the complete graph; the clustered twin lands everything in
+    one cell and must agree with the exact twin EXACTLY here (no boundary
+    pairs exist to lose)."""
+    sem = {r.label: (r.n_vecs, r.n_dropped)
+           for r in QS["q_semdedup"](spark, alldup_sf).collect()}
+    assert sum(v[0] for v in sem.values()) == 50
+    assert sum(v[1] for v in sem.values()) == 49
+    assert QS["q_cosine_neardup"](spark, alldup_sf).count() == 50 * 49 // 2
+    clus = {r.label: (r.n_vecs, r.n_dropped)
+            for r in QS["q_semdedup_clustered"](spark, alldup_sf).collect()}
+    assert clus == sem
