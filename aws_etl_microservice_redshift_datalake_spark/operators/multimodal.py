@@ -105,7 +105,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel here is the deterministic fake (byte stats) so the oracle can
     check the plumbing exactly; swap `_fake_decode_batch` for a real codec
     kernel (decode_image_real) on a cluster image with codecs."""
-    a = _assets(spark, sf_dir).select("asset_id", "payload")
+    # null payloads are dropped JVM-side: a corrupt/absent asset must not
+    # reach the Python kernel (it would crash on len(None)), and not
+    # shipping null bytes through Arrow is the cheaper plan anyway
+    a = (
+        _assets(spark, sf_dir)
+        .select("asset_id", "payload")
+        .filter(F.col("payload").isNotNull())
+    )
 
     def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,7 +121,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    # guard the empty payload: b[0] on b'' raises IndexError
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else 0
+                    ).astype("int32"),
                     "head_checksum": payloads.map(lambda b: sum(b[:8])).astype("int64"),
                 }
             )
@@ -187,7 +197,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested part."""
     a = _assets(spark, sf_dir).filter(
         F.greatest(F.col("meta.width"), F.col("meta.height")) > RESIZE_BOX
-    ).select(
+    ).filter(F.col("payload").isNotNull()).select(
         "asset_id",
         "payload",
         F.col("meta.width").alias("width"),

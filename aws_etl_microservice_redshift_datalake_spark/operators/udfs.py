@@ -137,6 +137,8 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="bigram: string")
     class BigramUDTF:
         def eval(self, text: str):
+            if not text:  # null/empty document: no bigrams, not a crash
+                return
             toks = text.split(" ")
             for i in range(len(toks) - 1):
                 yield (toks[i] + " " + toks[i + 1],)

@@ -131,6 +131,9 @@ _RECHECK: frozenset[str] = frozenset({
     "q_cross_lingual_neardup",    # same refactor
     "q_compact_roundtrip",    # scratch dir moved to env/pid-scoped path (r5)
     "q_unload_roundtrip",     # re-read uses declared schema, not inference (r5)
+    "q_udtf_bigrams",         # null-text guard in the UDTF kernel (r5)
+    "q_multimodal_decode",    # null payloads dropped JVM-side + empty guard (r5)
+    "q_multimodal_resize",    # null payloads dropped JVM-side (r5)
 }) | _DRIVER_RED
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries

@@ -169,3 +169,50 @@ def test_alldup_semantic_family(spark, alldup_sf):
     clus = {r.label: (r.n_vecs, r.n_dropped)
             for r in QS["q_semdedup_clustered"](spark, alldup_sf).collect()}
     assert clus == sem
+
+
+@pytest.fixture(scope="module")
+def nullpayload_sf(spark) -> str:
+    """Null payload columns — the production-lake reality the clean fixtures
+    never exercise: half the documents carry NULL text (and some NULL lang),
+    a third of events carry NULL props. Business keys stay non-null (the
+    fixture contract); only nullable payloads degrade."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(process_scratch(), "sf-nullpayload")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        doc = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        (
+            doc.withColumn("text", F.when(F.col("doc_id") % 2 == 0, F.col("text")))
+            .withColumn("lang", F.when(F.col("doc_id") % 7 != 0, F.col("lang")))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/documents.parquet")
+        )
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        (
+            ev.withColumn("props", F.when(F.col("event_id") % 3 != 0, F.col("props")))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+        for t in TABLES:
+            if t in ("documents", "events"):
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+@pytest.mark.parametrize("name", list(QS), ids=list(QS))
+def test_query_survives_null_payloads(spark, nullpayload_sf, name):
+    """No operator may crash on null text/lang/props. (Found and fixed: the
+    bigram UDTF split None, and both mapInPandas multimodal kernels took
+    len(None) — null payloads now drop JVM-side before Arrow ships them.)"""
+    df = QS[name](spark, nullpayload_sf)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
