@@ -125,8 +125,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 _RECHECK: frozenset[str] = frozenset({
     "q_dedup_clusters",       # CC fixpoint now one action/round (r5)
     "q_training_pipeline",    # consumes the CC drop set
-    "q_semdedup_clustered",   # build_ivf_index n_assign>1 path de-shuffled (r5)
-    "q_ann_ivf_topk",         # IVF training memoized + HOF normalize (r5)
+    # NOT re-entered despite r5 changes: q_semdedup_clustered and
+    # q_ann_ivf_topk are rows-only contracts whose binding checks are the
+    # pytest recall floors (already re-run green on the changed code) — a
+    # driver rows-only re-row adds no hash signal and would displace a
+    # burn-in slot (VERDICT r4 #4 asks for ≥40 r1-era re-confirmations).
     "q_decontaminate_semantic",   # pair stage refactored to a shared tail (r5)
     "q_cross_lingual_neardup",    # same refactor
     "q_compact_roundtrip",    # scratch dir moved to env/pid-scoped path (r5)
