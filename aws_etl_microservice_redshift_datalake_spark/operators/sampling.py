@@ -356,6 +356,7 @@ WSAMPLE_K = 64  # weighted-sample size
                        / 16777217.0,
                    1.0 / n_chars) AS priority
         FROM documents
+        WHERE n_chars > 0
     )
     ORDER BY priority DESC, doc_id ASC
     LIMIT {WSAMPLE_K}
@@ -375,7 +376,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative (doc_id tie-break guards exact ties). Scale shape: row-local
     priority + global top-k (TakeOrderedAndProject — per-partition heaps,
     no full sort, no shuffle of the corpus)."""
-    d = load_table(spark, sf_dir, "documents")
+    # weight 0 (empty doc) can never be drawn in Efraimidis-Spirakis —
+    # and 1/w would DIVIDE_BY_ZERO under ANSI mode — so zero-weight rows
+    # are excluded up front (oracle twin carries the same WHERE)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("bigint")

@@ -137,6 +137,7 @@ _RECHECK: frozenset[str] = frozenset({
     "q_udtf_bigrams",         # null-text guard in the UDTF kernel (r5)
     "q_multimodal_decode",    # null payloads dropped JVM-side + empty guard (r5)
     "q_multimodal_resize",    # null payloads dropped JVM-side (r5)
+    "q_weighted_sample",      # zero-weight rows excluded (ANSI div-by-zero) (r5)
 }) | _DRIVER_RED
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries

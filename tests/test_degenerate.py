@@ -216,3 +216,55 @@ def test_query_survives_null_payloads(spark, nullpayload_sf, name):
     n = df.count()
     assert n >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
+def advtext_sf(spark) -> str:
+    """Adversarial text payloads: empty / whitespace-only docs (n_chars 0),
+    a 200k-char single token, a 50k-token doc, regex metacharacters, CJK +
+    emoji unicode, tabs, and a null byte — the content a real crawl corpus
+    actually contains."""
+    d = os.path.join(process_scratch(), "sf-advtext")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        texts = [
+            ("", "en", "web"),
+            ("   ", "en", "web"),
+            ("a" * 200_000, "en", "web"),
+            (("word " * 50_000).strip(), "en", "book"),
+            ("\\d+ (a|b)* [^x]{3} $ ^ . ? \\ ", "en", "web"),
+            ("日本語のテキスト ユニコード 試験 文書", "ja", "web"),
+            ("emoji 🙂🙃 mixed ASCII and 中文 text", "zh", "web"),
+            ("tab\tnewline-free but\ttabs", "en", "code"),
+            (chr(0) + "null-byte prefix", "en", "code"),
+            ("normal doc with several plain words here", "en", "wiki"),
+        ] * 5
+        rows = [(i, t, l, s, len(t)) for i, (t, l, s) in enumerate(texts)]
+        (
+            spark.createDataFrame(
+                rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/documents.parquet")
+        )
+        for t in TABLES:
+            if t == "documents":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+@pytest.mark.parametrize("name", list(QS), ids=list(QS))
+def test_query_survives_adversarial_text(spark, advtext_sf, name):
+    """No operator may crash on crawl-grade text. (Found and fixed:
+    q_weighted_sample's 1/n_chars priority DIVIDE_BY_ZERO'd under ANSI mode
+    on an empty doc — zero-weight rows are now excluded, matching the
+    Efraimidis-Spirakis semantics that weight 0 is never drawn.)"""
+    df = QS[name](spark, advtext_sf)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
