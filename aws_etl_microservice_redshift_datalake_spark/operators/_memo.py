@@ -22,10 +22,28 @@ Round-5 hardening (ADVICE r4): the memo itself must not leak.
 
 from __future__ import annotations
 
+import threading
 import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# per-(memo, session, sf_dir) build locks: a Spark driver legitimately runs
+# queries from many threads, and two threads missing the same key would each
+# build+persist (one copy leaks unreferenced in executor storage — the exact
+# pathology the memo exists to prevent). A single global lock would serialize
+# INDEPENDENT builds (a 9 s IVF train blocking an unrelated shingle build),
+# so locks are per key; _LOCKS_MUTEX only guards the tiny lock-table itself.
+_LOCKS_MUTEX = threading.Lock()
+_LOCKS: dict[tuple, threading.Lock] = {}
+
+
+def _key_lock(key: tuple) -> threading.Lock:
+    with _LOCKS_MUTEX:
+        lk = _LOCKS.get(key)
+        if lk is None:
+            lk = _LOCKS[key] = threading.Lock()
+        return lk
 
 
 def session_memo(
@@ -40,7 +58,8 @@ def session_memo(
     persisted WITH a count() materialization barrier: a lazy cache shared by
     several not-yet-materialized leaf stages inside one action makes each
     racing stage recompute AND serialize the same partitions (measured 4×
-    re-shingling — the round-4 rule)."""
+    re-shingling — the round-4 rule). Thread-safe: concurrent callers of the
+    same key block on one build; different keys build in parallel."""
     # purge dead entries: session GC'd (weakref cleared) OR stopped (the
     # memoized DataFrame strongly references its session, so a stopped
     # session would otherwise stay pinned through its own memo entry —
@@ -53,23 +72,34 @@ def session_memo(
         except Exception:
             return False
 
-    for k in [k for k, (ref, _, _) in memo.items() if _dead(ref())]:
-        del memo[k]
     skey = (id(spark), sf_dir)
-    ent = memo.get(skey)
-    if ent is not None:
-        ref, old_sig, df = ent
-        if ref() is spark and old_sig == sig:
-            return df
-        if ref() is spark:
+    with _key_lock((id(memo), *skey)):
+        # all dict reads/mutations happen under the table mutex (another
+        # key's thread may be touching the same dict concurrently); only
+        # the expensive build+materialize runs outside it, still guarded by
+        # this key's lock so a second caller of the SAME key blocks and
+        # then re-reads a hit instead of double-building
+        stale = None
+        with _LOCKS_MUTEX:
+            for k in [k for k, (ref, _, _) in memo.items() if _dead(ref())]:
+                del memo[k]
+            ent = memo.get(skey)
+            if ent is not None:
+                ref, old_sig, df = ent
+                if ref() is spark and old_sig == sig:
+                    return df
+                if ref() is spark:
+                    stale = df  # superseded: evict outside the mutex
+                del memo[skey]
+        if stale is not None:
             # corpus rewritten at the same sf_dir: evict the superseded
             # relation from executor storage before replacing it
             try:
-                df.unpersist()
+                stale.unpersist()
             except Exception:
                 pass
-        del memo[skey]
-    df = build().persist()
-    df.count()
-    memo[skey] = (weakref.ref(spark), sig, df)
-    return df
+        df = build().persist()
+        df.count()
+        with _LOCKS_MUTEX:
+            memo[skey] = (weakref.ref(spark), sig, df)
+        return df

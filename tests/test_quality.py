@@ -478,6 +478,36 @@ def test_session_memo_evicts_superseded_and_dead(spark):
         df.unpersist()
 
 
+def test_session_memo_concurrent_single_build(spark):
+    """A Spark driver legitimately runs queries from many threads: 8 threads
+    racing the same memo key must produce exactly ONE build (a lost race
+    would leak an unreferenced persisted copy in executor storage), and
+    distinct keys must not serialize behind one another's builds."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    builds = []
+    gate = threading.Barrier(8)
+
+    def build():
+        builds.append(1)
+        return spark.range(10)
+
+    def call(_):
+        gate.wait()  # maximize the race window
+        return session_memo(memo, spark, "/race", "s1", build)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(call, range(8)))
+    assert len(builds) == 1, f"{len(builds)} builds for one key"
+    assert all(g is got[0] for g in got), "threads saw different relations"
+    assert len(memo) == 1
+    got[0].unpersist()
+
+
 def test_token_budget_respected(spark):
     """q_token_budget_prune's kept token mass must be within budget per
     language (boundary buckets are all-or-nothing, so kept ≤ budget by
