@@ -508,6 +508,27 @@ def test_session_memo_concurrent_single_build(spark):
     got[0].unpersist()
 
 
+def test_concurrent_queries_one_session(spark):
+    """Multi-tenant driver shape: the memo-heavy dedup/vector family run
+    from 6 threads on ONE session must all succeed with the same row counts
+    a serial run produces (shared persisted intermediates, IVF model, and
+    connected-components checkpoints under concurrency)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "q_dedup_minhash_pairs", "q_dedup_clusters", "q_cosine_neardup",
+        "q_ngram_jaccard", "q_semdedup_clustered", "q_ann_ivf_topk",
+        "q_decontaminate_semantic_clustered",
+        "q_cross_lingual_neardup_clustered",
+    ]
+    serial = {n: QS[n](spark, SF_MED).count() for n in names}
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        concurrent = dict(
+            ex.map(lambda n: (n, QS[n](spark, SF_MED).count()), names)
+        )
+    assert concurrent == serial
+
+
 def test_token_budget_respected(spark):
     """q_token_budget_prune's kept token mass must be within budget per
     language (boundary buckets are all-or-nothing, so kept ≤ budget by
