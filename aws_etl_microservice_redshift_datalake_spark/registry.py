@@ -117,28 +117,38 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
 _LAST_GREEN, _DRIVER_RED = _driver_history()
 _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 
-# Queries whose implementation (or semantics) changed this round after a
-# green driver row: they re-enter the window first so the rebuild gets fresh
-# driver signal (green-but-rechecking is deliberate, see
-# tests/test_quality.py::test_registry_window_ordering). Red-last-round
-# queries re-enter automatically via _DRIVER_RED — no entry needed here.
-_RECHECK: frozenset[str] = frozenset({
-    "q_dedup_clusters",       # CC fixpoint now one action/round (r5)
-    "q_training_pipeline",    # consumes the CC drop set
+# Queries whose implementation (or semantics) changed after a green driver
+# row: they re-enter the window first so the rebuild gets fresh driver signal
+# (green-but-rechecking is deliberate, see
+# tests/test_quality.py::test_registry_window_ordering). Each entry records
+# the ROUND the code changed in, and SELF-EXPIRES once a green driver row
+# exists in a LATER round — stale entries can never pin window slots if a
+# future round forgets to clear them (the same staleness failure the derived
+# era sets fixed). Red-last-round queries re-enter automatically via
+# _DRIVER_RED — no entry needed here.
+_RECHECK_CHANGED: dict[str, int] = {
+    "q_dedup_clusters": 5,       # CC fixpoint now one action/round (r5)
+    "q_training_pipeline": 5,    # consumes the CC drop set
     # NOT re-entered despite r5 changes: q_semdedup_clustered and
     # q_ann_ivf_topk are rows-only contracts whose binding checks are the
     # pytest recall floors (already re-run green on the changed code) — a
     # driver rows-only re-row adds no hash signal and would displace a
     # burn-in slot (VERDICT r4 #4 asks for ≥40 r1-era re-confirmations).
-    "q_decontaminate_semantic",   # pair stage refactored to a shared tail (r5)
-    "q_cross_lingual_neardup",    # same refactor
-    "q_compact_roundtrip",    # scratch dir moved to env/pid-scoped path (r5)
-    "q_unload_roundtrip",     # re-read uses declared schema, not inference (r5)
-    "q_udtf_bigrams",         # null-text guard in the UDTF kernel (r5)
-    "q_multimodal_decode",    # null payloads dropped JVM-side + empty guard (r5)
-    "q_multimodal_resize",    # null payloads dropped JVM-side (r5)
-    "q_weighted_sample",      # zero-weight rows excluded (ANSI div-by-zero) (r5)
-}) | _DRIVER_RED
+    "q_decontaminate_semantic": 5,   # pair stage refactored to a shared tail
+    "q_cross_lingual_neardup": 5,    # same refactor
+    "q_compact_roundtrip": 5,    # scratch dir moved to env/pid-scoped path
+    "q_unload_roundtrip": 5,     # re-read uses declared schema, not inference
+    "q_udtf_bigrams": 5,         # null-text guard in the UDTF kernel
+    "q_multimodal_decode": 5,    # null payloads dropped JVM-side + empty guard
+    "q_multimodal_resize": 5,    # null payloads dropped JVM-side
+    "q_weighted_sample": 5,      # zero-weight rows excluded (ANSI div-by-zero)
+}
+
+_RECHECK: frozenset[str] = frozenset(
+    name
+    for name, changed_in in _RECHECK_CHANGED.items()
+    if _LAST_GREEN.get(name, 0) <= changed_in
+) | _DRIVER_RED
 
 # Explicitly parked: q_freq_items has no SQL-expressible oracle (Misra-Gries
 # sketch, superset guarantee tested in tests/test_quality.py) and already

@@ -191,7 +191,18 @@ def test_registry_window_ordering():
         _DRIVER_RED,
         _LAST_GREEN,
         _RECHECK,
+        _RECHECK_CHANGED,
     )
+
+    # recheck entries self-expire: once a green row postdates the change
+    # round they must vacate the window; until then they must hold rank 0
+    for nm, changed_in in _RECHECK_CHANGED.items():
+        if _LAST_GREEN.get(nm, 0) > changed_in:
+            assert nm not in _RECHECK or nm in _DRIVER_RED, (
+                f"{nm} re-greened after its change but still pins a slot"
+            )
+        else:
+            assert nm in _RECHECK, f"{nm} changed but not rechecking"
 
     names = list(QS)
     oracles = engine.all_oracles()
