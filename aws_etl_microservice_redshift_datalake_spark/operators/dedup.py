@@ -481,7 +481,9 @@ def _small_star(e: DataFrame, use_window: bool) -> DataFrame:
     return links.filter(F.col("a") != F.col("b")).distinct()
 
 
-def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, col_a: str, col_b: str, reliable: bool = False
+) -> DataFrame:
     """Reusable connected-components operator over an undirected edge list:
     returns (node, comp) where ``comp`` is the minimum node id reachable
     from ``node``. LARGE-STAR / SMALL-STAR alternation (Kiveris et al. '14,
@@ -500,11 +502,21 @@ def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
     spelling comment). Only nodes
     appearing in an edge are emitted (singletons are the caller's
     concern)."""
-    e = (
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # localCheckpoint persists round state on executors — fast, but a
+        # lost executor loses partitions mid-algorithm. ``reliable=True``
+        # writes round state to the fault-tolerant checkpoint dir
+        # (sc.setCheckpointDir — HDFS/S3 on a real cluster) so a 100 TB
+        # multi-hour CC run survives executor churn; same lazy one-action-
+        # per-round protocol either way.
+        if reliable:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    e = _ckpt(
         pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # order-insensitive edge-set fingerprint: count + XOR of per-edge hashes
     # (XOR, not SUM — a long SUM overflows under ANSI mode; edges are
@@ -548,7 +560,7 @@ def connected_components(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
         new = e
         for _ in range(2):
             new = _small_star(_large_star(new, use_window), use_window)
-        new = new.localCheckpoint(eager=False)
+        new = _ckpt(new)
         new_sig = _sig(new)
         if new_sig == sig and new.exceptAll(e).isEmpty():
             # signature match is probabilistic (~2^-64 collision); both

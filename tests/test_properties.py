@@ -499,3 +499,23 @@ def test_connected_components_warns_when_rounds_exhausted(spark, monkeypatch):
         for w in caught
     )
     assert set(got) == {0, 1, 2}  # one label per node even unconverged
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True routes round state through the fault-tolerant
+    checkpoint dir (the 100 TB executor-churn path) and must produce the
+    identical labeling."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc-ckpt"))
+    edges = [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(edges, "a BIGINT, b BIGINT").coalesce(4)
+    fast = {r.node: r.comp for r in connected_components(pairs, "a", "b").collect()}
+    rel = {
+        r.node: r.comp
+        for r in connected_components(pairs, "a", "b", reliable=True).collect()
+    }
+    assert rel == fast
+    assert rel[40] == 0 and rel[102] == 100
