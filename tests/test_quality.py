@@ -393,7 +393,8 @@ def test_semdedup_clustered_subset_and_recall(spark):
     (within-cell pairs are a subset of all pairs ⇒ precision 1), and total
     drop-recall must clear 0.5 (measured 4/7 at sf0.001, 13/14 at sf0.01 —
     τ=0.45 pairs are weakly similar, exactly the boundary-pair loss the
-    paper accepts; top-2 cell indexing recovers the rest)."""
+    paper accepts; top-3 cell indexing recovers the rest; measured 5/7 at
+    sf0.001, 13/14 at sf0.01, 100/136 at sf0.1)."""
     from tests.conftest import SF_MED, SF_SMALL
 
     import aws_etl_microservice_redshift_datalake_spark as engine
