@@ -848,3 +848,146 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_test"),
         F.count("hit").alias("n_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. '21, "Deduplicating Training Data Makes
+# Language Models Better" — the ExactSubstr family). The paper builds a
+# corpus-wide suffix array and removes any substring of >= 50 BPE tokens
+# that occurs elsewhere in the corpus; the shuffle-friendly DataFrame
+# equivalent is K-token shingle-hash runs: every duplicated maximal
+# substring of length L >= K tokens flags positions p..p+L-K, which merge
+# back into exactly the span [p, p+L-1]. K-granularity is the only
+# approximation (two distinct duplicated substrings closer than K tokens
+# merge into one removal span — conservative, same direction the paper
+# errs). K = 10 words here because fixture docs are 10-99 tokens; the
+# operator takes k as a parameter for the 50-token production setting.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 10  # duplicated-run threshold, in whitespace tokens
+
+
+def exact_substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Per-document remove-span report for corpus-duplicated substrings.
+
+    A position p in doc d is *flagged* when the k-token shingle starting at
+    p occurs >= 2 times in the whole corpus (any doc, including d itself —
+    the paper's self-repetition case). Flagged positions closer than or
+    exactly k apart merge into maximal spans (token ranges, 1-based
+    inclusive), each the K-granular image of a maximal duplicated substring.
+
+    Output: (doc_id, start_tok, end_tok, n_tokens), one row per span.
+
+    Scale shape (100 TB): shingle hashes are built row-local (split →
+    slide → xxhash64 — the _shingle_arrays idiom; only 8-byte hashes ever
+    leave the row, never text). The duplicated set is ONE hash aggregate
+    with map-side partial counts, pruned to count >= 2 BEFORE the left-semi
+    join back — so the join's build side is only the duplicated hashes,
+    shaped exactly like q_decontaminate_ngram's train-set semi-join. Run
+    merging is a per-document window (lag + running sum): partitioning key
+    is doc_id, per-partition state is one document's flagged positions —
+    document-sized, never corpus-sized. No n² stage anywhere; a boilerplate
+    shingle shared by millions of docs is semi-join skew that AQE splits.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.xxhash64(F.array_join(F.slice("toks", i, k), " ")),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    # SHUFFLE_HASH, pinned (the q_ngram_jaccard rationale): the duplicated
+    # set is corpus-scale on a real crawl, and a statically-planned
+    # broadcast is never demoted by AQE — the executor would OOM collecting
+    # the build side. Both sides are hash-partitioned longs; AQE splits a
+    # hot boilerplate shingle.
+    hits = grams.join(dup.hint("SHUFFLE_HASH"), "h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = runs.withColumn("run_id", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").cast("int").alias("start_tok"),
+            (F.max("pos") + (k - 1)).cast("int").alias("end_tok"),
+            (F.max("pos") + k - F.min("pos")).cast("int").alias("n_tokens"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_tokens")
+    )
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {SUBSTR_K - 1}),
+                   i -> {{'p': i,
+                          'g': array_to_string(t[i:i+{SUBSTR_K - 1}], ' ')}}))
+                   AS u
+        FROM base WHERE len(t) >= {SUBSTR_K}
+    ),
+    grams AS (SELECT doc_id, u.p AS pos, u.g AS gram FROM pos),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE gram IN (SELECT gram FROM dup)
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM runs
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS start_tok,
+           CAST(MAX(pos) + {SUBSTR_K - 1} AS INT) AS end_tok,
+           CAST(MAX(pos) + {SUBSTR_K} - MIN(pos) AS INT) AS n_tokens
+    FROM isl GROUP BY doc_id, run_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. '21 ExactSubstr): the remove-span
+    report for every maximal corpus-duplicated run of >= {SUBSTR_K} tokens.
+    The oracle recomputes the spans from RAW shingle strings, so a green
+    hash also certifies no xxhash64 collision reached the output (the same
+    certification argument as q_decontaminate_ngram)."""
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_spans(d, SUBSTR_K)

@@ -97,6 +97,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(generate_series(1, 8),
                                         i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_checksum
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +171,7 @@ RESIZE_BOX = 256  # fit-within box for the resize kernel
                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
                CAST((doc_id * 37) % 480 + 1 AS INTEGER) AS height
         FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT asset_id, width, height,
            CAST(GREATEST(1, (width * {RESIZE_BOX}) // GREATEST(width, height))

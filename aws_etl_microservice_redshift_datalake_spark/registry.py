@@ -75,18 +75,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # builder's last commit — twice in a row). Only _RECHECK (a statement about
 # code churn, which no artifact can know) and _DEFER remain hand-maintained.
 
-def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
+def _driver_history(repo: str | None = None) -> tuple[dict[str, int], frozenset[str]]:
     """Scan CORRECTNESS_r*.json in the repo root: returns
     ``(last_green_round, red)`` where ``last_green_round[name]`` is the
     round number of the query's most recent green row and ``red`` holds
     names whose LATEST row (any round) failed. Missing/empty artifacts mean
-    everything is unchecked — correct for a fresh clone."""
+    everything is unchecked — correct for a fresh clone. ``repo`` overrides
+    the artifact directory (tests feed synthetic artifacts)."""
     import glob
     import json
     import os
     import re
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
     red: set[str] = set()
     found: list[tuple[int, str]] = []
@@ -100,12 +102,33 @@ def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
     for rnd_no, path in sorted(found):
         try:
             rows = json.load(open(path))
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            # A truncated/corrupt artifact must not SILENTLY make that
+            # round's greens look unchecked (it would reshuffle the 50-slot
+            # window with no signal — ADVICE r5). Skipping is the fail-safe
+            # direction (queries get re-verified), but say so out loud.
+            import warnings
+
+            warnings.warn(
+                f"skipping unreadable correctness artifact {path!r}: {exc} "
+                "(its queries will rank as unchecked and re-enter the window)",
+                stacklevel=2,
+            )
             continue
         for name, row in rows.items():
-            green = row.get("err") == "no_oracle" or (
-                row.get("rows_match") and row.get("hash_match")
-            )
+            # Green must match the driver's FULL bar (VERDICT r5 #2): an
+            # oracled row needs rows+schema+hash all true, and a rows-only
+            # (no_oracle) row needs a nonempty result — a schema-only
+            # mismatch or an empty rows-only result is a failure that must
+            # re-enter the window, not rank out of it.
+            if row.get("err") == "no_oracle":
+                green = (row.get("spark_rows") or 0) > 0
+            else:
+                green = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                )
             if green:
                 last_green[name] = max(last_green.get(name, 0), rnd_no)
                 red.discard(name)
@@ -139,6 +162,11 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_compact_roundtrip": 5,    # scratch dir moved to env/pid-scoped path
     "q_unload_roundtrip": 5,     # re-read uses declared schema, not inference
     "q_udtf_bigrams": 5,         # null-text guard in the UDTF kernel
+    # r6 also added WHERE text IS NOT NULL to both multimodal ORACLES
+    # (ADVICE r5: the twins had drifted from the r5 drop-null Spark change).
+    # The r5 entries below already pin both in the r6 window, so the r6
+    # driver row verifies the repaired oracle — kept at 5 (not bumped to 6)
+    # so one green on the new oracle releases the slot for r7 burn-in.
     "q_multimodal_decode": 5,    # null payloads dropped JVM-side + empty guard
     "q_multimodal_resize": 5,    # null payloads dropped JVM-side
     "q_weighted_sample": 5,      # zero-weight rows excluded (ANSI div-by-zero)

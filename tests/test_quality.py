@@ -596,3 +596,82 @@ def test_hybrid_rrf_fuses_its_arms(spark):
         assert r.kw_rank >= 0 and r.sem_rank >= 0
         assert r.kw_rank > 0 or r.sem_rank > 0  # must appear in >= 1 arm
         assert r.rrf_score <= 2.0 / (RRF_K + 1)
+
+
+def test_exact_substring_planted_spans(spark):
+    """Exact-substring dedup (Lee et al. '21) recovers a planted duplicated
+    run EXACTLY: a 12-token substring shared by two docs must come back as
+    one maximal span per doc with the precise token range, a fully-unique
+    doc must report nothing, and a within-doc repeat (the paper's
+    self-repetition case) must yield two separate spans."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    planted = [f"p{i}" for i in range(12)]          # the shared 12-token run
+    rep = [f"r{i}" for i in range(10)]              # the self-repeated 10-gram
+    mk = lambda pre, toks: [f"{pre}{i}" for i in range(toks)]
+    docs = [
+        # doc 1: 20 unique tokens, planted run at positions 21-32, 8 more
+        (1, " ".join(mk("a", 20) + planted + mk("b", 8))),
+        # doc 2: 4 unique tokens, planted run at positions 5-16, 6 more
+        (2, " ".join(mk("c", 4) + planted + mk("d", 6))),
+        # doc 3: fully unique — no duplicated 10-gram anywhere
+        (3, " ".join(mk("e", 40))),
+        # doc 4: the same 10-gram at positions 1 and 16 (gap 15 > k=10, so
+        # the two occurrences must NOT merge into one span)
+        (4, " ".join(rep + mk("f", 5) + rep)),
+        # doc 5: null text must be dropped, not crash the tokenizer
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_tokens)
+        for r in exact_substring_spans(df, k=10).collect()
+    }
+    assert got == {
+        (1, 21, 32, 12),
+        (2, 5, 16, 12),
+        (4, 1, 10, 10),
+        (4, 16, 25, 10),
+    }
+
+
+def test_driver_history_green_predicate(tmp_path):
+    """The registry's derived green predicate must match the driver's FULL
+    bar (VERDICT r5 #2): a schema-only mismatch is red (re-enters the window
+    at rank 0 via _DRIVER_RED), an empty rows-only result is likewise red,
+    and a corrupt artifact is skipped LOUDLY (warning names the file)."""
+    import json
+    import warnings
+
+    from aws_etl_microservice_redshift_datalake_spark.registry import _driver_history
+
+    rows = {
+        "q_all_green": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "spark_rows": 5,
+                        "oracle_rows": 5, "err": None},
+        "q_schema_only_bad": {"rows_match": True, "schema_match": False,
+                              "hash_match": True, "spark_rows": 5,
+                              "oracle_rows": 5, "err": None},
+        "q_rows_only_empty": {"rows_match": True, "schema_match": True,
+                              "hash_match": True, "spark_rows": 0,
+                              "oracle_rows": 0, "err": "no_oracle"},
+        "q_rows_only_ok": {"rows_match": True, "schema_match": True,
+                           "hash_match": True, "spark_rows": 3,
+                           "oracle_rows": 0, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    last_green, red = _driver_history(str(tmp_path))
+    assert last_green.get("q_all_green") == 1
+    assert "q_schema_only_bad" in red          # → _RECHECK → rank 0
+    assert "q_rows_only_empty" in red          # empty rows-only is a failure
+    assert last_green.get("q_rows_only_ok") == 1
+
+    # corrupt artifact: skipped with a warning, earlier rounds still count
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{truncated")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        last_green2, _ = _driver_history(str(tmp_path))
+    assert last_green2.get("q_all_green") == 1
+    assert any("CORRECTNESS_r02" in str(w.message) for w in caught)
