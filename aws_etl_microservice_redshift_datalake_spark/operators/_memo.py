@@ -18,6 +18,21 @@ Round-5 hardening (ADVICE r4): the memo itself must not leak.
   their own entries, which is why cleanup keys on the stopped state).
   A recycled ``id()`` can never be mistaken for the old session because
   identity is re-checked through the weakref, not the integer key.
+
+Round-6 hardening (ADVICE r5):
+
+- Supersede is ORDERED by signature freshness: a caller that computed its
+  stat signature BEFORE a concurrent rewrite can arrive after the fresh
+  entry landed; without ordering it would unpersist the newer relation out
+  from under its consumers and reinstall the stale one. A strictly-older
+  incoming signature now returns the installed (newer) relation instead —
+  the installed entry matches the CURRENT on-disk table state, which is
+  what the stale-sig caller wanted anyway.
+- ``_LOCKS`` entries are evicted together with the dead-session purge.
+  Each entry carries a pin count (incremented under ``_LOCKS_MUTEX`` when
+  a thread fetches the lock, decremented when it finishes), so an entry is
+  only deleted when NO thread holds or is about to take its lock — the
+  fetch-then-acquire window can never produce two live locks for one key.
 """
 
 from __future__ import annotations
@@ -35,15 +50,44 @@ from pyspark.sql import DataFrame, SparkSession
 # INDEPENDENT builds (a 9 s IVF train blocking an unrelated shingle build),
 # so locks are per key; _LOCKS_MUTEX only guards the tiny lock-table itself.
 _LOCKS_MUTEX = threading.Lock()
-_LOCKS: dict[tuple, threading.Lock] = {}
+_LOCKS: dict[tuple, list] = {}  # key -> [lock, pin_count]
 
 
-def _key_lock(key: tuple) -> threading.Lock:
+def _pin_key_lock(key: tuple) -> threading.Lock:
+    """Fetch (creating if needed) the build lock for ``key`` and pin its
+    table entry so a concurrent purge can't delete it between fetch and
+    acquire. Pair with :func:`_unpin_key_lock` in a finally block."""
     with _LOCKS_MUTEX:
-        lk = _LOCKS.get(key)
-        if lk is None:
-            lk = _LOCKS[key] = threading.Lock()
-        return lk
+        ent = _LOCKS.get(key)
+        if ent is None:
+            ent = _LOCKS[key] = [threading.Lock(), 0]
+        ent[1] += 1
+        return ent[0]
+
+
+def _unpin_key_lock(key: tuple) -> None:
+    with _LOCKS_MUTEX:
+        ent = _LOCKS.get(key)
+        if ent is not None:
+            ent[1] -= 1
+
+
+def _sig_fresh(sig: object) -> int:
+    """Max mtime_ns embedded in a table-state signature (0 when none).
+
+    Signatures are either ``sources.io._stat_sig`` tuples of
+    ``(path, size, mtime_ns)`` triples or composites nesting one (the IVF
+    memo packs ``(stat_sig, n_cells, iters, ...)``); the max file mtime
+    orders two signatures of the SAME path by rewrite recency."""
+    if isinstance(sig, tuple):
+        if (
+            len(sig) == 3
+            and isinstance(sig[0], str)
+            and isinstance(sig[2], int)
+        ):
+            return sig[2]
+        return max((_sig_fresh(s) for s in sig), default=0)
+    return 0
 
 
 def session_memo(
@@ -73,33 +117,54 @@ def session_memo(
             return False
 
     skey = (id(spark), sf_dir)
-    with _key_lock((id(memo), *skey)):
-        # all dict reads/mutations happen under the table mutex (another
-        # key's thread may be touching the same dict concurrently); only
-        # the expensive build+materialize runs outside it, still guarded by
-        # this key's lock so a second caller of the SAME key blocks and
-        # then re-reads a hit instead of double-building
-        stale = None
-        with _LOCKS_MUTEX:
-            for k in [k for k, (ref, _, _) in memo.items() if _dead(ref())]:
-                del memo[k]
-            ent = memo.get(skey)
-            if ent is not None:
-                ref, old_sig, df = ent
-                if ref() is spark and old_sig == sig:
-                    return df
-                if ref() is spark:
-                    stale = df  # superseded: evict outside the mutex
-                del memo[skey]
-        if stale is not None:
-            # corpus rewritten at the same sf_dir: evict the superseded
-            # relation from executor storage before replacing it
-            try:
-                stale.unpersist()
-            except Exception:
-                pass
-        df = build().persist()
-        df.count()
-        with _LOCKS_MUTEX:
-            memo[skey] = (weakref.ref(spark), sig, df)
-        return df
+    lkey = (id(memo), *skey)
+    lk = _pin_key_lock(lkey)
+    try:
+        with lk:
+            # all dict reads/mutations happen under the table mutex (another
+            # key's thread may be touching the same dict concurrently); only
+            # the expensive build+materialize runs outside it, still guarded
+            # by this key's lock so a second caller of the SAME key blocks
+            # and then re-reads a hit instead of double-building
+            stale = None
+            with _LOCKS_MUTEX:
+                for k in [k for k, (ref, _, _) in memo.items() if _dead(ref())]:
+                    del memo[k]
+                    # evict the dead key's lock entry too (ADVICE r5: the
+                    # table grew one entry per session forever) — unless a
+                    # thread has it pinned, in which case the NEXT purge
+                    # gets it once the pin drops
+                    dead_lkey = (id(memo), *k)
+                    ent = _LOCKS.get(dead_lkey)
+                    if ent is not None and ent[1] == 0:
+                        del _LOCKS[dead_lkey]
+                ent = memo.get(skey)
+                if ent is not None:
+                    ref, old_sig, df = ent
+                    if ref() is spark and old_sig == sig:
+                        return df
+                    if ref() is spark:
+                        if _sig_fresh(sig) < _sig_fresh(old_sig):
+                            # the CALLER's signature is the stale one (it
+                            # statted the files before a concurrent rewrite
+                            # whose entry already landed): the installed
+                            # relation matches the current on-disk state —
+                            # hand it back instead of thrashing
+                            # unpersist/reinstall (ADVICE r5)
+                            return df
+                        stale = df  # superseded: evict outside the mutex
+                    del memo[skey]
+            if stale is not None:
+                # corpus rewritten at the same sf_dir: evict the superseded
+                # relation from executor storage before replacing it
+                try:
+                    stale.unpersist()
+                except Exception:
+                    pass
+            df = build().persist()
+            df.count()
+            with _LOCKS_MUTEX:
+                memo[skey] = (weakref.ref(spark), sig, df)
+            return df
+    finally:
+        _unpin_key_lock(lkey)

@@ -675,3 +675,70 @@ def test_driver_history_green_predicate(tmp_path):
         last_green2, _ = _driver_history(str(tmp_path))
     assert last_green2.get("q_all_green") == 1
     assert any("CORRECTNESS_r02" in str(w.message) for w in caught)
+
+
+def test_session_memo_lock_table_evicts_with_dead_sessions(spark):
+    """The per-key build-lock table must shrink together with the dead-entry
+    purge (VERDICT r5 #5 / ADVICE r5): a session that died leaves neither a
+    memo entry NOR a lock entry behind, while live keys keep their locks."""
+    import gc
+    import weakref
+
+    from aws_etl_microservice_redshift_datalake_spark.operators import _memo
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    live = session_memo(memo, spark, "/lock-live", "s", lambda: spark.range(2))
+    live_lkey = (id(memo), id(spark), "/lock-live")
+    assert live_lkey in _memo._LOCKS
+
+    class Dummy:
+        pass
+
+    dummy = Dummy()
+    dead_skey = (id(dummy), "/lock-dead")
+    dead_lkey = (id(memo), *dead_skey)
+    memo[dead_skey] = (weakref.ref(dummy), "s", spark.range(3))
+    _memo._LOCKS[dead_lkey] = [__import__("threading").Lock(), 0]
+    del dummy
+    gc.collect()
+    session_memo(memo, spark, "/lock-live", "s", lambda: spark.range(2))
+    assert dead_skey not in memo, "dead memo entry not purged"
+    assert dead_lkey not in _memo._LOCKS, "dead lock entry not evicted"
+    assert live_lkey in _memo._LOCKS, "live lock entry wrongly evicted"
+    live.unpersist()
+    memo.clear()
+
+
+def test_session_memo_supersede_is_freshness_ordered(spark):
+    """A caller whose stat signature predates a concurrent rewrite must NOT
+    unpersist the newer relation and reinstall the stale one (ADVICE r5):
+    older-sig arrivals get the installed relation back; newer-sig arrivals
+    supersede as before. Signatures are real _stat_sig shapes
+    ((path, size, mtime_ns) tuples, optionally nested in composites)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import (
+        _sig_fresh,
+        session_memo,
+    )
+
+    old_sig = (("/d/part-0.parquet", 100, 1_000),)
+    new_sig = (("/d/part-0.parquet", 120, 2_000),)
+    assert _sig_fresh(old_sig) == 1_000 and _sig_fresh(new_sig) == 2_000
+    # composite (IVF-style) signatures order by the nested stat sig
+    assert _sig_fresh((new_sig, 32, 4)) == 2_000
+
+    memo: dict = {}
+    fresh = session_memo(memo, spark, "/ord", new_sig, lambda: spark.range(9))
+    # stale-sig arrival: installed relation returned, NOT rebuilt/unpersisted
+    got = session_memo(
+        memo, spark, "/ord", old_sig,
+        lambda: (_ for _ in ()).throw(AssertionError("stale sig rebuilt")),
+    )
+    assert got is fresh
+    assert fresh.storageLevel.useMemory, "newer relation was unpersisted"
+    # strictly newer signature still supersedes
+    newest_sig = (("/d/part-0.parquet", 130, 3_000),)
+    nxt = session_memo(memo, spark, "/ord", newest_sig, lambda: spark.range(4))
+    assert nxt is not fresh and not fresh.storageLevel.useMemory
+    nxt.unpersist()
+    memo.clear()
