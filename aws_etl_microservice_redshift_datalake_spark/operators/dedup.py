@@ -502,6 +502,21 @@ def connected_components(
     spelling comment). Only nodes
     appearing in an edge are emitted (singletons are the caller's
     concern)."""
+    if reliable:
+        # fail fast with an actionable message: without a configured
+        # checkpoint dir the first _sig action deep in the round loop dies
+        # with an opaque SparkException (ADVICE r5)
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "connected_components(reliable=True) needs a fault-tolerant "
+                "checkpoint dir: call spark.sparkContext.setCheckpointDir("
+                "'hdfs://... or s3://...') first (a local path only makes "
+                "sense in local mode)"
+            )
+
+    pending_unpersist: list[DataFrame] = []
+
     def _ckpt(df: DataFrame) -> DataFrame:
         # localCheckpoint persists round state on executors — fast, but a
         # lost executor loses partitions mid-algorithm. ``reliable=True``
@@ -510,8 +525,22 @@ def connected_components(
         # multi-hour CC run survives executor churn; same lazy one-action-
         # per-round protocol either way.
         if reliable:
+            # persist BEFORE checkpoint: the checkpoint-write job recomputes
+            # the round's RDD from scratch unless its partitions are cached
+            # (ADVICE r5 — a 2× per-round cost at exactly the scale the flag
+            # targets). The cache is only needed until the checkpoint files
+            # exist, i.e. until the round's _sig action completes — _drain
+            # releases it then.
+            df = df.persist()
+            pending_unpersist.append(df)
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
+
+    def _drain() -> None:
+        # called right after each round's materializing action: checkpoint
+        # files are written, the pre-checkpoint cache is dead weight
+        while pending_unpersist:
+            pending_unpersist.pop().unpersist()
 
     e = _ckpt(
         pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
@@ -531,6 +560,7 @@ def connected_components(
         )
 
     sig = _sig(e)
+    _drain()
     converged = False
     for _ in range(CC_MAX_ROUNDS):
         # localCheckpoint, not cache: each round's plan references the
@@ -562,6 +592,7 @@ def connected_components(
             new = _small_star(_large_star(new, use_window), use_window)
         new = _ckpt(new)
         new_sig = _sig(new)
+        _drain()
         if new_sig == sig and new.exceptAll(e).isEmpty():
             # signature match is probabilistic (~2^-64 collision); both
             # relations are already materialized, so confirming set equality
@@ -645,11 +676,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per clustered doc — (doc_id, canon_id, cluster_size,
     is_canonical); singletons (docs in no near-dup pair) are not emitted.
+
+    ``SPARK_GRAFT_CC_RELIABLE=1`` flips the round-state checkpoints from
+    localCheckpoint to the fault-tolerant checkpoint dir (VERDICT r5 #6 —
+    set spark.sparkContext.setCheckpointDir first; see README's tuning
+    table for when to flip it). q_training_pipeline inherits the switch
+    through this query. Labels are identical either way — the flag only
+    changes where round state is stored (tests/test_quality.py).
     """
+    import os
+
+    reliable = os.environ.get("SPARK_GRAFT_CC_RELIABLE", "") == "1"
     pairs = _minhash_pairs_persisted(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
-        "node", "doc_id"
-    )
+    labels = connected_components(
+        pairs, "doc_a", "doc_b", reliable=reliable
+    ).withColumnRenamed("node", "doc_id")
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "comp").select(
         "doc_id",

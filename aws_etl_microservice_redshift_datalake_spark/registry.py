@@ -150,6 +150,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 # era sets fixed). Red-last-round queries re-enter automatically via
 # _DRIVER_RED — no entry needed here.
 _RECHECK_CHANGED: dict[str, int] = {
+    # r6 added the SPARK_GRAFT_CC_RELIABLE env switch + reliable-path
+    # persist/drain to connected_components; the default (driver) path is
+    # unchanged and both are already pinned by their r5 entries, so the r6
+    # driver row verifies the r6 code — kept at 5 (same reasoning as the
+    # multimodal pair below).
     "q_dedup_clusters": 5,       # CC fixpoint now one action/round (r5)
     "q_training_pipeline": 5,    # consumes the CC drop set
     # NOT re-entered despite r5 changes: q_semdedup_clustered and

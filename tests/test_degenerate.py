@@ -268,3 +268,19 @@ def test_query_survives_adversarial_text(spark, advtext_sf, name):
     n = df.count()
     assert n >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_alldup_decontaminate_semantic_clustered_exact(spark, alldup_sf):
+    """Exact expected output for the clustered decontamination twin on the
+    all-duplicates corpus (VERDICT r5 #7): 50 identical embeddings split
+    80/20 by the deterministic md5 bucket puts EXACTLY 11 of ids 0-49 in
+    the test split, every one within cosine 1.0 of a train vector — so both
+    twins must report (n_test=11, n_contaminated=11) for the single label,
+    and the clustered path loses nothing (no boundary pairs exist)."""
+    exact = {r.label: (r.n_test, r.n_contaminated)
+             for r in QS["q_decontaminate_semantic"](spark, alldup_sf).collect()}
+    clus = {r.label: (r.n_test, r.n_contaminated)
+            for r in QS["q_decontaminate_semantic_clustered"](spark, alldup_sf).collect()}
+    assert len(exact) == 1, f"one cloned label expected, got {exact}"
+    assert next(iter(exact.values())) == (11, 11)
+    assert clus == exact

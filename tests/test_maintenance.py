@@ -71,3 +71,36 @@ def test_clustered_write_disjoint_envelopes(spark):
         1 for lo, hi in fr if (hi - lo) > 0.5 * (hi_all - lo_all)
     )
     assert overlapping == len(fr)
+
+
+def test_parquet_files_and_table_rows_hive_layout(spark, tmp_path):
+    """_parquet_files / table_rows over a hive-partitioned `k=v/` layout
+    (VERDICT r5 #7): every nested data file is found, _SUCCESS markers are
+    ignored, footer row counts sum across partitions, and a rewrite under
+    the same path changes the stat signature (the cache-freshness contract
+    load_spread and every size-adaptive parameter rides on)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import (
+        _parquet_files,
+        _stat_sig,
+        table_rows,
+    )
+
+    root = str(tmp_path)
+    path = f"{root}/hive.parquet"
+    df = spark.range(120).select(
+        "id", (F.col("id") % 3).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(4).write.partitionBy("k").parquet(path)
+
+    files = _parquet_files(path)
+    assert len(files) >= 3, "expected at least one data file per partition"
+    assert all("k=" in f for f in files), "non-partition files leaked in"
+    assert not any(f.endswith("_SUCCESS") for f in files)
+    assert table_rows(root, "hive") == 120
+
+    sig1 = _stat_sig(path)
+    df.limit(60).write.mode("overwrite").partitionBy("k").parquet(path)
+    assert _stat_sig(path) != sig1, "rewrite did not change the signature"
+    assert table_rows(root, "hive") == 60

@@ -519,3 +519,98 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert rel == fast
     assert rel[40] == 0 and rel[102] == 100
+
+
+def test_connected_components_reliable_requires_checkpoint_dir(spark):
+    """reliable=True without a configured checkpoint dir must fail UP FRONT
+    with an actionable ValueError, not an opaque SparkException at the first
+    fixpoint action deep in the round loop (ADVICE r5)."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "a BIGINT, b BIGINT")
+    with mock.patch.object(
+        type(spark.sparkContext), "getCheckpointDir", return_value=None
+    ):
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(pairs, "a", "b", reliable=True)
+
+
+def test_dedup_clusters_reliable_env_switch(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CC_RELIABLE=1 flips q_dedup_clusters (and therefore
+    q_training_pipeline) onto the fault-tolerant checkpoint path and must
+    produce the identical cluster report (VERDICT r5 #6: the switch is
+    exposed through the query surface, not just the operator arg)."""
+    import aws_etl_microservice_redshift_datalake_spark as engine
+    from tests.conftest import SF_SMALL
+
+    qs = engine.all_queries()
+    key = lambda df: {
+        (r.doc_id, r.canon_id, r.cluster_size, r.is_canonical)
+        for r in df.collect()
+    }
+    base = key(qs["q_dedup_clusters"](spark, SF_SMALL))
+    assert base, "no clusters at sf0.001 — fixture drifted"
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc-reliable"))
+    monkeypatch.setenv("SPARK_GRAFT_CC_RELIABLE", "1")
+    assert key(qs["q_dedup_clusters"](spark, SF_SMALL)) == base
+
+
+# µs instants whose ns encoding (a) exceeds the 4e16 magnitude gate and
+# (b) still fits int64: the unambiguous band where BOTH encodings of one
+# instant must decode identically. 4e13 µs ≈ mid-1971; 9.2e15 µs ≈ 2261
+# (the int64-ns Unix limit).
+_us_band = st.integers(40_000_000_000_001, 9_200_000_000_000_000)
+
+
+@given(us=st.lists(_us_band, min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_normalize_epoch_ts_dual_encoding_agrees(spark, us):
+    """normalize_epoch_ts property (VERDICT r5 #7): for any instant in the
+    unambiguous band, the µs encoding and the ns encoding (×1000) of the
+    SAME instant decode to the same timestamp — checked inside Spark so no
+    session-tz rendering enters the comparison."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import (
+        normalize_epoch_ts,
+    )
+
+    df = spark.createDataFrame(
+        [(v, v * 1000) for v in us], "as_us LONG, as_ns LONG"
+    )
+    bad = df.filter(
+        normalize_epoch_ts("as_us") != normalize_epoch_ts("as_ns")
+    ).count()
+    assert bad == 0
+
+
+def test_normalize_epoch_ts_gate_boundary(spark):
+    """The 4e16 gate itself: 4e16 exactly is µs (year 3237 — abs() is NOT
+    greater than the gate), 4e16 + 1 is ns (÷1000), and the negative mirror
+    behaves symmetrically. Pinned against timestamp_micros ground truth so
+    a future rewrite of the CASE expression can't move the boundary."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import (
+        normalize_epoch_ts,
+    )
+
+    gate = 40_000_000_000_000_000
+    cases = [  # (raw long, expected µs after normalization)
+        (gate, gate),                    # at the gate: passes through as µs
+        (gate + 1, (gate + 1) // 1000),  # just past: ns, integer-divided
+        (-gate, -gate),                  # negative mirror of the gate
+        # negative just-past-gate: Spark's `div` truncates toward zero
+        # (unlike Python's floor //), hence int(a/b) semantics here
+        (-gate - 1, int((-gate - 1) / 1000)),
+        (1_500_000_000_000_000, 1_500_000_000_000_000),  # 2017 in µs: µs
+    ]
+    df = spark.createDataFrame(cases, "raw LONG, want_us LONG")
+    bad = df.filter(
+        normalize_epoch_ts("raw") != F.timestamp_micros("want_us")
+    ).count()
+    assert bad == 0
