@@ -196,6 +196,18 @@ COMMENTARY = {
         "are the per-session persisted model — at 100 TB a write-once "
         "index artifact."
     ),
+    "q_dedup_substring": (
+        "Exact-substring dedup (round 6 — Lee et al. '21 ExactSubstr as "
+        "shingle-hash runs): grams are built row-local (split → slide → "
+        "xxhash64, only 8-byte hashes leave the row), the duplicated set "
+        "is one hash aggregate with map-side partial counts pruned to "
+        "count ≥ 2 BEFORE the left-semi join back (pinned SHUFFLE_HASH — "
+        "the dup set is corpus-scale on a real crawl and a static "
+        "broadcast is never demoted by AQE), and maximal-run merging "
+        "windows over per-document flagged positions only. No pairwise "
+        "stage anywhere; scan pruned to (doc_id, text) with the null-text "
+        "filter pushed."
+    ),
 }
 
 

@@ -66,6 +66,9 @@ HEADLINE = [
     # verify shared by semdedup/decontaminate/cross-lingual) — compare r6+
     # totals against 29 queries
     "q_cross_lingual_neardup_clustered",
+    # round 6: exact-substring dedup (shingle-run merge — the last published
+    # dedup family) — compare r7+ totals against 30 queries
+    "q_dedup_substring",
 ]
 
 

@@ -83,6 +83,12 @@ QUERIES = [
     "q_semdedup_clustered",
     "q_decontaminate_semantic_clustered",
     "q_cross_lingual_neardup_clustered",
+    # round 6: exact-substring dedup — shingle volume is linear in corpus
+    # tokens, the dup-set aggregate has map-side partials, and run merging
+    # windows over per-document flagged positions only, so the expected
+    # wall factor at 10× is ~linear (the amplified corpus multiplies dup
+    # runs 10×, not quadratically — clones share the SAME spans).
+    "q_dedup_substring",
 ]
 
 

@@ -542,3 +542,17 @@ def test_ivf_multiprobe_assignment_zero_shuffle(spark):
     # partition + the under-split spread of the one-file embeddings scan.
     assert "hashpartitioning(t_id" not in p
     assert audit.count_exchanges(assign) <= 2
+
+
+def test_dedup_substring_semi_join_shape(spark):
+    """Exact-substring dedup (r6): the duplicated-shingle semi-join must be
+    the pinned ShuffledHashJoin (a statically-planned broadcast is never
+    demoted by AQE, and the dup set is corpus-scale on a real crawl), no
+    pairwise join may appear anywhere, and the scan must read only
+    (doc_id, text) with the null-text filter pushed."""
+    df = QS["q_dedup_substring"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "ShuffledHashJoin" in p and "LeftSemi" in p
+    audit.assert_scan_pruned(df, ["lang", "source", "n_chars"])
+    audit.assert_filter_pushed(df, "text")
