@@ -284,3 +284,20 @@ def test_alldup_decontaminate_semantic_clustered_exact(spark, alldup_sf):
     assert len(exact) == 1, f"one cloned label expected, got {exact}"
     assert next(iter(exact.values())) == (11, 11)
     assert clus == exact
+
+
+def test_alldup_exact_substring_whole_doc_spans(spark, alldup_sf):
+    """Exact-substring dedup on 50 identical docs: every k-gram is shared,
+    so each doc must report EXACTLY ONE span covering the whole document
+    (the maximal-run merge's densest case — every position flagged)."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+
+    n_toks = len(
+        load_table(spark, alldup_sf, "documents").limit(1).collect()[0].text.split(" ")
+    )
+    rows = QS["q_dedup_substring"](spark, alldup_sf).collect()
+    assert len(rows) == 50
+    assert all(
+        (r.start_tok, r.end_tok, r.n_tokens) == (1, n_toks, n_toks) for r in rows
+    )
+    assert len({r.doc_id for r in rows}) == 50

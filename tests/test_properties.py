@@ -614,3 +614,66 @@ def test_normalize_epoch_ts_gate_boundary(spark):
         normalize_epoch_ts("raw") != F.timestamp_micros("want_us")
     ).count()
     assert bad == 0
+
+
+# small alphabet + short docs → duplicated k-grams are common, and so are
+# the nasty shapes: overlapping self-repeats, runs touching doc boundaries,
+# docs shorter than k, adjacent islands exactly k apart
+_substr_docs = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=25),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _brute_substring_spans(docs, k):
+    """Reference: flag every position whose k-gram occurs >= 2 times in the
+    whole corpus (any doc, any position), merge flagged positions closer
+    than or exactly k apart into maximal spans."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for p in range(len(toks) - k + 1):
+            grams[tuple(toks[p : p + k])] += 1
+    out = set()
+    for doc_id, toks in enumerate(docs):
+        flagged = [
+            p + 1
+            for p in range(len(toks) - k + 1)
+            if grams[tuple(toks[p : p + k])] >= 2
+        ]
+        run = []
+        for p in flagged + [None]:
+            if p is not None and (not run or p - run[-1] <= k):
+                run.append(p)
+                continue
+            if run:
+                out.add((doc_id, run[0], run[-1] + k - 1, run[-1] + k - run[0]))
+            run = [p] if p is not None else []
+    return out
+
+
+@given(docs=_substr_docs)
+@settings(**_SETTINGS)
+def test_exact_substring_spans_matches_bruteforce(spark, docs):
+    """exact_substring_spans vs a brute-force Python reference on random
+    tiny-alphabet corpora (duplicated runs everywhere): identical span sets,
+    including overlapping self-repeats and islands exactly k apart."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks) if toks else None) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_tokens)
+        for r in exact_substring_spans(df, k=k).collect()
+    }
+    # None text stands in for an empty doc on the Spark side (dropped); the
+    # reference must drop empties the same way — split(None) has no grams
+    # anyway, so both see zero positions for them
+    assert got == _brute_substring_spans(docs, k)
