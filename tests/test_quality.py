@@ -742,3 +742,45 @@ def test_session_memo_supersede_is_freshness_ordered(spark):
     assert nxt is not fresh and not fresh.storageLevel.useMemory
     nxt.unpersist()
     memo.clear()
+
+
+def test_exact_substring_production_k50(spark):
+    """The operator's production setting is k=50 tokens (Lee et al.'s BPE
+    threshold): on sf0.01 the near-dup docs >= 50 tokens share whole-doc
+    runs, so spans must exist, every span must be >= 50 tokens long, and
+    every reported span must sit inside its document's token count."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+
+    d = load_table(spark, SF_MED, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(d, k=50).collect()
+    assert spans, "expected >=50-token duplicated runs among sf0.01 near-dups"
+    lens = {
+        r.doc_id: len(r.text.split(" "))
+        for r in d.filter("text IS NOT NULL").collect()
+    }
+    for r in spans:
+        assert r.n_tokens >= 50
+        assert 1 <= r.start_tok <= r.end_tok <= lens[r.doc_id]
+        assert r.n_tokens == r.end_tok - r.start_tok + 1
+
+
+def test_session_memo_isolates_newSession_siblings(spark):
+    """Two sessions over ONE SparkContext (spark.newSession()) must get
+    INDEPENDENT memo entries (keying is per session object, not per JVM):
+    a relation built in the sibling must not be returned to the parent, and
+    purging one session's entries must leave the sibling's intact."""
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    sib = spark.newSession()
+    a = session_memo(memo, spark, "/iso", "s", lambda: spark.range(3))
+    b = session_memo(memo, sib, "/iso", "s", lambda: sib.range(4))
+    assert a is not b and a.count() == 3 and b.count() == 4
+    assert len(memo) == 2
+    # same key again: each session still gets ITS relation back
+    assert session_memo(memo, spark, "/iso", "s", lambda: 1 / 0) is a
+    assert session_memo(memo, sib, "/iso", "s", lambda: 1 / 0) is b
+    a.unpersist(); b.unpersist(); memo.clear()
