@@ -274,8 +274,11 @@ def read_jdbc(
     With a numeric ``partition_column`` Spark issues ``num_partitions``
     range-predicated queries in parallel — the slice-parallel UNLOAD-read
     analog. Option construction lives in :func:`jdbc_read_options` (unit
-    tested); no JDBC endpoint exists in the test container, so ``.load()``
-    itself is exercised for real only on a cluster.
+    tested); the ``.load()`` path itself runs END-TO-END in tests against
+    in-process Derby (``jdbc:derby:memory:`` — the embedded driver ships in
+    pyspark/jars), including the partitioned parallel read and JDBC filter
+    pushdown (tests/test_jdbc.py). Only network/auth plumbing is
+    cluster-only.
     """
     opts = jdbc_read_options(
         url, table, partition_column, lower_bound, upper_bound, num_partitions, **options
@@ -284,7 +287,9 @@ def read_jdbc(
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
-    """S5: JDBC sink (warehouse push)."""
+    """S5: JDBC sink (warehouse push). ``.save()`` runs end-to-end in tests
+    against in-process Derby — overwrite and append modes both verified
+    (tests/test_jdbc.py)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
     for k, v in options.items():
         writer = writer.option(k, v)
