@@ -9,8 +9,8 @@ everything — so those relations are memoized per (session, table-state).
 Round-5 hardening (ADVICE r4): the memo itself must not leak.
 
 - A rewritten corpus at the same sf_dir changes the parquet stat signature;
-  the SUPERSEDED entry is unpersisted and dropped on the next lookup, so the
-  stale relation can't stay pinned in executor storage forever.
+  superseded entries are unpersisted and dropped, so a stale relation can't
+  stay pinned in executor storage forever.
 - Entries are purged once their session is STOPPED (the load-bearing check:
   a memoized DataFrame strongly references its session, so the weakref
   below only clears in the unusual case where the memo entry itself was
@@ -19,20 +19,26 @@ Round-5 hardening (ADVICE r4): the memo itself must not leak.
   A recycled ``id()`` can never be mistaken for the old session because
   identity is re-checked through the weakref, not the integer key.
 
-Round-6 hardening (ADVICE r5):
+Round-6 hardening (ADVICE r5 + review):
 
-- Supersede is ORDERED by signature freshness: a caller that computed its
-  stat signature BEFORE a concurrent rewrite can arrive after the fresh
-  entry landed; without ordering it would unpersist the newer relation out
-  from under its consumers and reinstall the stale one. A strictly-older
-  incoming signature now returns the installed (newer) relation instead —
-  the installed entry matches the CURRENT on-disk table state, which is
-  what the stale-sig caller wanted anyway.
-- ``_LOCKS`` entries are evicted together with the dead-session purge.
-  Each entry carries a pin count (incremented under ``_LOCKS_MUTEX`` when
-  a thread fetches the lock, decremented when it finishes), so an entry is
-  only deleted when NO thread holds or is about to take its lock — the
-  fetch-then-acquire window can never produce two live locks for one key.
+- Entries are keyed by SIGNATURE, not just (session, sf_dir): a caller that
+  statted the files before a concurrent rewrite gets a relation matching
+  ITS signature (built if absent) instead of unpersisting the newer
+  relation out from under its consumers — and a legitimate rewrite whose
+  files carry OLDER mtimes (mtime-preserving restore, snapshot rollback)
+  still gets correct data for the on-disk state rather than being served
+  the installed newer-mtimed relation forever. Eviction is freshness-
+  ordered: installing a relation evicts same-(session, sf_dir) entries
+  whose signature is older-or-tied by max file mtime — a fresher entry is
+  never evicted by a stale-sig arrival, so at most one transient zombie
+  persists per restore-to-older-snapshot (correctness over memory).
+- ``_LOCKS`` entries are evicted together with the dead-session purge, and
+  an orphan sweep catches entries whose memo keys vanished while the lock
+  was pinned. Each entry carries a pin count (incremented under
+  ``_LOCKS_MUTEX`` when a thread fetches the lock, decremented when it
+  finishes), so an entry is only deleted when NO thread holds or is about
+  to take its lock — the fetch-then-acquire window can never produce two
+  live locks for one key.
 """
 
 from __future__ import annotations
@@ -97,13 +103,15 @@ def session_memo(
     sig: object,
     build: Callable[[], DataFrame],
 ) -> DataFrame:
-    """Return the memoized persisted relation for (``spark``, ``sf_dir``),
-    rebuilding when the table-state signature ``sig`` changed. The build is
-    persisted WITH a count() materialization barrier: a lazy cache shared by
-    several not-yet-materialized leaf stages inside one action makes each
-    racing stage recompute AND serialize the same partitions (measured 4×
+    """Return the memoized persisted relation for (``spark``, ``sf_dir``,
+    ``sig``), building it if absent. The build is persisted WITH a count()
+    materialization barrier: a lazy cache shared by several
+    not-yet-materialized leaf stages inside one action makes each racing
+    stage recompute AND serialize the same partitions (measured 4×
     re-shingling — the round-4 rule). Thread-safe: concurrent callers of the
-    same key block on one build; different keys build in parallel."""
+    same (session, sf_dir) block on one build; different keys build in
+    parallel. Memo keys are ``((id(session), sf_dir), sig)`` — ``sig`` must
+    be hashable (stat-sig tuples and their composites are)."""
     # purge dead entries: session GC'd (weakref cleared) OR stopped (the
     # memoized DataFrame strongly references its session, so a stopped
     # session would otherwise stay pinned through its own memo entry —
@@ -126,45 +134,57 @@ def session_memo(
             # the expensive build+materialize runs outside it, still guarded
             # by this key's lock so a second caller of the SAME key blocks
             # and then re-reads a hit instead of double-building
-            stale = None
             with _LOCKS_MUTEX:
                 for k in [k for k, (ref, _, _) in memo.items() if _dead(ref())]:
                     del memo[k]
                     # evict the dead key's lock entry too (ADVICE r5: the
                     # table grew one entry per session forever) — unless a
-                    # thread has it pinned, in which case the NEXT purge
-                    # gets it once the pin drops
-                    dead_lkey = (id(memo), *k)
+                    # thread has it pinned, in which case the orphan sweep
+                    # below gets it once the pin drops
+                    dead_lkey = (id(memo), *k[0])
                     ent = _LOCKS.get(dead_lkey)
                     if ent is not None and ent[1] == 0:
                         del _LOCKS[dead_lkey]
-                ent = memo.get(skey)
+                # orphan sweep: a lock entry pinned DURING a purge outlives
+                # its memo keys (the purge above only visits keys it is
+                # removing right now) — reap any unpinned lock of this memo
+                # whose (session, sf_dir) no longer has entries
+                live = {k[0] for k in memo}
+                for olk in [
+                    olk
+                    for olk, ent in _LOCKS.items()
+                    if olk[0] == id(memo)
+                    and ent[1] == 0
+                    and (olk[1], olk[2]) not in live
+                    and olk != lkey
+                ]:
+                    del _LOCKS[olk]
+                ent = memo.get((skey, sig))
                 if ent is not None:
-                    ref, old_sig, df = ent
-                    if ref() is spark and old_sig == sig:
-                        return df
+                    ref, _, df = ent
                     if ref() is spark:
-                        if _sig_fresh(sig) < _sig_fresh(old_sig):
-                            # the CALLER's signature is the stale one (it
-                            # statted the files before a concurrent rewrite
-                            # whose entry already landed): the installed
-                            # relation matches the current on-disk state —
-                            # hand it back instead of thrashing
-                            # unpersist/reinstall (ADVICE r5)
-                            return df
-                        stale = df  # superseded: evict outside the mutex
-                    del memo[skey]
-            if stale is not None:
-                # corpus rewritten at the same sf_dir: evict the superseded
-                # relation from executor storage before replacing it
-                try:
-                    stale.unpersist()
-                except Exception:
-                    pass
+                        return df
+                    del memo[(skey, sig)]  # recycled id(): not our session
             df = build().persist()
             df.count()
+            evict = []
             with _LOCKS_MUTEX:
-                memo[skey] = (weakref.ref(spark), sig, df)
+                memo[(skey, sig)] = (weakref.ref(spark), sig, df)
+                # freshness-ordered eviction: drop same-(session, sf_dir)
+                # entries whose sig is older-or-tied (a rewrite superseded
+                # them); a FRESHER entry survives a stale-sig arrival, so a
+                # racing pre-rewrite caller can never unpersist the newer
+                # relation out from under its consumers (ADVICE r5)
+                mine = _sig_fresh(sig)
+                for k, (_, osig, odf) in list(memo.items()):
+                    if k[0] == skey and k[1] != sig and _sig_fresh(osig) <= mine:
+                        del memo[k]
+                        evict.append(odf)
+            for odf in evict:
+                try:
+                    odf.unpersist()
+                except Exception:
+                    pass
             return df
     finally:
         _unpin_key_lock(lkey)

@@ -559,8 +559,13 @@ def connected_components(
             ).collect()[0]
         )
 
-    sig = _sig(e)
-    _drain()
+    try:
+        sig = _sig(e)
+    finally:
+        # failure backstop (r6 review): if the first action dies (executor
+        # loss, checkpoint-dir write failure), the initial reliable-mode
+        # persist must not stay pinned for the session lifetime
+        _drain()
     converged = False
     for _ in range(CC_MAX_ROUNDS):
         # localCheckpoint, not cache: each round's plan references the
@@ -591,8 +596,13 @@ def connected_components(
         for _ in range(2):
             new = _small_star(_large_star(new, use_window), use_window)
         new = _ckpt(new)
-        new_sig = _sig(new)
-        _drain()
+        try:
+            new_sig = _sig(new)
+        finally:
+            # same backstop per round: a failed action must not leak the
+            # round's persist (a retrying long-lived driver would stack one
+            # corpus-scale cached edge set per failed attempt)
+            _drain()
         if new_sig == sig and new.exceptAll(e).isEmpty():
             # signature match is probabilistic (~2^-64 collision); both
             # relations are already materialized, so confirming set equality
@@ -1026,9 +1036,9 @@ def exact_substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. '21 ExactSubstr): the remove-span
-    report for every maximal corpus-duplicated run of >= {SUBSTR_K} tokens.
-    The oracle recomputes the spans from RAW shingle strings, so a green
-    hash also certifies no xxhash64 collision reached the output (the same
-    certification argument as q_decontaminate_ngram)."""
+    report for every maximal corpus-duplicated run of >= SUBSTR_K (10)
+    tokens. The oracle recomputes the spans from RAW shingle strings, so a
+    green hash also certifies no xxhash64 collision reached the output (the
+    same certification argument as q_decontaminate_ngram)."""
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_spans(d, SUBSTR_K)

@@ -481,11 +481,11 @@ def test_session_memo_evicts_superseded_and_dead(spark):
         pass
 
     dummy = Dummy()
-    memo[(id(dummy), "/y")] = (weakref.ref(dummy), "s", spark.range(3))
+    memo[((id(dummy), "/y"), "s")] = (weakref.ref(dummy), "s", spark.range(3))
     del dummy
     gc.collect()
     session_memo(memo, spark, "/z", "s", lambda: spark.range(1))
-    assert all(k[1] != "/y" for k in memo), "dead-session entry not purged"
+    assert all(k[0][1] != "/y" for k in memo), "dead-session entry not purged"
     for _, _, df in memo.values():
         df.unpersist()
 
@@ -698,24 +698,34 @@ def test_session_memo_lock_table_evicts_with_dead_sessions(spark):
     dummy = Dummy()
     dead_skey = (id(dummy), "/lock-dead")
     dead_lkey = (id(memo), *dead_skey)
-    memo[dead_skey] = (weakref.ref(dummy), "s", spark.range(3))
+    memo[(dead_skey, "s")] = (weakref.ref(dummy), "s", spark.range(3))
     _memo._LOCKS[dead_lkey] = [__import__("threading").Lock(), 0]
     del dummy
     gc.collect()
     session_memo(memo, spark, "/lock-live", "s", lambda: spark.range(2))
-    assert dead_skey not in memo, "dead memo entry not purged"
+    assert (dead_skey, "s") not in memo, "dead memo entry not purged"
     assert dead_lkey not in _memo._LOCKS, "dead lock entry not evicted"
     assert live_lkey in _memo._LOCKS, "live lock entry wrongly evicted"
+    # orphan sweep: an unpinned lock whose memo keys vanished while it was
+    # pinned during the purge is reaped on the next call (review finding)
+    orphan_lkey = (id(memo), 12345, "/orphan")
+    _memo._LOCKS[orphan_lkey] = [__import__("threading").Lock(), 0]
+    session_memo(memo, spark, "/lock-live", "s", lambda: spark.range(2))
+    assert orphan_lkey not in _memo._LOCKS, "orphaned lock entry not swept"
     live.unpersist()
     memo.clear()
 
 
 def test_session_memo_supersede_is_freshness_ordered(spark):
-    """A caller whose stat signature predates a concurrent rewrite must NOT
-    unpersist the newer relation and reinstall the stale one (ADVICE r5):
-    older-sig arrivals get the installed relation back; newer-sig arrivals
-    supersede as before. Signatures are real _stat_sig shapes
-    ((path, size, mtime_ns) tuples, optionally nested in composites)."""
+    """Signature-keyed coexistence (ADVICE r5, tightened by the r6 review):
+    a caller whose stat signature predates a concurrent rewrite must NOT
+    unpersist the newer relation out from under its consumers — it gets a
+    relation matching ITS OWN signature (built if absent), which also keeps
+    an mtime-preserving restore / snapshot rollback CORRECT (the on-disk
+    state wins; the memo can never pin newer-mtimed data forever). Eviction
+    is freshness-ordered: installing a relation evicts only older-or-tied
+    sigs of the same (session, sf_dir). Signatures are real _stat_sig
+    shapes ((path, size, mtime_ns) tuples, optionally nested)."""
     from aws_etl_microservice_redshift_datalake_spark.operators._memo import (
         _sig_fresh,
         session_memo,
@@ -729,17 +739,22 @@ def test_session_memo_supersede_is_freshness_ordered(spark):
 
     memo: dict = {}
     fresh = session_memo(memo, spark, "/ord", new_sig, lambda: spark.range(9))
-    # stale-sig arrival: installed relation returned, NOT rebuilt/unpersisted
-    got = session_memo(
-        memo, spark, "/ord", old_sig,
-        lambda: (_ for _ in ()).throw(AssertionError("stale sig rebuilt")),
-    )
-    assert got is fresh
+    # stale-sig arrival (restore-to-older-snapshot / racing pre-rewrite
+    # caller): builds ITS OWN relation; the newer one survives persisted
+    got = session_memo(memo, spark, "/ord", old_sig, lambda: spark.range(7))
+    assert got is not fresh and got.count() == 7
     assert fresh.storageLevel.useMemory, "newer relation was unpersisted"
-    # strictly newer signature still supersedes
+    # exact-sig re-arrival is a plain hit on the coexisting entry
+    assert session_memo(memo, spark, "/ord", old_sig, lambda: 1 / 0) is got
+    assert session_memo(memo, spark, "/ord", new_sig, lambda: 1 / 0) is fresh
+    # strictly newer signature supersedes BOTH older entries
     newest_sig = (("/d/part-0.parquet", 130, 3_000),)
     nxt = session_memo(memo, spark, "/ord", newest_sig, lambda: spark.range(4))
     assert nxt is not fresh and not fresh.storageLevel.useMemory
+    assert not got.storageLevel.useMemory
+    assert [k for k in memo if k[0] == (id(spark), "/ord")] == [
+        ((id(spark), "/ord"), newest_sig)
+    ]
     nxt.unpersist()
     memo.clear()
 
