@@ -677,3 +677,24 @@ def test_exact_substring_spans_matches_bruteforce(spark, docs):
     # reference must drop empties the same way — split(None) has no grams
     # anyway, so both see zero positions for them
     assert got == _brute_substring_spans(docs, k)
+
+
+@given(_edges)
+@settings(**_SETTINGS)
+def test_connected_components_groupby_spelling_matches(spark, monkeypatch, edges):
+    """The at-scale per-node-minimum spelling (groupBy-min + skew-splittable
+    join — the only shape that survives a mega-hub component) is never
+    chosen at test scale, so force it by dropping CC_WINDOW_MAX_EDGES to 0:
+    labels must equal brute-force union-find on the same random graphs the
+    window spelling is checked against."""
+    from aws_etl_microservice_redshift_datalake_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_WINDOW_MAX_EDGES", 0)
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a BIGINT, b BIGINT"
+    )
+    got = {
+        r.node: r.comp
+        for r in dedup.connected_components(pairs, "a", "b").collect()
+    }
+    assert got == _brute_components(edges)

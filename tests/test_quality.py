@@ -799,3 +799,83 @@ def test_session_memo_isolates_newSession_siblings(spark):
     assert session_memo(memo, spark, "/iso", "s", lambda: 1 / 0) is a
     assert session_memo(memo, sib, "/iso", "s", lambda: 1 / 0) is b
     a.unpersist(); b.unpersist(); memo.clear()
+
+
+def test_minhash_grown_banding_executes_and_matches(spark, monkeypatch):
+    """_minhash_params' r=3 regime (chosen past 1e5 docs) never runs at test
+    scale — force it so the widened-signature plan (48 minhashes, 3-row
+    bands) actually executes: the output must STILL equal the exact-Jaccard
+    pair set (miss probability at the corpus's J >= 0.98 operating point is
+    ~1e-20 per pair; precision is exact via the verify stage)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_minhash_params", lambda n: (dedup.N_BANDS, 3))
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QS["q_dedup_minhash_pairs"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QS["q_ngram_jaccard"](spark, SF_SMALL).collect()
+        if r.jaccard >= 0.8
+    }
+    assert lsh == exact and exact, "grown-banding path lost or invented pairs"
+
+
+def test_cosine_neardup_grown_params_recall(spark):
+    """The sign-LSH growth path (_neardup_params past the floor regime —
+    wider k, more tables) never executes at test scale: run the planted
+    near-dup pipeline with the n=2,000,000 parameters and assert recall
+    still clears the analytic floor the parameter rule promises."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
+        NEARDUP_BITS,
+        NEARDUP_TABLES,
+        _dot,
+        _lsh_tables,
+        _neardup_params,
+    )
+
+    lsh_l, k = _neardup_params(2_000_000)
+    assert (lsh_l, k) != (NEARDUP_TABLES, NEARDUP_BITS), "growth regime not reached"
+    p099 = 1 - math.acos(0.99) / math.pi
+    assert 1 - (1 - p099**k) ** lsh_l >= 0.99  # planted pairs sit at ~0.99+
+
+    e = load_table(spark, SF_MED, "embeddings").limit(150)
+    clone = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * F.lit(1.005)).otherwise(x)
+        ).alias("embedding"),
+    )
+    t = e.select("vec_id", "embedding").unionByName(clone).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    buckets = t.select(
+        "vec_id",
+        F.explode(_lsh_tables(lsh_l, k, F.col("v"))).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
+    cand = (
+        a.join(b.hint("shuffle_merge"), ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = t.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = t.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= 0.8)
+        .collect()
+    }
+    planted = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in e.select("vec_id").collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"grown-params planted recall too low: {recall:.3f}"
