@@ -22,6 +22,7 @@ DEDUP_FAMILY = [
     "q_dedup_clusters",
     "q_training_pipeline",
     "q_simhash",
+    "q_dedup_substring",  # r6: whole-doc duplicated runs only exist here
 ]
 
 

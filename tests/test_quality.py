@@ -879,3 +879,19 @@ def test_cosine_neardup_grown_params_recall(spark):
     planted = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in e.select("vec_id").collect()}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, f"grown-params planted recall too low: {recall:.3f}"
+
+
+def test_stratified_sample_exact_counts(spark):
+    """The documented exact-count stratified variant (kept alongside the
+    registered hash-threshold form) must honor its contract literally:
+    per language, exactly ceil(0.2 * n_lang) docs selected."""
+    import math
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = stratified_sample_exact(spark, SF_MED).collect()
+    assert rows, "no strata at sf0.01"
+    for r in rows:
+        assert r.n_sampled == math.ceil(0.2 * r.n_total), r
