@@ -101,7 +101,19 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<long>) — per-document array of distinct hashed
     word-3-shingles, computed entirely row-local (split → slide → hash →
     array_distinct): zero shuffles. The foundation both for per-row minhash
-    signatures and (exploded) for the inverted-index verification join."""
+    signatures and (exploded) for the inverted-index verification join.
+
+    Plan-shape notes (measured 12× at sf0.1, same asymptotics at 100 TB):
+    - the token array is MATERIALIZED in its own projection first — inlining
+      ``split()`` into the transform lambda re-evaluates it per element,
+      turning shingling O(tokens²) per doc;
+    - per-doc dedup is ``array_distinct`` INSIDE the row — a global
+      ``.distinct()`` on the exploded form would shuffle the whole corpus
+      (at 100 TB: the difference between no shuffle and the job's biggest);
+    - shingles are carried as ``xxhash64(s)`` so downstream joins move
+      8-byte longs, never strings; a 64-bit collision merging two shingles
+      has probability ~n²/2⁶⁵ — accepted, and the DuckDB oracles run on raw
+      strings, so a hash match also certifies the collision didn't bite."""
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -121,27 +133,6 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.transform(sh_arr, lambda s: F.xxhash64(s))).alias("sh"),
     )
-
-
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s: long) — the exploded (distinct, hashed) shingle relation.
-
-    Plan-shape notes (measured 12× at sf0.1, and the same asymptotics at
-    100 TB):
-    - the token array is MATERIALIZED in its own projection first — inlining
-      ``split()`` into the transform lambda re-evaluates it per element,
-      turning shingling O(tokens²) per doc;
-    - per-doc dedup is ``array_distinct`` on the shingle array *inside the
-      row* — a global ``.distinct()`` would shuffle the whole exploded
-      corpus (at 100 TB: the difference between no shuffle and the job's
-      biggest shuffle);
-    - each shingle is carried as ``xxhash64(s)`` so downstream joins move
-      8-byte longs instead of strings. A 64-bit collision merging two
-      shingles has probability ~n²/2⁶⁵ (~1e-8 at this corpus) — accepted
-      and documented; the DuckDB oracle runs on raw strings, so the hash
-      match also certifies the collision didn't bite.
-    """
-    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
 
 
 # shared CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — the exact

@@ -89,8 +89,10 @@ def python_eval_modes(df: DataFrame) -> set[str]:
 def codegen_stage_count(df: DataFrame) -> int:
     """Whole-stage-codegen span count — fewer, wider spans = more of the plan
     runs as fused JVM bytecode. Simple mode marks codegen stages as `*(N)`.
-    NOTE: under AQE the marks only appear once the plan is finalized (i.e.
-    after an action) — a lazy DataFrame reports 0."""
+    NOTE: under AQE the marks only appear once the plan is finalized, and
+    only an action on THIS DataFrame's own QueryExecution finalizes it
+    (``df.collect()``; a ``df.count()`` builds a new wrapping QE and leaves
+    this one lazy) — a lazy DataFrame reports 0."""
     return len(set(re.findall(r"\*\((\d+)\)", plan_str(df, "simple"))))
 
 

@@ -556,3 +556,16 @@ def test_dedup_substring_semi_join_shape(spark):
     assert "ShuffledHashJoin" in p and "LeftSemi" in p
     audit.assert_scan_pruned(df, ["lang", "source", "n_chars"])
     audit.assert_filter_pushed(df, "text")
+
+
+def test_flagship_runs_in_whole_stage_codegen(spark):
+    """The flagship scan-agg must execute inside fused whole-stage-codegen
+    spans: after an action finalizes the AQE plan, codegen_stage_count
+    reports >= 1 `*(N)` span. Both documented caveats are exercised: a lazy
+    AQE plan reports 0, and the action must run THIS DataFrame's own
+    QueryExecution (collect — a count() wraps the plan in a new QE and
+    leaves this one unfinalized)."""
+    df = QS["q_pricing_summary"](spark, SF_MED)
+    assert audit.codegen_stage_count(df) == 0  # lazy: AQE not yet finalized
+    df.collect()
+    assert audit.codegen_stage_count(df) >= 1
