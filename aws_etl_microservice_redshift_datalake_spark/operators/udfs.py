@@ -91,13 +91,18 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(embedding[2]::DOUBLE), 6) AS c2,
            ROUND(AVG(embedding[3]::DOUBLE), 6) AS c3
     FROM embeddings
+    WHERE embedding IS NOT NULL
     GROUP BY label
     """,
 )
 def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: grouped custom aggregate via applyInPandas — per-label centroid
     (first three dimensions). Each label group arrives as one pandas frame;
-    at scale this shuffles on the group key exactly like a built-in agg."""
+    at scale this shuffles on the group key exactly like a built-in agg.
+    NULL embeddings are dropped JVM-side before Arrow ships the group (the
+    multimodal drop-null rule — np.stack crashes on a 0-d None array, found
+    by the r6 degraded-embeddings sweep); the oracle twin carries the same
+    WHERE."""
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
@@ -112,7 +117,9 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return e.groupBy("label").applyInPandas(
         centroid, schema="label int, n long, c1 double, c2 double, c3 double"
     )

@@ -175,6 +175,9 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_multimodal_decode": 5,    # null payloads dropped JVM-side + empty guard
     "q_multimodal_resize": 5,    # null payloads dropped JVM-side
     "q_weighted_sample": 5,      # zero-weight rows excluded (ANSI div-by-zero)
+    "q_pandas_udaf_centroid": 6,  # null embeddings dropped JVM-side + oracle
+                                  # WHERE twin (r6 degraded-embeddings sweep
+                                  # found np.stack crashing on a None row)
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -301,3 +301,56 @@ def test_alldup_exact_substring_whole_doc_spans(spark, alldup_sf):
         (r.start_tok, r.end_tok, r.n_tokens) == (1, n_toks, n_toks) for r in rows
     )
     assert len({r.doc_id for r in rows}) == 50
+
+
+@pytest.fixture(scope="module")
+def degvec_sf(spark) -> str:
+    """Degraded embeddings — the vector-lake reality the clean fixtures never
+    exercise: every 5th vector is all-zero (norm 0 → NaN cosines must stay
+    inert, not crash or mis-rank) and every 7th is NULL (absent embedding —
+    must drop JVM-side before any kernel sees it). Other tables linked
+    clean from sf0.001."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(process_scratch(), "sf-degvec")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        deg = emb.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 0,
+                F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
+            )
+            .when(F.col("vec_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("embedding")),
+        )
+        deg.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        for t in TABLES:
+            if t == "embeddings":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+_VECTOR_FAMILY = [
+    n for n in QS
+    if any(k in n for k in (
+        "ann", "knn", "cosine", "semdedup", "semantic", "cross_lingual",
+        "embedding", "pandas_ud", "hybrid",
+    ))
+]
+
+
+@pytest.mark.parametrize("name", _VECTOR_FAMILY, ids=_VECTOR_FAMILY)
+def test_query_survives_degraded_embeddings(spark, degvec_sf, name):
+    """No vector operator may crash on zero or NULL embeddings. (Found and
+    fixed: q_pandas_udaf_centroid's np.stack on a 0-d None array — null
+    embeddings now drop JVM-side before Arrow ships the group.)"""
+    df = QS[name](spark, degvec_sf)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
