@@ -111,7 +111,16 @@ def session_memo(
     re-shingling — the round-4 rule). Thread-safe: concurrent callers of the
     same (session, sf_dir) block on one build; different keys build in
     parallel. Memo keys are ``((id(session), sf_dir), sig)`` — ``sig`` must
-    be hashable (stat-sig tuples and their composites are)."""
+    be hashable (stat-sig tuples and their composites are).
+
+    ``sig`` may be a CALLABLE producing the signature: it is then evaluated
+    under this key's build lock, so the signature is fresh at decision/build
+    time. This closes the stale-caller poisoning race (r6 review): a caller
+    that statted the files, then slept across a rewrite, would otherwise
+    BUILD from the rewritten files but install the result under its
+    pre-rewrite signature — mislabeled data a later mtime-preserving
+    restore would then hit. Production call sites all pass callables; plain
+    values remain supported (tests, fixed-key memos)."""
     # purge dead entries: session GC'd (weakref cleared) OR stopped (the
     # memoized DataFrame strongly references its session, so a stopped
     # session would otherwise stay pinned through its own memo entry —
@@ -129,6 +138,8 @@ def session_memo(
     lk = _pin_key_lock(lkey)
     try:
         with lk:
+            if callable(sig):
+                sig = sig()  # fresh-at-build: stat calls are ~µs
             # all dict reads/mutations happen under the table mutex (another
             # key's thread may be touching the same dict concurrently); only
             # the expensive build+materialize runs outside it, still guarded

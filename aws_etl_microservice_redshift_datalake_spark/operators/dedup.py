@@ -91,9 +91,10 @@ def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
 
-    sig = _stat_sig(table_path(sf_dir, "documents"))
     return session_memo(
-        _ARRS_MEMO, spark, sf_dir, sig, lambda: _shingle_arrays(spark, sf_dir)
+        _ARRS_MEMO, spark, sf_dir,
+        lambda: _stat_sig(table_path(sf_dir, "documents")),  # fresh-at-build
+        lambda: _shingle_arrays(spark, sf_dir),
     )
 
 
@@ -716,9 +717,9 @@ def _minhash_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
 
-    sig = _stat_sig(table_path(sf_dir, "documents"))
     return session_memo(
-        _PAIRS_MEMO, spark, f"{sf_dir}|minhash-pairs", sig,
+        _PAIRS_MEMO, spark, f"{sf_dir}|minhash-pairs",
+        lambda: _stat_sig(table_path(sf_dir, "documents")),  # fresh-at-build
         lambda: q_dedup_minhash_pairs(spark, sf_dir),
     )
 

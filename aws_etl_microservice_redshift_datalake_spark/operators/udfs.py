@@ -65,12 +65,16 @@ _BASIS = [_basis_weight(i) for i in range(64)]
            ROUND(list_inner_product(embedding::DOUBLE[],
                                     {_BASIS!r}::DOUBLE[]), 6) AS basis_dot
     FROM embeddings
+    WHERE embedding IS NOT NULL
     """,
 )
 def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: vectorized (Arrow) pandas UDF — dot product of each embedding with
     a fixed deterministic basis vector, computed with numpy over whole
-    batches. The 10-100×-faster sanctioned shape for custom numeric kernels."""
+    batches. The 10-100×-faster sanctioned shape for custom numeric kernels.
+    NULL embeddings drop JVM-side before Arrow ships the batch (np.stack
+    crashes on a 0-d None array — the same degraded-lake bug the r6 sweep
+    found in the centroid UDAF); the oracle twin carries the same WHERE."""
     basis = np.array(_BASIS, dtype=np.float64)
 
     @F.pandas_udf(T.DoubleType())
@@ -78,7 +82,9 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
         return pd.Series(np.round(mat @ basis, 6))
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return e.select("vec_id", basis_dot("embedding").alias("basis_dot"))
 
 

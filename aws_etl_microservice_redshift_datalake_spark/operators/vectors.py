@@ -337,12 +337,16 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
 
-    sig = _stat_sig(table_path(sf_dir, "embeddings"))
     buckets = session_memo(
         _BUCKETS_MEMO,
         spark,
         sf_dir,
-        sig,
+        # signature carries (L, k) alongside the table state: the bucket
+        # relation is a FUNCTION of the params, so a different banding
+        # (size-regime change after an amplification, or a test forcing the
+        # grown regime) must never be satisfied by a memoized floor-params
+        # relation (r6 review). Callable → evaluated fresh-at-build.
+        lambda: (_stat_sig(table_path(sf_dir, "embeddings")), lsh_l, lsh_k),
         lambda: t.select(
             "vec_id",
             F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
@@ -523,10 +527,12 @@ def build_ivf_index(
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
 
-    sig = _stat_sig(table_path(sf_dir, "embeddings"))
+    def _sig() -> tuple:
+        return _stat_sig(table_path(sf_dir, "embeddings"))
+
     cents = session_memo(
         _IVF_MEMO, spark, f"{sf_dir}|ivf-cents",
-        (sig, n_cells, IVF_ITERS), _train,
+        lambda: (_sig(), n_cells, IVF_ITERS), _train,  # fresh-at-build
     )
 
     # final assignment: each vector into its top-n_assign cells. n_assign=1
@@ -564,8 +570,9 @@ def build_ivf_index(
 
     index = session_memo(
         _IVF_MEMO, spark, f"{sf_dir}|ivf-index-{n_assign}",
-        (sig, n_cells, IVF_ITERS, n_assign), _final,  # IVF_ITERS: the index
-        # must supersede together with the model it was assigned from
+        lambda: (_sig(), n_cells, IVF_ITERS, n_assign), _final,
+        # IVF_ITERS in the sig: the index must supersede together with the
+        # model it was assigned from; fresh-at-build callable like the rest
     )
     return index, cents
 

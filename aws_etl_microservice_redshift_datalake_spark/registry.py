@@ -178,6 +178,9 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_pandas_udaf_centroid": 6,  # null embeddings dropped JVM-side + oracle
                                   # WHERE twin (r6 degraded-embeddings sweep
                                   # found np.stack crashing on a None row)
+    "q_pandas_udf_dot": 6,        # same np.stack-on-None fix + WHERE twin
+                                  # (r6 review: count() had pruned the UDF
+                                  # projection, greening a latent crash)
 }
 
 _RECHECK: frozenset[str] = frozenset(

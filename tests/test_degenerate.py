@@ -51,8 +51,10 @@ def tiny_sf(spark) -> str:
 @pytest.mark.parametrize("name", list(QS), ids=list(QS))
 def test_query_survives_one_row_corpus(spark, tiny_sf, name):
     df = QS[name](spark, tiny_sf)
-    n = df.count()
-    assert n >= 0
+    rows = df.collect()  # FULL materialization: count() lets Catalyst prune
+    # deterministic pandas-UDF projections, which greened a latent np.stack
+    # crash (r6 review) — collect() forces every column's kernel to run
+    assert len(rows) >= 0
     assert len(df.schema.fields) > 0
 
 
@@ -85,8 +87,10 @@ def test_query_survives_empty_corpus(spark, empty_sf, name):
     (Found and fixed: q_unload_roundtrip's re-read inferred schema from a
     data-file-less partitioned dir.)"""
     df = QS[name](spark, empty_sf)
-    n = df.count()
-    assert n >= 0
+    rows = df.collect()  # FULL materialization: count() lets Catalyst prune
+    # deterministic pandas-UDF projections, which greened a latent np.stack
+    # crash (r6 review) — collect() forces every column's kernel to run
+    assert len(rows) >= 0
     assert len(df.schema.fields) > 0
 
 
@@ -213,8 +217,10 @@ def test_query_survives_null_payloads(spark, nullpayload_sf, name):
     bigram UDTF split None, and both mapInPandas multimodal kernels took
     len(None) — null payloads now drop JVM-side before Arrow ships them.)"""
     df = QS[name](spark, nullpayload_sf)
-    n = df.count()
-    assert n >= 0
+    rows = df.collect()  # FULL materialization: count() lets Catalyst prune
+    # deterministic pandas-UDF projections, which greened a latent np.stack
+    # crash (r6 review) — collect() forces every column's kernel to run
+    assert len(rows) >= 0
     assert len(df.schema.fields) > 0
 
 
@@ -265,8 +271,10 @@ def test_query_survives_adversarial_text(spark, advtext_sf, name):
     on an empty doc — zero-weight rows are now excluded, matching the
     Efraimidis-Spirakis semantics that weight 0 is never drawn.)"""
     df = QS[name](spark, advtext_sf)
-    n = df.count()
-    assert n >= 0
+    rows = df.collect()  # FULL materialization: count() lets Catalyst prune
+    # deterministic pandas-UDF projections, which greened a latent np.stack
+    # crash (r6 review) — collect() forces every column's kernel to run
+    assert len(rows) >= 0
     assert len(df.schema.fields) > 0
 
 
@@ -351,6 +359,78 @@ def test_query_survives_degraded_embeddings(spark, degvec_sf, name):
     fixed: q_pandas_udaf_centroid's np.stack on a 0-d None array — null
     embeddings now drop JVM-side before Arrow ships the group.)"""
     df = QS[name](spark, degvec_sf)
-    n = df.count()
-    assert n >= 0
+    rows = df.collect()  # FULL materialization: count() lets Catalyst prune
+    # deterministic pandas-UDF projections, which greened a latent np.stack
+    # crash (r6 review) — collect() forces every column's kernel to run
+    assert len(rows) >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
+def planted_neardup_sf(spark) -> str:
+    """sf0.001 embeddings plus a near-clone of each (one dim wiggled 0.5% →
+    cosine ≈ 1): the fixtures contain no true embedding near-dups at ANY
+    scale factor, so this corpus is the only way to drive the REGISTERED
+    q_cosine_neardup's candidate+verify pipeline with known ground truth."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(process_scratch(), "sf-plantedvec")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        clone = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * F.lit(1.005)).otherwise(x),
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+        emb.unionByName(clone).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        for t in TABLES:
+            if t == "embeddings":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+def test_cosine_neardup_operator_grown_params(spark, planted_neardup_sf, monkeypatch):
+    """Drive the REGISTERED q_cosine_neardup (not a reimplementation — r6
+    review) through both LSH regimes on the planted corpus: the floor
+    params and the forced n=2M grown params must each recover every planted
+    clone pair. Safe to run back-to-back because the bucket memo signature
+    now carries (L, k) — the grown run can never be satisfied by the
+    memoized floor-params relation."""
+    from aws_etl_microservice_redshift_datalake_spark.operators import vectors
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+
+    base_ids = [
+        r.vec_id
+        for r in load_table(spark, planted_neardup_sf, "embeddings")
+        .filter("vec_id < 1000000").select("vec_id").collect()
+    ]
+    planted = {(i, i + 1_000_000) for i in base_ids}
+    assert planted
+
+    def pairs():
+        return {
+            (r.vec_a, r.vec_b)
+            for r in QS["q_cosine_neardup"](spark, planted_neardup_sf).collect()
+        }
+
+    floor_found = pairs()
+    assert planted <= floor_found, (
+        f"floor params missed {len(planted - floor_found)} planted pairs"
+    )
+    grown = vectors._neardup_params(2_000_000)
+    assert grown != (vectors.NEARDUP_TABLES, vectors.NEARDUP_BITS)
+    monkeypatch.setattr(vectors, "_neardup_params", lambda n: grown)
+    grown_found = pairs()
+    assert planted <= grown_found, (
+        f"grown params missed {len(planted - grown_found)} planted pairs"
+    )

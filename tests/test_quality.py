@@ -822,65 +822,6 @@ def test_minhash_grown_banding_executes_and_matches(spark, monkeypatch):
     assert lsh == exact and exact, "grown-banding path lost or invented pairs"
 
 
-def test_cosine_neardup_grown_params_recall(spark):
-    """The sign-LSH growth path (_neardup_params past the floor regime —
-    wider k, more tables) never executes at test scale: run the planted
-    near-dup pipeline with the n=2,000,000 parameters and assert recall
-    still clears the analytic floor the parameter rule promises."""
-    import math
-
-    from pyspark.sql import functions as F
-
-    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
-        NEARDUP_BITS,
-        NEARDUP_TABLES,
-        _dot,
-        _lsh_tables,
-        _neardup_params,
-    )
-
-    lsh_l, k = _neardup_params(2_000_000)
-    assert (lsh_l, k) != (NEARDUP_TABLES, NEARDUP_BITS), "growth regime not reached"
-    p099 = 1 - math.acos(0.99) / math.pi
-    assert 1 - (1 - p099**k) ** lsh_l >= 0.99  # planted pairs sit at ~0.99+
-
-    e = load_table(spark, SF_MED, "embeddings").limit(150)
-    clone = e.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x, i: F.when(i == 0, x * F.lit(1.005)).otherwise(x)
-        ).alias("embedding"),
-    )
-    t = e.select("vec_id", "embedding").unionByName(clone).select(
-        "vec_id", F.col("embedding").alias("v")
-    )
-    buckets = t.select(
-        "vec_id",
-        F.explode(_lsh_tables(lsh_l, k, F.col("v"))).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bkt")
-    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
-    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
-    cand = (
-        a.join(b.hint("shuffle_merge"), ["tbl", "bkt"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    va = t.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = t.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    found = {
-        (r["vec_a"], r["vec_b"])
-        for r in cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select("vec_a", "vec_b", _dot(F.col("va"), F.col("vb")).alias("sim"))
-        .filter(F.col("sim") >= 0.8)
-        .collect()
-    }
-    planted = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in e.select("vec_id").collect()}
-    recall = len(found & planted) / len(planted)
-    assert recall >= 0.95, f"grown-params planted recall too low: {recall:.3f}"
-
-
 def test_stratified_sample_exact_counts(spark):
     """The documented exact-count stratified variant (kept alongside the
     registered hash-threshold form) must honor its contract literally:
@@ -895,3 +836,26 @@ def test_stratified_sample_exact_counts(spark):
     assert rows, "no strata at sf0.01"
     for r in rows:
         assert r.n_sampled == math.ceil(0.2 * r.n_total), r
+
+
+def test_session_memo_callable_sig_fresh_at_build(spark):
+    """Callable signatures are evaluated under the build lock (r6 review):
+    the entry is keyed by the EVALUATED fresh signature — a caller that
+    statted before a rewrite can no longer install post-rewrite data under
+    its stale signature (the poisoning race) because the signature is
+    re-derived at build time."""
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    state = {"sig": (("/p", 1, 100),)}
+    a = session_memo(memo, spark, "/cal", lambda: state["sig"], lambda: spark.range(2))
+    assert ((id(spark), "/cal"), (("/p", 1, 100),)) in memo
+    # a rewrite lands before the next arrival: the fresh signature is what
+    # the call keys on, so it MISSES the old entry and supersedes it
+    state["sig"] = (("/p", 2, 200),)
+    b = session_memo(memo, spark, "/cal", lambda: state["sig"], lambda: spark.range(3))
+    assert b is not a and b.count() == 3
+    assert list(memo) == [((id(spark), "/cal"), (("/p", 2, 200),))]
+    assert not a.storageLevel.useMemory, "superseded relation still pinned"
+    b.unpersist()
+    memo.clear()
