@@ -859,3 +859,57 @@ def test_session_memo_callable_sig_fresh_at_build(spark):
     assert not a.storageLevel.useMemory, "superseded relation still pinned"
     b.unpersist()
     memo.clear()
+
+
+def test_session_memo_racing_rewrite_across_threads(spark):
+    """The exact interleaving the callable-sig change exists for, driven with
+    real threads: A acquires the key lock and starts a slow build; a rewrite
+    lands WHILE A builds; B arrives (blocks on the lock), then re-derives the
+    signature fresh once it gets the lock — so B builds the post-rewrite
+    relation under the post-rewrite signature instead of being served A's
+    pre-rewrite relation or installing mislabeled data. A's stale-sig entry
+    is evicted by B's fresher install (freshness ordering)."""
+    import threading
+
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    state = {"sig": (("/p", 1, 100),), "n": 2}
+    in_build = threading.Event()
+    release = threading.Event()
+    builds = []
+
+    def build():
+        n = state["n"]  # read table state at build time, like a real scan
+        builds.append(n)
+        in_build.set()
+        assert release.wait(30), "orchestration stalled"
+        return spark.range(n)
+
+    results: dict = {}
+
+    def call(tag):
+        results[tag] = session_memo(
+            memo, spark, "/rewrite-race", lambda: state["sig"], build
+        )
+
+    t_a = threading.Thread(target=call, args=("a",))
+    t_a.start()
+    assert in_build.wait(30), "A never reached its build"
+    # the rewrite lands while A is mid-build (A already read the old state)
+    state["sig"] = (("/p", 2, 200),)
+    state["n"] = 5
+    t_b = threading.Thread(target=call, args=("b",))
+    t_b.start()  # blocks on the key lock until A finishes
+    release.set()
+    t_a.join(60)
+    t_b.join(60)
+    assert not t_a.is_alive() and not t_b.is_alive()
+    assert builds == [2, 5], "B must rebuild from the rewritten state"
+    assert results["a"].count() == 2 and results["b"].count() == 5
+    # exactly one surviving entry: B's, keyed by the POST-rewrite signature
+    assert list(memo) == [((id(spark), "/rewrite-race"), (("/p", 2, 200),))]
+    assert memo[list(memo)[0]][2] is results["b"]
+    assert not results["a"].storageLevel.useMemory, "stale relation still pinned"
+    results["b"].unpersist()
+    memo.clear()
