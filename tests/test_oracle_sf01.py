@@ -25,8 +25,14 @@ DEDUP_FAMILY = [
     "q_dedup_substring",  # r6: whole-doc duplicated runs only exist here
 ]
 
+# queries with a size-gated branch that only activates at sf0.1: the packing
+# shard key floor(doc_id / PACK_SHARD=4096) is constant 0 at sf0.001/sf0.01
+# (≤ 500 docs), so the multi-shard window partitioning — the property the
+# shard exists for — is oracle-verified only here (5000 docs → shards 0, 1)
+SCALE_BRANCH_FAMILY = ["q_pack_sequences"]
 
-@pytest.mark.parametrize("name", DEDUP_FAMILY)
+
+@pytest.mark.parametrize("name", DEDUP_FAMILY + SCALE_BRANCH_FAMILY)
 def test_dedup_family_vs_oracle_at_sf01(spark, duck, name):
     qs = engine.all_queries()
     oracles = engine.all_oracles()
