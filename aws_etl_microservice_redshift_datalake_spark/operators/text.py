@@ -492,8 +492,18 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") <= 2)
 
 
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_URL_RE = "https?://[^ ]+"
+# Quantifiers are BOUNDED to the RFC 5321 limits (64-char local part,
+# 255-char domain) — not for strictness but for worst-case scan cost: with
+# an unbounded `[...]+@`, Java's backtracking engine pays O(len) at every
+# start position inside a long delimiter-free token (no required-literal
+# skip-ahead), so one 200k-char token cost ~55 MINUTES per expression
+# (measured, r6 degenerate sweep) — the shape that stalls an executor on
+# crawl text at 100 TB. Bounding caps the per-position work at 64: the same
+# doc redacts in milliseconds. DuckDB's RE2 is linear either way and
+# produces identical matches (incl. >64-char local parts, where both
+# engines redact the RFC-valid 64-char tail).
+_EMAIL_RE = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"  # literal prefix → fast scan; [^ ]+ never backtracks
 
 
 @query(

@@ -181,6 +181,11 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_pandas_udf_dot": 6,        # same np.stack-on-None fix + WHERE twin
                                   # (r6 review: count() had pruned the UDF
                                   # projection, greening a latent crash)
+    "q_text_redact": 6,           # email regex quantifiers RFC-bounded: the
+                                  # unbounded form was O(n²) in Java on long
+                                  # delimiter-free tokens (55 min/expression
+                                  # on a 200k-char token — r6 degenerate
+                                  # sweep); oracle twin changed identically
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -278,6 +278,26 @@ def test_query_survives_adversarial_text(spark, advtext_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def test_redact_linear_time_on_long_token(spark, advtext_sf):
+    """Regression guard for the r6 catastrophic-backtracking find: the
+    UNBOUNDED email regex cost ~55 minutes per expression on the 200k-char
+    single-token doc (Java backtracking pays O(len) at every start position
+    of a delimiter-free run — the shape that stalls an executor on crawl
+    text). With the RFC-bounded quantifiers the whole adversarial corpus
+    redacts in ~1 s; the generous wall bound below fails on any O(n²)
+    regression long before the sweep's own 55-minute alarm."""
+    import time
+
+    t0 = time.monotonic()
+    rows = QS["q_text_redact"](spark, advtext_sf).collect()
+    elapsed = time.monotonic() - t0
+    assert rows, "adversarial corpus produced no redaction rows"
+    assert elapsed < 120, (
+        f"redaction took {elapsed:.0f}s on the adversarial corpus — "
+        "quadratic regex scan is back"
+    )
+
+
 def test_alldup_decontaminate_semantic_clustered_exact(spark, alldup_sf):
     """Exact expected output for the clustered decontamination twin on the
     all-duplicates corpus (VERDICT r5 #7): 50 identical embeddings split
