@@ -426,7 +426,9 @@ def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_value_histogram",
     oracle="""
     SELECT event_type,
-           CAST(floor(value / 50.0) AS INTEGER) + 1 AS bucket,
+           CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                     AND abs(value) < 5e10
+                THEN CAST(floor(value / 50.0) AS INTEGER) + 1 END AS bucket,
            COUNT(*) AS n_events,
            ROUND(MIN(value), 2) AS lo,
            ROUND(MAX(value), 2) AS hi
@@ -441,12 +443,21 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly: floor(value/50)+1 — one correctly-rounded division + floor
     on the same parquet doubles, bit-identical cross-engine). Min/max per
     bucket are raw parquet values, rounded only for display. Shuffle
-    bounded by |types|×|buckets| groups."""
+    bounded by |types|×|buckets| groups.
+
+    Non-finite and bucket-overflow values land in the NULL bucket instead
+    of killing the job: floor(+Inf/50) saturates to Long.MAX and the ANSI
+    INT cast then throws CAST_OVERFLOW — a crash the r6 degraded-events
+    sweep hit on the first run, and exactly what a 100 TB instrumentation
+    feed (which always contains NaN/±Inf doubles) would do to the whole
+    stage. The guard admits |value| < 5e10 (bucket ≤ 1e9, comfortably
+    inside INT); both engines spell it identically so the twins stay in
+    lockstep on clean and degraded corpora alike."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy(
-        "event_type",
-        (F.floor(F.col("value") / 50.0).cast("int") + 1).alias("bucket"),
-    ).agg(
+    v = F.col("value")
+    in_range = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < 5e10)
+    bucket = F.when(in_range, F.floor(v / 50.0).cast("int") + 1)
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),

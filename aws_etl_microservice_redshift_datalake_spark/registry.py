@@ -186,6 +186,11 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # delimiter-free tokens (55 min/expression
                                   # on a 200k-char token — r6 degenerate
                                   # sweep); oracle twin changed identically
+    "q_value_histogram": 6,       # non-finite values bucket to NULL: the
+                                  # ANSI INT cast of floor(Inf/50)=Long.MAX
+                                  # threw CAST_OVERFLOW (r6 degraded-events
+                                  # sweep); guard spelled identically in
+                                  # both twins
 }
 
 _RECHECK: frozenset[str] = frozenset(

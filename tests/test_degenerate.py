@@ -387,6 +387,82 @@ def test_query_survives_degraded_embeddings(spark, degvec_sf, name):
 
 
 @pytest.fixture(scope="module")
+def degevents_sf(spark) -> str:
+    """Adversarial EVENTS corpus — the one payload table the earlier sweeps
+    left clean: malformed/truncated JSON props, non-object and empty-string
+    props, NaN/±Inf/NULL values (the doubles a real instrumentation pipeline
+    emits), a timestamp tie storm (every 4th event at one instant — window
+    order ties), epoch-0 and far-future outlier timestamps (spine
+    generators must not explode), and a hub user owning ~1/6 of all events
+    (the skew shape). Business keys (event_id, event_type) stay non-null."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(process_scratch(), "sf-degevents")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        ts_t = ev.schema["ts"].dataType.simpleString()  # timestamp_ntz on ns parquet
+        eid = F.col("event_id")
+        deg = (
+            ev.withColumn(
+                "props",
+                F.when(eid % 5 == 0, F.lit('{"k": 1, '))   # truncated JSON
+                .when(eid % 5 == 1, F.lit("[]"))            # non-object JSON
+                .when(eid % 5 == 2, F.lit(""))              # empty string
+                .otherwise(F.col("props")),
+            )
+            .withColumn(
+                "value",
+                F.when(eid % 9 == 0, F.lit(float("nan")))
+                .when(eid % 9 == 1, F.lit(float("inf")))
+                .when(eid % 9 == 2, F.lit(float("-inf")))
+                .when(eid % 11 == 0, F.lit(None).cast("double"))
+                .otherwise(F.col("value")),
+            )
+            .withColumn(
+                "ts",
+                F.when(eid % 4 == 0, F.lit("2024-06-01 12:00:00").cast(ts_t))
+                .when(eid == 3, F.lit("1970-01-01 00:00:00").cast(ts_t))
+                .when(eid == 7, F.lit("2199-12-31 23:59:59").cast(ts_t))
+                .otherwise(F.col("ts")),
+            )
+            .withColumn(
+                "user_id", F.when(eid % 6 == 0, F.lit(42)).otherwise(F.col("user_id"))
+            )
+        )
+        deg.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        for t in TABLES:
+            if t == "events":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle reads events, plus the (rows-only) streaming set —
+# derived from the registry so new event queries join the sweep automatically
+_EVENTS_FAMILY = sorted(
+    {n for n, s in engine.all_oracles().items() if "events" in s}
+    | {n for n in QS if n.startswith("q_stream_")}
+)
+
+
+@pytest.mark.parametrize("name", _EVENTS_FAMILY, ids=_EVENTS_FAMILY)
+def test_query_survives_degraded_events(spark, degevents_sf, name):
+    """No event operator may crash on instrumentation-grade garbage: bad
+    JSON must read as NULL (never raise), NaN/Inf must flow through stats
+    and histogram arithmetic without ANSI cast errors, outlier timestamps
+    must not explode spine generators, and tie storms must not break
+    window/session logic."""
+    df = QS[name](spark, degevents_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
 def planted_neardup_sf(spark) -> str:
     """sf0.001 embeddings plus a near-clone of each (one dim wiggled 0.5% →
     cosine ≈ 1): the fixtures contain no true embedding near-dups at ANY
