@@ -145,7 +145,12 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
            ROUND(stddev_pop(l_extendedprice), 4)  AS sdp_price,
            ROUND(var_samp(l_quantity), 4)         AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           CASE WHEN stddev_samp(l_quantity) <> 0
+                     AND stddev_samp(l_extendedprice) <> 0
+                THEN ROUND(covar_samp(l_quantity, l_extendedprice)
+                           / (stddev_samp(l_quantity)
+                              * stddev_samp(l_extendedprice)), 6)
+           END AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -153,13 +158,28 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: statistical aggregates (stddev/variance/corr/covar). Outputs are
-    continuous-valued (not on a decimal grid), so plain rounding is safe."""
+    continuous-valued (not on a decimal grid), so plain rounding is safe.
+
+    Pearson correlation is spelled as the identity covar_samp/(sx·sy) with
+    a zero-variance guard rather than the builtin corr: Spark 4's builtin
+    throws DIVIDE_BY_ZERO under ANSI when either column is constant within
+    a group (r6 zero-money degenerate sweep), and wrapping the BUILTIN in
+    CASE cannot help — aggregate results are evaluated in the final
+    projection before the CASE picks. The identity form divides three
+    already-evaluated aggregates, so the guard short-circuits lazily; both
+    engines compute the exact same formula (DuckDB's corr returns NULL on
+    zero variance, matching the guard)."""
     li = load_table(spark, sf_dir, "lineitem")
+    sx = F.stddev_samp("l_quantity")
+    sy = F.stddev_samp("l_extendedprice")
+    cov = F.covar_samp("l_quantity", "l_extendedprice")
     return li.groupBy("l_returnflag").agg(
         rnd(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         rnd(F.stddev_pop("l_extendedprice"), 4).alias("sdp_price"),
         rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.when((sx != 0) & (sy != 0), rnd(cov / (sx * sy), 6)).alias(
+            "corr_qty_price"
+        ),
         rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
     )
 
@@ -232,25 +252,33 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0::DOUBLE END), 2) AS finished_value,
            COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
-           ROUND(SUM(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice ELSE 0.0::DOUBLE END), 2)
-             / COUNT(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN 1 END) AS avg_big
+           CASE WHEN COUNT(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN 1 END) <> 0
+                THEN ROUND(SUM(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN o_totalprice ELSE 0.0::DOUBLE END), 2)
+                     / COUNT(CASE WHEN o_totalprice > 100000.0::DOUBLE THEN 1 END)
+           END AS avg_big
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: conditional aggregation — SUM/COUNT/AVG over CASE (pivot-style
-    measures, the core ETL reporting idiom)."""
+    measures, the core ETL reporting idiom). A group with no qualifying
+    rows yields NULL avg_big, not a crash: the hand-spelled sum/count
+    ratio divides by the conditional COUNT, which is 0 whenever no row
+    clears the threshold — under ANSI that threw DIVIDE_BY_ZERO (r6
+    zero-money sweep). The guard divides two already-evaluated aggregates
+    lazily, spelled identically in the oracle twin."""
     o = load_table(spark, sf_dir, "orders")
     is_big = F.col("o_totalprice") > 100000.0
+    big_n = F.count(F.when(is_big, F.lit(1)))
     return o.groupBy("o_orderpriority").agg(
         rnd(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))).alias(
             "finished_value"
         ),
         F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
-        (
-            rnd(F.sum(F.when(is_big, F.col("o_totalprice")).otherwise(0.0)))
-            / F.count(F.when(is_big, F.lit(1)))
+        F.when(
+            big_n != 0,
+            rnd(F.sum(F.when(is_big, F.col("o_totalprice")).otherwise(0.0))) / big_n,
         ).alias("avg_big"),
     )
 

@@ -434,30 +434,42 @@ def q_sql_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sql_promo_revenue",
     oracle=f"""
-    SELECT 100.0::DOUBLE * {o_exact_sum(f"CASE WHEN p_type = 'PROMO' THEN {_REV4} ELSE 0.0::DOUBLE END", 4)}
-                         / {o_exact_sum(_REV4, 4)} AS promo_pct,
-           COUNT(*) AS n_lines
-    FROM lineitem, part
-    WHERE l_partkey = p_partkey
-      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    SELECT CASE WHEN den <> 0 THEN 100.0::DOUBLE * num / den END AS promo_pct,
+           n_lines
+    FROM (
+        SELECT {o_exact_sum(f"CASE WHEN p_type = 'PROMO' THEN {_REV4} ELSE 0.0::DOUBLE END", 4)} AS num,
+               {o_exact_sum(_REV4, 4)} AS den,
+               COUNT(*) AS n_lines
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    ) sums
     """,
 )
 def q_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promo revenue share): conditional revenue over total for
     one month. Both the numerator and denominator are exact-decimal sums
     rendered to canonical doubles, so the division (and ×100) is the same
-    correctly-rounded IEEE op on both engines."""
+    correctly-rounded IEEE op on both engines. A zero-revenue month (or an
+    all-zero-priced slice — r6 zero-money sweep) yields a NULL share, not
+    an ANSI DIVIDE_BY_ZERO crash: the sums are named in a subquery so the
+    guard tests the evaluated denominator once, identically on both
+    engines."""
     register_all(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT 100.0D * CAST(ROUND(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO' THEN {_REV4_S} ELSE 0.0D END, 4) AS DECIMAL(27,4))), 2) AS DOUBLE)
-                      / CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS promo_pct,
-               COUNT(*) AS n_lines
-        FROM lineitem, part
-        WHERE l_partkey = p_partkey
-          AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+        SELECT CASE WHEN den <> 0 THEN 100.0D * num / den END AS promo_pct,
+               n_lines
+        FROM (
+            SELECT CAST(ROUND(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO' THEN {_REV4_S} ELSE 0.0D END, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS num,
+                   CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS den,
+                   COUNT(*) AS n_lines
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+        ) sums
         """
     )
 
@@ -582,43 +594,14 @@ def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_market_share",
     oracle=f"""
     SELECT o_year,
-           {o_exact_sum(f"CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0.0::DOUBLE END", 4)}
-             / {o_exact_sum("volume", 4)} AS mkt_share
+           CASE WHEN den <> 0 THEN num / den END AS mkt_share
     FROM (
-        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               {_REV4} AS volume,
-               r1.r_name AS supp_region
-        FROM part, supplier, lineitem, orders, customer,
-             nation n1, nation n2, region r1, region r2
-        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-          AND c_custkey = o_custkey
-          AND s_nationkey = n1.n_nationkey AND n1.n_regionkey = r1.r_regionkey
-          AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-          AND r2.r_name = 'AMERICA'
-          AND p_type = 'STANDARD' AND p_partkey = l_partkey
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    ) all_lines
-    GROUP BY o_year
-    ORDER BY o_year ASC
-    """,
-)
-def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape (market share): the ASIA-supplier share of STANDARD-
-    part volume sold to AMERICA-region customers, per order-year —
-    conditional-sum ÷ total-sum over one joined relation (region-level for
-    the same fixture-sparsity reason as q_sql_volume_shipping). Both sums
-    are exact-decimal; their quotient is one correctly-rounded IEEE divide
-    on each engine."""
-    register_all(spark, sf_dir)
-    return spark.sql(
-        f"""
         SELECT o_year,
-               CAST(ROUND(SUM(CAST(ROUND(CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0.0D END, 4) AS DECIMAL(27,4))), 2) AS DOUBLE)
-                 / CAST(ROUND(SUM(CAST(ROUND(volume, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS mkt_share
+               {o_exact_sum(f"CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0.0::DOUBLE END", 4)} AS num,
+               {o_exact_sum("volume", 4)} AS den
         FROM (
-            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                   {_REV4_S} AS volume,
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REV4} AS volume,
                    r1.r_name AS supp_region
             FROM part, supplier, lineitem, orders, customer,
                  nation n1, nation n2, region r1, region r2
@@ -632,6 +615,46 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         ) all_lines
         GROUP BY o_year
+    ) sums
+    ORDER BY o_year ASC
+    """,
+)
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): the ASIA-supplier share of STANDARD-
+    part volume sold to AMERICA-region customers, per order-year —
+    conditional-sum ÷ total-sum over one joined relation (region-level for
+    the same fixture-sparsity reason as q_sql_volume_shipping). Both sums
+    are exact-decimal; their quotient is one correctly-rounded IEEE divide
+    on each engine. A zero-volume year yields a NULL share instead of an
+    ANSI DIVIDE_BY_ZERO crash (r6 zero-money sweep): sums are named in a
+    subquery so the guard tests the evaluated denominator, identically on
+    both engines."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_year,
+               CASE WHEN den <> 0 THEN num / den END AS mkt_share
+        FROM (
+            SELECT o_year,
+                   CAST(ROUND(SUM(CAST(ROUND(CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0.0D END, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS num,
+                   CAST(ROUND(SUM(CAST(ROUND(volume, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS den
+            FROM (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       {_REV4_S} AS volume,
+                       r1.r_name AS supp_region
+                FROM part, supplier, lineitem, orders, customer,
+                     nation n1, nation n2, region r1, region r2
+                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                  AND c_custkey = o_custkey
+                  AND s_nationkey = n1.n_nationkey AND n1.n_regionkey = r1.r_regionkey
+                  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+                  AND r2.r_name = 'AMERICA'
+                  AND p_type = 'STANDARD' AND p_partkey = l_partkey
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            ) all_lines
+            GROUP BY o_year
+        ) sums
         ORDER BY o_year ASC
         """
     )

@@ -245,9 +245,12 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_ratio_to_report",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           o_totalprice / ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 2)
-               AS price_share
-    FROM orders
+           CASE WHEN den <> 0 THEN o_totalprice / den END AS price_share
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) AS den
+        FROM orders
+    )
     """,
 )
 def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,15 +259,19 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     x / sum(x) OVER (PARTITION BY ...). The group sum is stabilized with
     the registry ``rnd`` contract (2-dec-grid money, order-insensitive
     after rounding), so the division is the same IEEE op on both engines.
-    One shuffle on the partition key; no ordering needed (unordered frame)."""
+    One shuffle on the partition key; no ordering needed (unordered frame).
+    A zero group total yields NULL shares, not a crash: under ANSI (the
+    Spark 4 default) x/0 throws DIVIDE_BY_ZERO for every numeric type, and
+    an all-zero-priced partition is a legal slice of a real lake (r6
+    zero-money degenerate sweep); the guard is spelled identically in the
+    oracle twin."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus")
+    den = rnd(F.sum("o_totalprice").over(w))
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        (F.col("o_totalprice") / rnd(F.sum("o_totalprice").over(w))).alias(
-            "price_share"
-        ),
+        F.when(den != 0, F.col("o_totalprice") / den).alias("price_share"),
     )
 
 
@@ -286,7 +293,9 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT suppkey,
            CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
-           ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           CASE WHEN tot <> 0
+                THEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           END AS cum_share,
            (cum * 10) <= (tot * 8) AS is_top80
     FROM c
     """,
@@ -304,7 +313,10 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion + one correctly-rounded division). Scale shape: one
     map-combinable per-supplier aggregate, then windows over |suppliers|
     rows (dim-sized, not fact-sized); the at-scale form for a fact-sized
-    key is the histogram-threshold pick (q_token_budget_prune's pattern)."""
+    key is the histogram-threshold pick (q_token_budget_prune's pattern).
+    Zero total revenue (an all-zero-priced slice — r6 zero-money sweep)
+    yields NULL cum_share instead of an ANSI DIVIDE_BY_ZERO crash; the
+    is_top80 integer-decimal test needs no guard (0 <= 0 is just true)."""
     li = load_table(spark, sf_dir, "lineitem")
     r = F.sum(
         F.round(
@@ -326,8 +338,9 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "suppkey",
         F.round("r", 2).cast("double").alias("revenue"),
-        F.round(F.col("cum").cast("double") / F.col("tot").cast("double"), 6).alias(
-            "cum_share"
-        ),
+        F.when(
+            F.col("tot") != 0,
+            F.round(F.col("cum").cast("double") / F.col("tot").cast("double"), 6),
+        ).alias("cum_share"),
         ((F.col("cum") * 10) <= (F.col("tot") * 8)).alias("is_top80"),
     )

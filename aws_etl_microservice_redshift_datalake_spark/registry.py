@@ -191,6 +191,19 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # threw CAST_OVERFLOW (r6 degraded-events
                                   # sweep); guard spelled identically in
                                   # both twins
+    # r6 zero-money sweep: five ratio/stats queries threw ANSI
+    # DIVIDE_BY_ZERO when their denominator summed to zero (an all-zero-
+    # priced slice is a legal lake state). Each now yields NULL shares via
+    # a guard spelled identically in both twins; q_agg_stats additionally
+    # replaces Spark's builtin corr (which itself throws on zero variance
+    # under ANSI) with the guarded covar/(sx*sy) identity in both engines.
+    "q_sql_market_share": 6,
+    "q_sql_promo_revenue": 6,
+    "q_supplier_pareto": 6,
+    "q_window_ratio_to_report": 6,
+    "q_agg_stats": 6,
+    "q_agg_conditional": 6,       # avg_big's sum/COUNT(CASE) ratio — same
+                                  # sweep, same NULL-share guard
 }
 
 _RECHECK: frozenset[str] = frozenset(

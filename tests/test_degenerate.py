@@ -449,6 +449,63 @@ _EVENTS_FAMILY = sorted(
 )
 
 
+@pytest.fixture(scope="module")
+def degzero_sf(spark) -> str:
+    """Zero-money corpus: every lineitem money/quantity column and every
+    o_totalprice is 0.0. A legal slice of a real lake (free items, refunds,
+    a filter branch that selects only zero-priced rows) — and the ANSI
+    landmine corpus: under Spark 4's default ANSI mode, x/0 throws
+    DIVIDE_BY_ZERO for EVERY numeric type (not IEEE Inf/NaN), so any
+    share-of-total or ratio aggregate whose denominator sums to zero kills
+    the whole stage. First run found five: Q8 market share, Q14 promo
+    share, Pareto cum_share, RATIO_TO_REPORT, and Spark's own builtin corr
+    (zero variance)."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(process_scratch(), "sf-degzero")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        zero_cols = {"l_extendedprice", "l_discount", "l_tax", "l_quantity"}
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        li.select(
+            *[
+                F.lit(0.0).cast("double").alias(c) if c in zero_cols else F.col(c)
+                for c in li.columns
+            ]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        o.select(
+            *[
+                F.lit(0.0).cast("double").alias(c) if c == "o_totalprice" else F.col(c)
+                for c in o.columns
+            ]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        for t in TABLES:
+            if t in ("lineitem", "orders"):
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle reads the money-carrying fact tables
+_MONEY_FAMILY = sorted(
+    n for n, s in engine.all_oracles().items() if "lineitem" in s or "orders" in s
+)
+
+
+@pytest.mark.parametrize("name", _MONEY_FAMILY, ids=_MONEY_FAMILY)
+def test_query_survives_zero_money(spark, degzero_sf, name):
+    """No ratio/share/stats operator may crash when its denominator sums to
+    zero — the guard contract is NULL share, never DIVIDE_BY_ZERO."""
+    df = QS[name](spark, degzero_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
 @pytest.mark.parametrize("name", _EVENTS_FAMILY, ids=_EVENTS_FAMILY)
 def test_query_survives_degraded_events(spark, degevents_sf, name):
     """No event operator may crash on instrumentation-grade garbage: bad
