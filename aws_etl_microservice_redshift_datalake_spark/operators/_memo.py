@@ -115,12 +115,17 @@ def session_memo(
 
     ``sig`` may be a CALLABLE producing the signature: it is then evaluated
     under this key's build lock, so the signature is fresh at decision/build
-    time. This closes the stale-caller poisoning race (r6 review): a caller
-    that statted the files, then slept across a rewrite, would otherwise
-    BUILD from the rewritten files but install the result under its
-    pre-rewrite signature — mislabeled data a later mtime-preserving
-    restore would then hit. Production call sites all pass callables; plain
-    values remain supported (tests, fixed-key memos)."""
+    time, and RE-evaluated after the build materializes — if the two
+    disagree, a rewrite landed DURING the build (the relation may mix
+    pre- and post-rewrite files), so the result is returned to the caller
+    unmemoized and unpersisted (a later action recomputes it from a
+    consistent on-disk state) instead of being installed under either
+    signature. Together these close the stale-caller poisoning race (r6
+    review, both halves): neither a caller that statted before a rewrite
+    nor a rewrite racing the build itself can install mislabeled data that
+    a later mtime-preserving restore would hit. Production call sites all
+    pass callables; plain values remain supported (tests, fixed-key
+    memos) but get no during-build re-check."""
     # purge dead entries: session GC'd (weakref cleared) OR stopped (the
     # memoized DataFrame strongly references its session, so a stopped
     # session would otherwise stay pinned through its own memo entry —
@@ -138,8 +143,9 @@ def session_memo(
     lk = _pin_key_lock(lkey)
     try:
         with lk:
-            if callable(sig):
-                sig = sig()  # fresh-at-build: stat calls are ~µs
+            sig_fn = sig if callable(sig) else None
+            if sig_fn is not None:
+                sig = sig_fn()  # fresh-at-build: stat calls are ~µs
             # all dict reads/mutations happen under the table mutex (another
             # key's thread may be touching the same dict concurrently); only
             # the expensive build+materialize runs outside it, still guarded
@@ -178,6 +184,19 @@ def session_memo(
                     del memo[(skey, sig)]  # recycled id(): not our session
             df = build().persist()
             df.count()
+            if sig_fn is not None and sig_fn() != sig:
+                # a rewrite landed DURING the multi-second build+materialize:
+                # the persisted partitions may mix pre- and post-rewrite
+                # files. Install under NEITHER signature — hand the relation
+                # back unpersisted so the caller's next action recomputes
+                # from a consistent on-disk state, and the next memo call
+                # rebuilds under the settled signature (r6 review: the
+                # at-build-start stat alone left this window open).
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+                return df
             evict = []
             with _LOCKS_MUTEX:
                 memo[(skey, sig)] = (weakref.ref(spark), sig, df)

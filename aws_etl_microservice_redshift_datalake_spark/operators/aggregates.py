@@ -145,8 +145,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
            ROUND(stddev_pop(l_extendedprice), 4)  AS sdp_price,
            ROUND(var_samp(l_quantity), 4)         AS var_qty,
-           CASE WHEN stddev_samp(l_quantity) <> 0
-                     AND stddev_samp(l_extendedprice) <> 0
+           CASE WHEN stddev_samp(l_quantity) * stddev_samp(l_extendedprice) <> 0
                 THEN ROUND(covar_samp(l_quantity, l_extendedprice)
                            / (stddev_samp(l_quantity)
                               * stddev_samp(l_extendedprice)), 6)
@@ -168,7 +167,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection before the CASE picks. The identity form divides three
     already-evaluated aggregates, so the guard short-circuits lazily; both
     engines compute the exact same formula (DuckDB's corr returns NULL on
-    zero variance, matching the guard)."""
+    zero variance, matching the guard). The guard tests the PRODUCT sx·sy —
+    the actual divisor — not the factors: two denormal-small stddevs can
+    each be nonzero while their product underflows to exactly 0.0 (r6
+    review)."""
     li = load_table(spark, sf_dir, "lineitem")
     sx = F.stddev_samp("l_quantity")
     sy = F.stddev_samp("l_extendedprice")
@@ -177,7 +179,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         rnd(F.stddev_pop("l_extendedprice"), 4).alias("sdp_price"),
         rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.when((sx != 0) & (sy != 0), rnd(cov / (sx * sy), 6)).alias(
+        F.when((sx * sy) != 0, rnd(cov / (sx * sy), 6)).alias(
             "corr_qty_price"
         ),
         rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),

@@ -65,16 +65,17 @@ _BASIS = [_basis_weight(i) for i in range(64)]
            ROUND(list_inner_product(embedding::DOUBLE[],
                                     {_BASIS!r}::DOUBLE[]), 6) AS basis_dot
     FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
     """,
 )
 def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: vectorized (Arrow) pandas UDF — dot product of each embedding with
     a fixed deterministic basis vector, computed with numpy over whole
     batches. The 10-100×-faster sanctioned shape for custom numeric kernels.
-    NULL embeddings drop JVM-side before Arrow ships the batch (np.stack
-    crashes on a 0-d None array — the same degraded-lake bug the r6 sweep
-    found in the centroid UDAF); the oracle twin carries the same WHERE."""
+    NULL and off-dimension embeddings drop JVM-side before Arrow ships the
+    batch: np.stack crashes on a 0-d None array AND on ragged/empty arrays
+    (truncated 63-dim or [] rows — the same degraded-lake class, r6 review),
+    so the guard is isNotNull AND size == 64, mirrored in the oracle."""
     basis = np.array(_BASIS, dtype=np.float64)
 
     @F.pandas_udf(T.DoubleType())
@@ -83,7 +84,7 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(np.round(mat @ basis, 6))
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
     return e.select("vec_id", basis_dot("embedding").alias("basis_dot"))
 
@@ -97,7 +98,7 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(embedding[2]::DOUBLE), 6) AS c2,
            ROUND(AVG(embedding[3]::DOUBLE), 6) AS c3
     FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
     GROUP BY label
     """,
 )
@@ -105,10 +106,11 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: grouped custom aggregate via applyInPandas — per-label centroid
     (first three dimensions). Each label group arrives as one pandas frame;
     at scale this shuffles on the group key exactly like a built-in agg.
-    NULL embeddings are dropped JVM-side before Arrow ships the group (the
-    multimodal drop-null rule — np.stack crashes on a 0-d None array, found
-    by the r6 degraded-embeddings sweep); the oracle twin carries the same
-    WHERE."""
+    NULL and off-dimension embeddings are dropped JVM-side before Arrow
+    ships the group (the multimodal drop-null rule): np.stack crashes on a
+    0-d None array (r6 degraded-embeddings sweep) and on ragged/empty
+    arrays (r6 review), so the guard is isNotNull AND size == 64, mirrored
+    in the oracle twin."""
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
@@ -124,7 +126,7 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
     return e.groupBy("label").applyInPandas(
         centroid, schema="label int, n long, c1 double, c2 double, c3 double"

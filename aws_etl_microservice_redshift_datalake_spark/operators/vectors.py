@@ -44,14 +44,21 @@ DIM = 64
 
 
 def _el(col, i: int):
-    """element_at with a per-ELEMENT double cast. Never pre-cast the whole
-    array with ``transform(col, cast)``: Catalyst's project-collapse inlines
-    the HOF into every downstream element_at, so each of the hundreds of
-    element references in a dot product / LSH expression re-evaluates the
-    full 64-element interpreted lambda (measured: 12 s instead of 0.3 s to
-    bucket 2,000 vectors). A scalar cast per element stays in whole-stage
-    codegen."""
-    return F.element_at(col, i).cast("double")
+    """try_element_at with a per-ELEMENT double cast. Never pre-cast the
+    whole array with ``transform(col, cast)``: Catalyst's project-collapse
+    inlines the HOF into every downstream element_at, so each of the
+    hundreds of element references in a dot product / LSH expression
+    re-evaluates the full 64-element interpreted lambda (measured: 12 s
+    instead of 0.3 s to bucket 2,000 vectors). A scalar cast per element
+    stays in whole-stage codegen.
+
+    TRY_element_at, not element_at: under ANSI (the Spark 4 default) an
+    out-of-bounds index THROWS — so one ragged/empty embedding row
+    (truncated ingest, the degraded-lake shape the r6 sweep plants) killed
+    every fixed-index vector kernel. try_element_at returns NULL instead;
+    NULL propagates through the arithmetic and the row drops at the
+    verify/threshold stage — identical values for well-formed rows."""
+    return F.try_element_at(col, F.lit(i)).cast("double")
 
 
 def _dot(a, b):
@@ -265,9 +272,15 @@ def _lsh_tables(n_tables: int, n_bits: int, vcol):
     spec_col = F.from_json(F.lit(_json.dumps(spec)), "array<array<array<int>>>")
 
     def term(s):
-        # s = ±(dim+1): sign is the ±1 projection weight, |s| the 1-based dim
+        # s = ±(dim+1): sign is the ±1 projection weight, |s| the 1-based
+        # dim. TRY_element_at: under ANSI an out-of-bounds index throws, so
+        # a ragged/empty embedding would kill the whole bucket stage (r6
+        # sweep); NULL instead poisons the plane sum → bit 0 → the malformed
+        # row lands in a bucket and is discarded by the exact-dot verify.
         return (
-            F.when(s > 0, F.element_at(vcol, s)).otherwise(-F.element_at(vcol, -s))
+            F.when(s > 0, F.try_element_at(vcol, s)).otherwise(
+                -F.try_element_at(vcol, -s)
+            )
         ).cast("double")
 
     def bucket(tspec):
@@ -325,7 +338,6 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian/BNLJ over two corpus-sized sides."""
     e = _embeddings(spark, sf_dir)
     t = e.select("vec_id", F.col("embedding").alias("v"))
-    lsh_l, lsh_k = _neardup_params(table_rows(sf_dir, "embeddings"))
     # id+bucket only (~24 B/row × L per vector) — cached because both join
     # sides read it AND it is narrow-but-expensive (L×k sparse projections
     # per vector): measured at the 10× corpus, cached 2.90 s vs 4.47 s
@@ -337,6 +349,15 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
 
+    def _params() -> tuple:
+        # derived INSIDE the sig/build callables (both run under the memo's
+        # key lock): a rewrite crossing a size regime while this caller
+        # waited for the lock must re-derive (L, k) from the FRESH footer
+        # stats, or the build would band the new corpus with stale floor
+        # params (r6 review). table_rows re-stats per call (sig-keyed
+        # cache), so this is ~µs.
+        return _neardup_params(table_rows(sf_dir, "embeddings"))
+
     buckets = session_memo(
         _BUCKETS_MEMO,
         spark,
@@ -345,11 +366,13 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # relation is a FUNCTION of the params, so a different banding
         # (size-regime change after an amplification, or a test forcing the
         # grown regime) must never be satisfied by a memoized floor-params
-        # relation (r6 review). Callable → evaluated fresh-at-build.
-        lambda: (_stat_sig(table_path(sf_dir, "embeddings")), lsh_l, lsh_k),
+        # relation (r6 review). Callable → evaluated fresh-at-build, and
+        # re-checked after materialization (a mid-build rewrite returns the
+        # relation unmemoized — _memo.session_memo).
+        lambda: (_stat_sig(table_path(sf_dir, "embeddings")), *_params()),
         lambda: t.select(
             "vec_id",
-            F.explode(_lsh_tables(lsh_l, lsh_k, F.col("v"))).alias("tb"),
+            F.explode(_lsh_tables(*_params(), F.col("v"))).alias("tb"),
         ).select("vec_id", "tb.tbl", "tb.bkt"),
     )
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")

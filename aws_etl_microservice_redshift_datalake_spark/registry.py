@@ -204,6 +204,16 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_agg_stats": 6,
     "q_agg_conditional": 6,       # avg_big's sum/COUNT(CASE) ratio — same
                                   # sweep, same NULL-share guard
+    "q_cosine_neardup": 6,        # _lsh_tables/_el moved to try_element_at
+                                  # (ANSI: out-of-bounds THROWS — one ragged
+                                  # embedding killed the bucket stage; r6
+                                  # ragged-vector sweep). Values identical
+                                  # for well-formed rows. The rows-only
+                                  # vector twins sharing these helpers keep
+                                  # their pytest recall floors as the
+                                  # binding check (r5 precedent above).
+    # q_pandas_udf_dot / q_pandas_udaf_centroid gained the size==64 guard
+    # in the same sweep — their r6 entries above already pin them.
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -335,9 +335,12 @@ def test_alldup_exact_substring_whole_doc_spans(spark, alldup_sf):
 def degvec_sf(spark) -> str:
     """Degraded embeddings — the vector-lake reality the clean fixtures never
     exercise: every 5th vector is all-zero (norm 0 → NaN cosines must stay
-    inert, not crash or mis-rank) and every 7th is NULL (absent embedding —
-    must drop JVM-side before any kernel sees it). Other tables linked
-    clean from sf0.001."""
+    inert, not crash or mis-rank), every 7th is NULL (absent embedding —
+    must drop JVM-side before any kernel sees it), every 11th is truncated
+    to 63 dims and every 13th is the empty array (ragged rows: np.stack
+    raises on mixed shapes, so Arrow-bound kernels must drop off-dimension
+    rows JVM-side too — r6 review). Other tables linked clean from
+    sf0.001."""
     from pyspark.sql import functions as F
 
     d = os.path.join(process_scratch(), "sf-degvec")
@@ -353,6 +356,11 @@ def degvec_sf(spark) -> str:
                 F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
             )
             .when(F.col("vec_id") % 7 == 0, F.lit(None))
+            .when(F.col("vec_id") % 11 == 0, F.slice("embedding", 1, 63))
+            .when(
+                F.col("vec_id") % 13 == 0,
+                F.array().cast("array<float>"),
+            )
             .otherwise(F.col("embedding")),
         )
         deg.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
@@ -490,9 +498,17 @@ def degzero_sf(spark) -> str:
     return d
 
 
-# every query whose oracle reads the money-carrying fact tables
+# every query whose oracle reads the money-carrying fact tables, plus the
+# rows-only fact readers the oracle scan can't see (no silent caps — the
+# events sweep adds its rows-only q_stream_* set the same way)
 _MONEY_FAMILY = sorted(
-    n for n, s in engine.all_oracles().items() if "lineitem" in s or "orders" in s
+    {n for n, s in engine.all_oracles().items() if "lineitem" in s or "orders" in s}
+    | {
+        "q_freq_items",          # lineitem (Misra-Gries, rows-only)
+        "q_agg_approx_distinct", # orders (HLL sketch, rows-only)
+        "q_agg_approx_pct",      # lineitem (quantile sketch, rows-only)
+        "q_dq_profile_approx",   # lineitem (HLL profile, rows-only)
+    }
 )
 
 
@@ -582,6 +598,22 @@ def test_cosine_neardup_operator_grown_params(spark, planted_neardup_sf, monkeyp
     )
     grown = vectors._neardup_params(2_000_000)
     assert grown != (vectors.NEARDUP_TABLES, vectors.NEARDUP_BITS)
+
+    # the ANALYTIC floor the parameter rule promises (r6 review: planted
+    # clones at cosine ~0.99999 are recovered by almost any (L, k), so the
+    # empirical check alone would green a regression that collapses recall
+    # at the documented 0.85 operating point): 1-(1-p^k)^L with
+    # p = 1 - arccos(s)/pi must clear 0.95 at s=0.85 in BOTH regimes
+    import math
+
+    def analytic_recall(lsh_l: int, k: int, s: float) -> float:
+        p = 1 - math.acos(s) / math.pi
+        return 1 - (1 - p**k) ** lsh_l
+
+    for lsh_l, k in [(vectors.NEARDUP_TABLES, vectors.NEARDUP_BITS), grown]:
+        assert analytic_recall(lsh_l, k, 0.85) >= 0.95, (lsh_l, k)
+        assert analytic_recall(lsh_l, k, 0.99) >= 0.99, (lsh_l, k)
+
     monkeypatch.setattr(vectors, "_neardup_params", lambda n: grown)
     grown_found = pairs()
     assert planted <= grown_found, (

@@ -861,6 +861,24 @@ def test_session_memo_callable_sig_fresh_at_build(spark):
     memo.clear()
 
 
+def test_session_memo_mid_build_rewrite_not_installed(spark):
+    """A rewrite landing DURING the build+materialize (signature differs
+    between the at-start and after-count evaluations) must hand the caller
+    its relation UNMEMOIZED and unpersisted: the partitions may mix pre-
+    and post-rewrite files, so installing under either signature would
+    poison the memo (r6 review — the at-start stat alone left this open)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
+
+    memo: dict = {}
+    sigs = iter([(("/p", 1, 100),), (("/p", 2, 200),)])
+    df = session_memo(
+        memo, spark, "/midbuild", lambda: next(sigs), lambda: spark.range(4)
+    )
+    assert df.count() == 4  # the caller still gets a usable relation
+    assert memo == {}, "torn-build relation was installed"
+    assert not df.storageLevel.useMemory, "torn-build relation left persisted"
+
+
 def test_session_memo_racing_rewrite_across_threads(spark):
     """The exact interleaving the callable-sig change exists for, driven with
     real threads: A acquires the key lock and starts a slow build; a rewrite
