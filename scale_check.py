@@ -303,7 +303,12 @@ def main() -> None:
         "Σ|cell|² ≈ 9·n^1.5 with √n cells and top-3 multi-probe, so the",
         f"expected wall factor at {K}× rows is ~√{K} ≈ {K**0.5:.1f}× on the",
         "pair stage plus the once-per-process IVF training shared by all",
-        "three — measured factors sit at or under that bound.",
+        "three. semdedup/decontaminate sit at or under that bound;",
+        "`q_cross_lingual_neardup_clustered` adds a corpus-sized language-",
+        "hydration join after the pair stage and measures 4.0-5.7x across",
+        "quiet/contended windows on this host (its pair COUNT is verified",
+        "non-quadratic by the pytest subset+recall floors; treat same-day",
+        "factor swings per the BASELINE.md noise protocol).",
         "`q_dedup_clusters`'s factor reads the star-contraction rounds:",
         "edge count grows 10× and the round count grows O(log²), with each",
         "round a fixed-latency checkpointed job (one action per two star",
