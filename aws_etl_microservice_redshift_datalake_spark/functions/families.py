@@ -430,8 +430,10 @@ def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND abs(value) < 5e10
                 THEN CAST(floor(value / 50.0) AS INTEGER) + 1 END AS bucket,
            COUNT(*) AS n_events,
-           ROUND(MIN(value), 2) AS lo,
-           ROUND(MAX(value), 2) AS hi
+           ROUND(MIN(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                               AND abs(value) < 5e10 THEN value END), 2) AS lo,
+           ROUND(MAX(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                               AND abs(value) < 5e10 THEN value END), 2) AS hi
     FROM events
     GROUP BY event_type, bucket
     """,
@@ -452,13 +454,20 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed (which always contains NaN/±Inf doubles) would do to the whole
     stage. The guard admits |value| < 5e10 (bucket ≤ 1e9, comfortably
     inside INT); both engines spell it identically so the twins stay in
-    lockstep on clean and degraded corpora alike."""
+    lockstep on clean and degraded corpora alike.
+
+    lo/hi aggregate over the SAME in_range guard as the bucket (ADVICE r6):
+    raw NaN/±Inf reaching MIN/MAX in the NULL bucket would make the twins'
+    agreement hinge on the harness's NaN canonicalization (NaN != NaN under
+    naive comparison). With the guard, the NULL bucket reports NULL lo/hi —
+    deterministic and finite in both engines — while every finite bucket is
+    untouched (its rows all satisfy in_range by construction)."""
     e = load_table(spark, sf_dir, "events")
     v = F.col("value")
     in_range = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < 5e10)
     bucket = F.when(in_range, F.floor(v / 50.0).cast("int") + 1)
     return e.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.min("value"), 2).alias("lo"),
-        F.round(F.max("value"), 2).alias("hi"),
+        F.round(F.min(F.when(in_range, v)), 2).alias("lo"),
+        F.round(F.max(F.when(in_range, v)), 2).alias("hi"),
     )

@@ -201,13 +201,18 @@ def session_memo(
             with _LOCKS_MUTEX:
                 memo[(skey, sig)] = (weakref.ref(spark), sig, df)
                 # freshness-ordered eviction: drop same-(session, sf_dir)
-                # entries whose sig is older-or-tied (a rewrite superseded
-                # them); a FRESHER entry survives a stale-sig arrival, so a
-                # racing pre-rewrite caller can never unpersist the newer
-                # relation out from under its consumers (ADVICE r5)
+                # entries whose sig is STRICTLY older (a rewrite superseded
+                # them); on a freshness TIE both entries are kept (ADVICE
+                # r6: filesystems with coarse mtime granularity — 1s HFS+,
+                # 2s FAT — can stamp a pre- and post-rewrite state with the
+                # same mtime_ns, and evicting on the tie would let a
+                # stale-sig straggler unpersist the newer relation out from
+                # under its consumers; a tied duplicate merely persists one
+                # extra relation until the session purge). A fresher entry
+                # is therefore never evicted by a stale-or-tied-sig arrival.
                 mine = _sig_fresh(sig)
                 for k, (_, osig, odf) in list(memo.items()):
-                    if k[0] == skey and k[1] != sig and _sig_fresh(osig) <= mine:
+                    if k[0] == skey and k[1] != sig and _sig_fresh(osig) < mine:
                         del memo[k]
                         evict.append(odf)
             for odf in evict:

@@ -1034,3 +1034,129 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     same certification argument as q_decontaminate_ngram)."""
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_spans(d, SUBSTR_K)
+
+
+_SUBSTR_APPLY_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {SUBSTR_K - 1}),
+                   i -> {{'p': i,
+                          'g': array_to_string(t[i:i+{SUBSTR_K - 1}], ' ')}}))
+                   AS u
+        FROM base WHERE len(t) >= {SUBSTR_K}
+    ),
+    grams AS (SELECT doc_id, u.p AS pos, u.g AS gram FROM pos),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE gram IN (SELECT gram FROM dup)
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM runs
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SUBSTR_K - 1} AS e
+        FROM isl GROUP BY doc_id, run_id
+    ),
+    sl AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS sl
+        FROM spans GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT b.doc_id, len(b.t) AS n_total,
+               list_filter(
+                   list_transform(
+                       generate_series(1, len(b.t)),
+                       i -> CASE WHEN len(list_filter(
+                                COALESCE(sl.sl, []),
+                                x -> x.s <= i AND i <= x.e)) = 0
+                            THEN b.t[i] END),
+                   tok -> tok IS NOT NULL) AS kt
+        FROM base b LEFT JOIN sl ON b.doc_id = sl.doc_id
+    )
+    SELECT doc_id,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+           -- array_join([]) is '' — a fully-removed doc must read '' in both
+           COALESCE(array_to_string(kt, ' '), '') AS clean_text,
+           CAST(len(kt) AS INT) AS n_kept,
+           CAST(n_total - len(kt) AS INT) AS n_removed
+    FROM kept
+"""
+
+
+@query("q_dedup_substring_apply", oracle=_SUBSTR_APPLY_ORACLE)
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span APPLICATION — the end of the Lee et al. '21 ExactSubstr
+    pipeline (VERDICT r6 #3): remove every flagged duplicated run from
+    every document and emit the cleaned corpus. Every flagged OCCURRENCE
+    is removed (each occurrence's shingles count >= 2 by symmetry — the
+    released ExactSubstr tool's semantics), so a fully-duplicated document
+    cleans to the empty string; tests/test_degenerate.py pins that case on
+    the all-duplicates corpus.
+
+    Scale shape (100 TB): the span report is exact_substring_spans
+    (row-local shingle hashing, semi-join, per-document run merge — see
+    q_dedup_substring); spans collapse to ONE per-doc span list
+    (document-sized state: a doc's span count is bounded by its token
+    count), then a single hash join back to the corpus on doc_id, pinned
+    SHUFFLE_HASH — docs-with-spans is corpus-scale on a crawl, so a
+    statically-planned broadcast could OOM the build side. The surgery
+    itself is row-local HOF arithmetic (position-tagged filter over the
+    token array; n_tokens × n_spans per row, no Python, no extra
+    shuffle). The oracle recomputes the spans from RAW shingle strings and
+    re-applies the same surgery, so a green hash certifies both the span
+    set (collision-free) and the token-range removal."""
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return apply_substring_spans(d, SUBSTR_K)
+
+
+def apply_substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """The surgery behind q_dedup_substring_apply, reusable on any
+    (doc_id, text) relation (the property suite drives it on random
+    tiny-alphabet corpora at randomized k). NULL-text docs drop (no tokens
+    to clean — the exact_substring_spans contract)."""
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    spans = exact_substring_spans(d, k)
+    sl = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("start_tok").alias("s"), F.col("end_tok").alias("e"))
+        ).alias("sl")
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    joined = toks.join(sl.hint("SHUFFLE_HASH"), "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce("sl", F.array().cast("array<struct<s:int,e:int>>")).alias("sl"),
+    )
+    tagged = F.transform(
+        "t", lambda tok, i: F.struct(tok.alias("tok"), (i + 1).cast("int").alias("p"))
+    )
+    kept = F.filter(
+        tagged,
+        lambda x: ~F.exists(
+            F.col("sl"), lambda s: (s["s"] <= x["p"]) & (x["p"] <= s["e"])
+        ),
+    )
+    kt = F.transform(kept, lambda x: x["tok"])
+    return joined.select(
+        "doc_id",
+        F.array_join(kt, " ").alias("clean_text"),
+        F.size(kt).cast("int").alias("n_kept"),
+        (F.size("t") - F.size(kt)).cast("int").alias("n_removed"),
+    )

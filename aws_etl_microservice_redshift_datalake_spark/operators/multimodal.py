@@ -136,11 +136,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_frames")  # rows-only: frame-sampling layout is engine-internal
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS asset_id, text AS s
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+        SELECT asset_id, s,
+               unnest(generate_series(
+                   0, LEAST(octet_length(CAST(s AS BLOB)) // 64, 7)
+               )) AS frame_idx
+        FROM base
+    )
+    SELECT asset_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(s, CAST(frame_idx * 64 + 1 AS INT), 64)) AS INT)
+               AS frame_len,
+           md5(substring(s, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM f
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10c: frame sampling — one row per sampled 'frame' (fixed-stride byte
     windows standing in for video frames; posexplode gives frame indices).
-    Demonstrates the 1→N multimodal expansion with bounded fan-out."""
+    Demonstrates the 1→N multimodal expansion with bounded fan-out.
+
+    PROMOTED from rows-only to a full hash oracle in round 7 (VERDICT r6
+    #6): the frame windows are substring arithmetic + md5 in both engines
+    (char-based substring ≡ byte windows on this ASCII corpus — verified
+    octet_length == length corpus-wide; a NULL payload explodes to no
+    frames, mirrored by WHERE text IS NOT NULL). Both engines emit
+    lowercase-hex md5, so the value hash certifies the frame CONTENT, not
+    just its layout."""
     a = _assets(spark, sf_dir)
     frames = a.select(
         "asset_id",

@@ -77,6 +77,24 @@ def _dot(a, b):
     )
 
 
+def _bucketable(vcol):
+    """Conformance predicate applied BEFORE LSH bucketing (ADVICE r6).
+
+    NULL, ragged, empty, element-NULL/NaN, and all-zero vectors all hash to
+    bucket 0 in EVERY table — their plane sums are NULL/NaN/0, so every
+    `sum > 0` sign bit is 0 — so m such degraded rows form an O(m²·L)
+    candidate clique in the bucket self-join, the exact quadratic stage the
+    banding exists to prevent on a 100 TB degraded lake. None of them can
+    pass the exact-dot >= threshold verify (their similarity is NULL/NaN/0),
+    so dropping them before bucketing is output-identical on ANY corpus;
+    mirrors the size==DIM guard in the pandas-UDF kernels."""
+    return (
+        (F.size(vcol) == DIM)
+        & ~F.exists(vcol, lambda x: x.isNull() | F.isnan(x))
+        & F.exists(vcol, lambda x: x != 0)
+    )
+
+
 @query(
     "q_ann_topk",
     oracle=f"""
@@ -370,7 +388,7 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-checked after materialization (a mid-build rewrite returns the
         # relation unmemoized — _memo.session_memo).
         lambda: (_stat_sig(table_path(sf_dir, "embeddings")), *_params()),
-        lambda: t.select(
+        lambda: t.filter(_bucketable(F.col("v"))).select(
             "vec_id",
             F.explode(_lsh_tables(*_params(), F.col("v"))).alias("tb"),
         ).select("vec_id", "tb.tbl", "tb.bkt"),
@@ -411,7 +429,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design; tests/test_quality.py enforces the recall floor
     against brute-force truth.
     """
-    e = _embeddings(spark, sf_dir)
+    e = _embeddings(spark, sf_dir).filter(_bucketable(F.col("embedding")))
     v = F.col("embedding")
     tables = _lsh_tables(N_TABLES, N_BITS, v)
     t_side = e.select(

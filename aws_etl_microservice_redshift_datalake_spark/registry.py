@@ -120,9 +120,19 @@ def _driver_history(repo: str | None = None) -> tuple[dict[str, int], frozenset[
             # oracled row needs rows+schema+hash all true, and a rows-only
             # (no_oracle) row needs a nonempty result — a schema-only
             # mismatch or an empty rows-only result is a failure that must
-            # re-enter the window, not rank out of it.
+            # re-enter the window, not rank out of it. Exception (ADVICE
+            # r6): a rows-only query whose CORRECT answer is empty would be
+            # pinned red forever by the row-count inference, so queries
+            # declared in _ROWS_ONLY_EMPTY_OK are green on a clean
+            # zero-row run (the artifact has no success/failure field to
+            # distinguish these, so the declaration lives with the query
+            # contract here). Empty today — every current rows-only query
+            # guarantees nonempty output by construction.
             if row.get("err") == "no_oracle":
-                green = (row.get("spark_rows") or 0) > 0
+                green = (row.get("spark_rows") or 0) > 0 or (
+                    name in _ROWS_ONLY_EMPTY_OK
+                    and (row.get("spark_rows") or 0) == 0
+                )
             else:
                 green = bool(
                     row.get("rows_match")
@@ -137,6 +147,13 @@ def _driver_history(repo: str | None = None) -> tuple[dict[str, int], frozenset[
     return last_green, frozenset(red)
 
 
+# Rows-only queries whose correct driver-corpus answer MAY legitimately be
+# empty (ADVICE r6): list a name here when registering such a query so a
+# clean zero-row run ranks as green instead of pinning a window slot red
+# forever. Keep empty unless a query genuinely guarantees-nothing — an
+# unexpectedly-empty result from any other query must stay red.
+_ROWS_ONLY_EMPTY_OK: frozenset[str] = frozenset()
+
 _LAST_GREEN, _DRIVER_RED = _driver_history()
 _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 
@@ -149,71 +166,34 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 # future round forgets to clear them (the same staleness failure the derived
 # era sets fixed). Red-last-round queries re-enter automatically via
 # _DRIVER_RED — no entry needed here.
+# Convention for the recorded round number: it is "the last round whose
+# driver row does NOT verify this change". When the change lands BEFORE the
+# round-N driver run (the normal case — code is committed, then the driver
+# checks it), record N-1 so the same-round green row releases the slot
+# immediately (r6 precedent: the multimodal oracle repairs were recorded at
+# 5 and released by their r6 rows). All 22 r6-changed queries were verified
+# green in CORRECTNESS_r06 on the changed code (VERDICT r6 §3), so their
+# entries expired and are pruned.
 _RECHECK_CHANGED: dict[str, int] = {
-    # r6 added the SPARK_GRAFT_CC_RELIABLE env switch + reliable-path
-    # persist/drain to connected_components; the default (driver) path is
-    # unchanged and both are already pinned by their r5 entries, so the r6
-    # driver row verifies the r6 code — kept at 5 (same reasoning as the
-    # multimodal pair below).
-    "q_dedup_clusters": 5,       # CC fixpoint now one action/round (r5)
-    "q_training_pipeline": 5,    # consumes the CC drop set
-    # NOT re-entered despite r5 changes: q_semdedup_clustered and
-    # q_ann_ivf_topk are rows-only contracts whose binding checks are the
-    # pytest recall floors (already re-run green on the changed code) — a
-    # driver rows-only re-row adds no hash signal and would displace a
-    # burn-in slot (VERDICT r4 #4 asks for ≥40 r1-era re-confirmations).
-    "q_decontaminate_semantic": 5,   # pair stage refactored to a shared tail
-    "q_cross_lingual_neardup": 5,    # same refactor
-    "q_compact_roundtrip": 5,    # scratch dir moved to env/pid-scoped path
-    "q_unload_roundtrip": 5,     # re-read uses declared schema, not inference
-    "q_udtf_bigrams": 5,         # null-text guard in the UDTF kernel
-    # r6 also added WHERE text IS NOT NULL to both multimodal ORACLES
-    # (ADVICE r5: the twins had drifted from the r5 drop-null Spark change).
-    # The r5 entries below already pin both in the r6 window, so the r6
-    # driver row verifies the repaired oracle — kept at 5 (not bumped to 6)
-    # so one green on the new oracle releases the slot for r7 burn-in.
-    "q_multimodal_decode": 5,    # null payloads dropped JVM-side + empty guard
-    "q_multimodal_resize": 5,    # null payloads dropped JVM-side
-    "q_weighted_sample": 5,      # zero-weight rows excluded (ANSI div-by-zero)
-    "q_pandas_udaf_centroid": 6,  # null embeddings dropped JVM-side + oracle
-                                  # WHERE twin (r6 degraded-embeddings sweep
-                                  # found np.stack crashing on a None row)
-    "q_pandas_udf_dot": 6,        # same np.stack-on-None fix + WHERE twin
-                                  # (r6 review: count() had pruned the UDF
-                                  # projection, greening a latent crash)
-    "q_text_redact": 6,           # email regex quantifiers RFC-bounded: the
-                                  # unbounded form was O(n²) in Java on long
-                                  # delimiter-free tokens (55 min/expression
-                                  # on a 200k-char token — r6 degenerate
-                                  # sweep); oracle twin changed identically
-    "q_value_histogram": 6,       # non-finite values bucket to NULL: the
-                                  # ANSI INT cast of floor(Inf/50)=Long.MAX
-                                  # threw CAST_OVERFLOW (r6 degraded-events
-                                  # sweep); guard spelled identically in
-                                  # both twins
-    # r6 zero-money sweep: five ratio/stats queries threw ANSI
-    # DIVIDE_BY_ZERO when their denominator summed to zero (an all-zero-
-    # priced slice is a legal lake state). Each now yields NULL shares via
-    # a guard spelled identically in both twins; q_agg_stats additionally
-    # replaces Spark's builtin corr (which itself throws on zero variance
-    # under ANSI) with the guarded covar/(sx*sy) identity in both engines.
-    "q_sql_market_share": 6,
-    "q_sql_promo_revenue": 6,
-    "q_supplier_pareto": 6,
-    "q_window_ratio_to_report": 6,
-    "q_agg_stats": 6,
-    "q_agg_conditional": 6,       # avg_big's sum/COUNT(CASE) ratio — same
-                                  # sweep, same NULL-share guard
-    "q_cosine_neardup": 6,        # _lsh_tables/_el moved to try_element_at
-                                  # (ANSI: out-of-bounds THROWS — one ragged
-                                  # embedding killed the bucket stage; r6
-                                  # ragged-vector sweep). Values identical
-                                  # for well-formed rows. The rows-only
-                                  # vector twins sharing these helpers keep
-                                  # their pytest recall floors as the
-                                  # binding check (r5 precedent above).
-    # q_pandas_udf_dot / q_pandas_udaf_centroid gained the size==64 guard
-    # in the same sweep — their r6 entries above already pin them.
+    # r7 changes land before the r7 driver run, so they are recorded at 6
+    # (a round-7 green verifies them). NOT re-entered despite r7 changes:
+    # rows-only vector twins sharing changed helpers keep their pytest
+    # recall floors as the binding check (r5/r6 precedent) — a rows-only
+    # re-row adds no hash signal and would displace a burn-in slot.
+    "q_cosine_neardup": 6,        # ADVICE r6: degraded rows (NULL/ragged/
+                                  # zero-norm) filtered BEFORE LSH bucketing
+                                  # so they can't form an O(m²·L) bucket-0
+                                  # clique; output identical on any corpus
+                                  # (such rows can never pass the exact
+                                  # >=0.8 verify).
+    "q_value_histogram": 6,       # ADVICE r6: lo/hi now MIN/MAX over the
+                                  # same finite in_range guard as the
+                                  # buckets, in both twins — no raw NaN/Inf
+                                  # can reach the NULL-bucket stats row.
+    "q_multimodal_frames": 6,     # PROMOTED rows-only -> full hash oracle
+                                  # (VERDICT r6 #6): substring+md5 twin;
+                                  # Spark code unchanged, but the first
+                                  # oracled driver row must land rank-0.
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -69,6 +69,9 @@ HEADLINE = [
     # round 6: exact-substring dedup (shingle-run merge — the last published
     # dedup family) — compare r7+ totals against 30 queries
     "q_dedup_substring",
+    # round 7: span APPLICATION (cleaned-corpus emission — span join +
+    # row-local token surgery) — compare r8+ totals against 31 queries
+    "q_dedup_substring_apply",
 ]
 
 

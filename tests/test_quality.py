@@ -465,14 +465,16 @@ def test_session_memo_evicts_superseded_and_dead(spark):
     from aws_etl_microservice_redshift_datalake_spark.operators._memo import session_memo
 
     memo: dict = {}
-    a = session_memo(memo, spark, "/x", "sig1", lambda: spark.range(5))
+    sig1 = (("/x/part-0.parquet", 100, 1_000),)
+    sig2 = (("/x/part-0.parquet", 120, 2_000),)  # a rewrite: fresher mtime
+    a = session_memo(memo, spark, "/x", sig1, lambda: spark.range(5))
     assert a.storageLevel.useMemory and len(memo) == 1
     # same signature: memo hit, the build lambda must not run
-    b = session_memo(memo, spark, "/x", "sig1",
+    b = session_memo(memo, spark, "/x", sig1,
                      lambda: (_ for _ in ()).throw(AssertionError("rebuilt")))
     assert b is a
     # new signature at the same sf_dir: superseded entry unpersisted, replaced
-    c = session_memo(memo, spark, "/x", "sig2", lambda: spark.range(7))
+    c = session_memo(memo, spark, "/x", sig2, lambda: spark.range(7))
     assert c is not a
     assert not a.storageLevel.useMemory, "superseded relation still pinned"
     assert c.storageLevel.useMemory and len(memo) == 1
@@ -723,9 +725,13 @@ def test_session_memo_supersede_is_freshness_ordered(spark):
     relation matching ITS OWN signature (built if absent), which also keeps
     an mtime-preserving restore / snapshot rollback CORRECT (the on-disk
     state wins; the memo can never pin newer-mtimed data forever). Eviction
-    is freshness-ordered: installing a relation evicts only older-or-tied
-    sigs of the same (session, sf_dir). Signatures are real _stat_sig
-    shapes ((path, size, mtime_ns) tuples, optionally nested)."""
+    is freshness-ordered: installing a relation evicts only STRICTLY older
+    sigs of the same (session, sf_dir) — on a freshness tie both entries
+    coexist (ADVICE r6: coarse-mtime filesystems can stamp pre- and
+    post-rewrite states with the same mtime_ns, and evicting on the tie
+    would let a stale-sig straggler unpersist the newer relation).
+    Signatures are real _stat_sig shapes ((path, size, mtime_ns) tuples,
+    optionally nested)."""
     from aws_etl_microservice_redshift_datalake_spark.operators._memo import (
         _sig_fresh,
         session_memo,
@@ -747,7 +753,14 @@ def test_session_memo_supersede_is_freshness_ordered(spark):
     # exact-sig re-arrival is a plain hit on the coexisting entry
     assert session_memo(memo, spark, "/ord", old_sig, lambda: 1 / 0) is got
     assert session_memo(memo, spark, "/ord", new_sig, lambda: 1 / 0) is fresh
-    # strictly newer signature supersedes BOTH older entries
+    # freshness TIE (coarse-mtime rewrite: same mtime_ns, different size):
+    # the tied arrival coexists — it must NOT evict the equally-fresh entry
+    tied_sig = (("/d/part-0.parquet", 121, 2_000),)
+    tied = session_memo(memo, spark, "/ord", tied_sig, lambda: spark.range(3))
+    assert tied is not fresh and fresh.storageLevel.useMemory, (
+        "tied-sig arrival evicted the equally-fresh relation (ADVICE r6)"
+    )
+    # strictly newer signature supersedes ALL older-and-tied entries
     newest_sig = (("/d/part-0.parquet", 130, 3_000),)
     nxt = session_memo(memo, spark, "/ord", newest_sig, lambda: spark.range(4))
     assert nxt is not fresh and not fresh.storageLevel.useMemory
