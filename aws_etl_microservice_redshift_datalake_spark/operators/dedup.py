@@ -983,9 +983,10 @@ def exact_substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_substring",
-    oracle=f"""
+# The shared CTE chain recomputing the ExactSubstr span positions from RAW
+# shingle strings — the single source for BOTH substring oracles (r7 review:
+# a duplicated chain would let a future span-semantics fix drift one twin).
+_SUBSTR_SPANS_CTES = f"""
     WITH base AS (
         SELECT doc_id, string_split(text, ' ') AS t
         FROM documents WHERE text IS NOT NULL
@@ -1018,7 +1019,12 @@ def exact_substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         SELECT doc_id, pos,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
         FROM runs
-    )
+    )"""
+
+
+@query(
+    "q_dedup_substring",
+    oracle=_SUBSTR_SPANS_CTES + f"""
     SELECT doc_id,
            CAST(MIN(pos) AS INT) AS start_tok,
            CAST(MAX(pos) + {SUBSTR_K - 1} AS INT) AS end_tok,
@@ -1036,40 +1042,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(d, SUBSTR_K)
 
 
-_SUBSTR_APPLY_ORACLE = f"""
-    WITH base AS (
-        SELECT doc_id, string_split(text, ' ') AS t
-        FROM documents WHERE text IS NOT NULL
-    ),
-    pos AS (
-        SELECT doc_id,
-               unnest(list_transform(
-                   generate_series(1, len(t) - {SUBSTR_K - 1}),
-                   i -> {{'p': i,
-                          'g': array_to_string(t[i:i+{SUBSTR_K - 1}], ' ')}}))
-                   AS u
-        FROM base WHERE len(t) >= {SUBSTR_K}
-    ),
-    grams AS (SELECT doc_id, u.p AS pos, u.g AS gram FROM pos),
-    dup AS (
-        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
-    ),
-    hits AS (
-        SELECT doc_id, pos FROM grams
-        WHERE gram IN (SELECT gram FROM dup)
-    ),
-    runs AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - LAG(pos) OVER
-                        (PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_K}
-                    THEN 0 ELSE 1 END AS brk
-        FROM hits
-    ),
-    isl AS (
-        SELECT doc_id, pos,
-               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
-        FROM runs
-    ),
+_SUBSTR_APPLY_ORACLE = _SUBSTR_SPANS_CTES + f""",
     spans AS (
         SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SUBSTR_K - 1} AS e
         FROM isl GROUP BY doc_id, run_id

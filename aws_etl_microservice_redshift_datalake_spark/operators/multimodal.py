@@ -166,11 +166,15 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROMOTED from rows-only to a full hash oracle in round 7 (VERDICT r6
     #6): the frame windows are substring arithmetic + md5 in both engines
     (char-based substring ≡ byte windows on this ASCII corpus — verified
-    octet_length == length corpus-wide; a NULL payload explodes to no
-    frames, mirrored by WHERE text IS NOT NULL). Both engines emit
-    lowercase-hex md5, so the value hash certifies the frame CONTENT, not
-    just its layout."""
-    a = _assets(spark, sf_dir)
+    octet_length == length corpus-wide). Both engines emit lowercase-hex
+    md5, so the value hash certifies the frame CONTENT, not just its
+    layout. NULL payloads are dropped JVM-SIDE, mirroring the oracle's
+    WHERE text IS NOT NULL — the implicit behavior was NOT equivalent
+    (r7 review, verified empirically): F.least SKIPS nulls, so
+    least(floor(length(NULL)/64), 7) is 7, and a NULL payload exploded to
+    8 all-NULL frames where the oracle emits none. Same drop-null rule as
+    decode/resize."""
+    a = _assets(spark, sf_dir).filter(F.col("payload").isNotNull())
     frames = a.select(
         "asset_id",
         F.posexplode(

@@ -84,10 +84,15 @@ def _bucketable(vcol):
     bucket 0 in EVERY table — their plane sums are NULL/NaN/0, so every
     `sum > 0` sign bit is 0 — so m such degraded rows form an O(m²·L)
     candidate clique in the bucket self-join, the exact quadratic stage the
-    banding exists to prevent on a 100 TB degraded lake. None of them can
-    pass the exact-dot >= threshold verify (their similarity is NULL/NaN/0),
-    so dropping them before bucketing is output-identical on ANY corpus;
-    mirrors the size==DIM guard in the pandas-UDF kernels."""
+    banding exists to prevent on a 100 TB degraded lake.
+
+    Excluding them is a CONTRACT, not a free optimization, and the
+    q_cosine_neardup oracle mirrors it with the same three conditions:
+    NULL/zero similarities could indeed never pass the >= 0.8 verify, but
+    NaN could — NaN >= 0.8 is TRUE in both Spark and DuckDB (NaN sorts
+    above all numerics; r7 review, verified empirically) — and a curation
+    engine must not report NaN-poisoned garbage as near-duplicates.
+    Mirrors the size==DIM guard in the pandas-UDF kernels."""
     return (
         (F.size(vcol) == DIM)
         & ~F.exists(vcol, lambda x: x.isNull() | F.isnan(x))
@@ -323,8 +328,17 @@ def _lsh_tables(n_tables: int, n_bits: int, vcol):
 
 @query(
     "q_cosine_neardup",
+    # the t CTE's WHERE is the oracle twin of _bucketable: malformed vectors
+    # (NULL/ragged/element-NULL/NaN/all-zero) are excluded from near-dup
+    # detection BY CONTRACT in both engines (NaN >= 0.8 is TRUE in both, so
+    # without the mirror a NaN-degraded corpus would hash-diverge)
     oracle="""
-    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH t AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
+          AND len(list_filter(embedding, x -> x != 0)) > 0
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_inner_product(a.v, b.v), 4) AS sim
     FROM t a JOIN t b ON a.vec_id < b.vec_id

@@ -208,6 +208,18 @@ COMMENTARY = {
         "stage anywhere; scan pruned to (doc_id, text) with the null-text "
         "filter pushed."
     ),
+    "q_dedup_substring_apply": (
+        "Span application (round 7 — the end of the ExactSubstr pipeline): "
+        "the span report collapses to ONE per-doc span list (collect_list "
+        "— a doc's span count is bounded by its token count, so the state "
+        "is document-sized), hydrates back to the corpus with a single "
+        "doc_id hash join pinned SHUFFLE_HASH (docs-with-spans is corpus-"
+        "scale on a crawl; a static broadcast build side could OOM), and "
+        "the token surgery is a row-local position-tagged HOF filter — no "
+        "Python, no exchange beyond the span pipeline's own. A fully-"
+        "duplicated doc cleans to the empty string in both engines "
+        "(oracle COALESCEs DuckDB's NULL empty-list join)."
+    ),
 }
 
 

@@ -181,11 +181,15 @@ _RECHECK_CHANGED: dict[str, int] = {
     # recall floors as the binding check (r5/r6 precedent) — a rows-only
     # re-row adds no hash signal and would displace a burn-in slot.
     "q_cosine_neardup": 6,        # ADVICE r6: degraded rows (NULL/ragged/
-                                  # zero-norm) filtered BEFORE LSH bucketing
-                                  # so they can't form an O(m²·L) bucket-0
-                                  # clique; output identical on any corpus
-                                  # (such rows can never pass the exact
-                                  # >=0.8 verify).
+                                  # NaN/zero-norm) filtered BEFORE LSH
+                                  # bucketing so they can't form an O(m²·L)
+                                  # bucket-0 clique. The exclusion is a
+                                  # CONTRACT mirrored in the oracle's t CTE
+                                  # (r7 review: NaN >= 0.8 is TRUE in both
+                                  # engines, so NaN rows could otherwise
+                                  # reach the output); identical on clean
+                                  # corpora, twin-tested on the degraded
+                                  # one (test_degenerate.py).
     "q_value_histogram": 6,       # ADVICE r6: lo/hi now MIN/MAX over the
                                   # same finite in_range guard as the
                                   # buckets, in both twins — no raw NaN/Inf

@@ -44,8 +44,13 @@ def duck():
 
 def duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # the driver's testdata ships each table as ONE parquet file, but
+        # test fixtures written by Spark are DIRECTORIES of part files —
+        # DuckDB needs a glob for those (r7: the degraded-corpus twin test)
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
 
 

@@ -366,7 +366,10 @@ def test_alldup_exact_substring_apply_removes_whole_docs(spark, alldup_sf):
 
 
 def _degrade_embeddings(emb):
-    """Every 5th vector all-zero, 7th NULL, 11th 63-dim, 13th empty array."""
+    """Every 5th vector all-zero, 7th NULL, 11th 63-dim, 13th empty array,
+    17th NaN-poisoned in one element (r7: NaN >= threshold is TRUE in both
+    engines, so NaN rows are the one malformed class that could REACH the
+    output — the conformance contract must exclude them in both twins)."""
     from pyspark.sql import functions as F
 
     return emb.withColumn(
@@ -380,6 +383,14 @@ def _degrade_embeddings(emb):
         .when(
             F.col("vec_id") % 13 == 0,
             F.array().cast("array<float>"),
+        )
+        .when(
+            F.col("vec_id") % 17 == 0,
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, F.lit(float("nan")).cast("float"))
+                .otherwise(x),
+            ),
         )
         .otherwise(F.col("embedding")),
     )
@@ -418,6 +429,23 @@ _VECTOR_FAMILY = [
         "embedding", "pandas_ud", "hybrid",
     ))
 ]
+
+
+def test_cosine_neardup_twin_agrees_on_degraded_corpus(spark, duck, degvec_sf):
+    """The malformed-vector exclusion is a CONTRACT mirrored in both twins
+    (r7 review): on a corpus with zero/NULL/ragged/empty/NaN-element
+    vectors, q_cosine_neardup and its DuckDB oracle must still hash-match —
+    in particular NaN-poisoned rows, whose NaN similarity would PASS the
+    >= 0.8 verify in both engines (NaN sorts above all numerics), must be
+    excluded by both conformance filters, never reported as near-dups."""
+    from aws_etl_microservice_redshift_datalake_spark import all_oracles
+
+    from tests.conftest import run_compare
+
+    run_compare(
+        spark, duck, "q_cosine_neardup",
+        QS["q_cosine_neardup"], all_oracles()["q_cosine_neardup"], degvec_sf,
+    )
 
 
 @pytest.mark.parametrize("name", _VECTOR_FAMILY, ids=_VECTOR_FAMILY)
@@ -927,8 +955,14 @@ def degmixed_sf(spark) -> str:
             **_DIM_DEGRADERS,
         }
         for t in TABLES:
+            fn = builders.get(t)
+            if fn is None:
+                # a table with no degradation recipe yet links clean (the
+                # degdim_sf convention) instead of KeyError-ing the sweep
+                os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+                continue
             df = spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
-            builders[t](df).coalesce(1).write.mode("overwrite").parquet(
+            fn(df).coalesce(1).write.mode("overwrite").parquet(
                 f"{d}/{t}.parquet"
             )
         open(marker, "w").write("ok")

@@ -558,6 +558,27 @@ def test_dedup_substring_semi_join_shape(spark):
     audit.assert_filter_pushed(df, "text")
 
 
+def test_dedup_substring_apply_join_shape(spark):
+    """Span application (r7): the span-list hydration join back to the
+    corpus must be the pinned ShuffledHashJoin (docs-with-spans is
+    corpus-scale on a crawl — a statically-planned broadcast build side
+    could OOM), the shingle semi-join keeps its r6 shape, no pairwise
+    join may appear anywhere, and the scan stays pruned to
+    (doc_id, text) with the null-text filter pushed."""
+    df = QS["q_dedup_substring_apply"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "ShuffledHashJoin" in p and "LeftSemi" in p
+    # the hydration join specifically (r7 review: the LeftSemi assert alone
+    # is satisfied by the span pipeline's own semi-join, so a silent
+    # regression of the sl side to a broadcast would stay green without
+    # this) — PLANS.md records ShuffledHashJoin LeftOuter as the shape
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin LeftOuter" in p
+    audit.assert_scan_pruned(df, ["lang", "source", "n_chars"])
+    audit.assert_filter_pushed(df, "text")
+
+
 def test_flagship_runs_in_whole_stage_codegen(spark):
     """The flagship scan-agg must execute inside fused whole-stage-codegen
     spans: after an action finalizes the AQE plan, codegen_stage_count
