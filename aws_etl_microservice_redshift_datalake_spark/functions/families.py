@@ -132,8 +132,14 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(l_extendedprice)                  AS price_sqrt,
            pow(l_quantity, 2.0::DOUBLE)           AS qty_sq,
            ROUND(exp(l_quantity / 50.0::DOUBLE), 6) AS qty_exp,
-           ROUND(ln(l_extendedprice), 6)          AS price_ln,
-           ROUND(log10(l_extendedprice), 6)       AS price_log10,
+           -- > 0 guards (r7 degraded-twin gate): Spark's log/log10 return
+           -- NULL for non-positive input, DuckDB's ln/log10 THROW Out of
+           -- Range — zero-priced rows (a legal lake state) must degrade to
+           -- NULL identically in both twins
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(ln(l_extendedprice), 6) END    AS price_ln,
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(log10(l_extendedprice), 6) END AS price_log10,
            CAST(sign(l_extendedprice - 30000.0::DOUBLE) AS INTEGER) AS dev_sign,
            greatest(l_extendedprice, l_quantity * 1000.0::DOUBLE) AS hi,
            least(l_extendedprice, l_quantity * 1000.0::DOUBLE)    AS lo,
@@ -273,25 +279,44 @@ def q_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_json_funcs",
+    # json_valid guard (r7 degraded-twin gate): Spark's get_json_object /
+    # PERMISSIVE from_json return NULL on malformed/empty/non-object JSON,
+    # but DuckDB's json_extract_string THROWS on malformed input — the
+    # guard makes the oracle degrade identically. The roundtrip is guarded
+    # on k in BOTH twins because the engines' null-field conventions differ
+    # (Spark to_json omits null fields, DuckDB emits "k":null).
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema,
-           to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS roundtrip
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+               AS k_get,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+               AS k_schema,
+           CASE WHEN json_valid(props)
+                     AND CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         IS NOT NULL
+                THEN to_json(struct_pack(
+                         k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+           END AS roundtrip
     FROM events
     """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: JSON family over events.props ('{"k": <int>}') — path extraction
     (JSON_EXTRACT_PATH_TEXT analog), schema-driven from_json, to_json
-    round-trip."""
+    round-trip. The roundtrip emits NULL (not '{}' / '{"k":null}') when k
+    is absent — the one spelling both engines can agree on, since Spark
+    omits null struct fields and DuckDB serializes them."""
     e = load_table(spark, sf_dir, "events")
     k_get = F.get_json_object("props", "$.k").cast("bigint")
     return e.select(
         "event_id",
         k_get.alias("k_get"),
         F.from_json("props", "k BIGINT").getField("k").alias("k_schema"),
-        F.to_json(F.named_struct(F.lit("k"), k_get)).alias("roundtrip"),
+        F.when(
+            k_get.isNotNull(), F.to_json(F.named_struct(F.lit("k"), k_get))
+        ).alias("roundtrip"),
     )
 
 

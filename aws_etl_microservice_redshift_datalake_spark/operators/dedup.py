@@ -114,9 +114,23 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     - shingles are carried as ``xxhash64(s)`` so downstream joins move
       8-byte longs, never strings; a 64-bit collision merging two shingles
       has probability ~n²/2⁶⁵ — accepted, and the DuckDB oracles run on raw
-      strings, so a hash match also certifies the collision didn't bite."""
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+      strings, so a hash match also certifies the collision didn't bite.
+
+    NULL-text docs are EXCLUDED (r7 degraded-twin gate): Spark's concat_ws
+    never returns NULL, so a NULL doc's whole-doc shingle silently became
+    '' and EVERY null doc shared it — m null docs (a real crawl has
+    millions) formed a C(m,2) complete J=1 graph through the band join and
+    the verify (measured: 31,137 'pairs' from 250 null docs at sf0.001,
+    ~all of them garbage), a quadratic OUTPUT blowup no banding can bound.
+    The oracles already excluded them structurally (DuckDB's
+    array_to_string keeps NULL, and NULL never equi-joins) — the filter
+    makes the Spark side match the contract: no text, no shingles, no
+    duplicates. Empty-STRING docs keep their '' whole-doc shingle in both
+    engines (byte-identical short docs ARE duplicates)."""
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
     )
     sh_arr = F.when(
         F.size("toks") >= 3,
@@ -860,13 +874,18 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
     n = DECON_NGRAM
+    # NULL-text docs produce NO n-grams (r7 degraded-twin gate: concat_ws
+    # never returns NULL, so a NULL doc's whole-doc gram silently became ''
+    # and every null train doc 'contaminated' every null test doc; the
+    # oracle's array_to_string keeps NULL, which IN () excludes). They still
+    # COUNT in n_test below — no text just can't leak.
     grams = F.when(
         F.size("toks") >= n,
         F.transform(
             F.sequence(F.lit(1), F.size("toks") - (n - 1)),
             lambda i: F.array_join(F.slice("toks", i, n), " "),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", "toks")))
+    ).when(F.col("toks").isNotNull(), F.array(F.concat_ws(" ", "toks")))
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("bigint") % 100

@@ -127,10 +127,17 @@ _FK_EDGES = [
 
 
 def _orphans_oracle() -> str:
+    # IS NOT NULL on both sides of the membership test (r7 degraded-twin
+    # gate): an orphan is a NON-NULL child key with no parent — a NULL FK
+    # is a missing value, not an orphan. NOT IN silently implied this for
+    # NULL child keys (NULL NOT IN ... is never TRUE) but would also
+    # collapse to zero orphans if any parent key were NULL; the explicit
+    # spelling matches the Spark side's filter exactly.
     parts = [
         f"SELECT '{name}' AS relation, COUNT(*) AS n_orphans,"
         f" (SELECT COUNT(*) FROM {child}) AS n_child_rows"
-        f" FROM {child} WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent})"
+        f" FROM {child} WHERE {ckey} IS NOT NULL"
+        f" AND {ckey} NOT IN (SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL)"
         for name, child, ckey, parent, pkey in _FK_EDGES
     ]
     return "\nUNION ALL\n".join(parts)
@@ -139,16 +146,20 @@ def _orphans_oracle() -> str:
 @query("q_dq_fk_orphans", oracle=_orphans_oracle())
 def q_dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan count for every FK edge of the
-    star schema (child keys with no parent row), as left-anti hash joins —
-    the parent key set broadcasts for dimension-sized parents. The fixture
-    has zero orphans everywhere (FIXTURES.md), which is exactly what the
-    audit must report."""
+    star schema (NON-NULL child keys with no parent row), as left-anti hash
+    joins — the parent key set broadcasts for dimension-sized parents. The
+    fixture has zero orphans everywhere (FIXTURES.md), which is exactly
+    what the audit must report. A NULL FK is a missing value, not an
+    orphan (r7 degraded-twin gate: the anti-join counted NULL keys — which
+    never equi-join — as orphans, while the oracle's NOT IN never did)."""
     out = None
     for name, child, ckey, parent, pkey in _FK_EDGES:
         ch = load_table(spark, sf_dir, child)
         pa = load_table(spark, sf_dir, parent).select(pkey)
-        orphans = ch.join(pa, ch[ckey] == pa[pkey], "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
+        orphans = (
+            ch.filter(F.col(ckey).isNotNull())
+            .join(pa, F.col(ckey) == pa[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
         # total child rows: a second 1-row aggregate cross-joined (both
         # sides are single rows — the join is a broadcast of one tuple)

@@ -241,7 +241,7 @@ def _mix_case_sql() -> str:
         SELECT lang, doc_id,
                COUNT(*) OVER (PARTITION BY lang) AS n_lang,
                COUNT(*) OVER () AS n_total
-        FROM documents
+        FROM documents WHERE lang IS NOT NULL
     ), rated AS (
         SELECT lang, doc_id, n_lang,
                least(1.0, ({_mix_case_sql()}) * {MIX_TARGET_FRAC} * n_total / n_lang) AS rate
@@ -263,8 +263,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     under re-runs and incremental arrivals — rows never flip in or out as
     unrelated data lands). Map-side filter after a broadcast of per-class
     rates: no shuffle of the corpus at any scale. Output: per language, how
-    many docs the mix selects vs available."""
-    d = load_table(spark, sf_dir, "documents")
+    many docs the mix selects vs available. Unlabelled (NULL-lang) docs are
+    excluded in both twins (r7 degraded-twin gate: a language mixture is
+    defined over labelled docs — and a NULL group survives SQL GROUP BY but
+    can never equi-join the Spark rate table, so the twins diverged)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
 
     expr = F.lit(0.0)
     for k, w in MIX_WEIGHTS.items():

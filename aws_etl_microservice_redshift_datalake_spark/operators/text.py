@@ -261,7 +261,7 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang AS lex_lang, word FROM (
             SELECT lang, word, ROW_NUMBER() OVER (PARTITION BY lang
                        ORDER BY COUNT(*) DESC, word ASC) AS rn
-            FROM toks GROUP BY lang, word
+            FROM toks WHERE lang IS NOT NULL GROUP BY lang, word
         ) WHERE rn <= 20
     ), overlap AS (
         SELECT t.doc_id, l.lex_lang, COUNT(*) AS n_hits
@@ -290,9 +290,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
+    # NULL-lang docs are excluded from the lexicon FIT in both twins (r7
+    # degraded-twin gate: an unlabelled doc can't contribute a labelled
+    # lexicon — and a NULL lexicon diverges the prediction tie-break, since
+    # Spark sorts NULL first on ASC where DuckDB sorts it last). They are
+    # still PREDICTED below like any other doc.
     lex_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
     lex = (
-        toks.groupBy("lang", "word")
+        toks.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rn", F.row_number().over(lex_w))
         .filter(F.col("rn") <= 20)

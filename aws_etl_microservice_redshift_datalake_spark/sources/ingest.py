@@ -68,15 +68,24 @@ def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ingest_csv_roundtrip",
+    # NULLIF models the CSV channel (r7 degraded-twin gate): CSV cannot
+    # carry the NULL-vs-empty-string distinction — Spark's reader maps both
+    # the unquoted and the quoted empty field to NULL, exactly like
+    # Redshift's UNLOAD/COPY ``NULL AS ''`` default — so the oracle reads
+    # the parquet truth THROUGH the same conflation. A no-op on corpora
+    # with no empty-string names.
     oracle="""
-    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    SELECT n.n_nationkey, NULLIF(n.n_name, '') AS n_name,
+           NULLIF(r.r_name, '') AS region_name
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     """,
 )
 def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 + S2: UNLOAD ... CSV GZIP analog, then COPY ... FORMAT CSV analog —
     nation and region written as gzip CSV with headers, ingested back through
-    their DECLARED schemas (no inference), then joined."""
+    their DECLARED schemas (no inference), then joined. The CSV channel
+    conflates '' with NULL (Redshift ``NULL AS ''`` semantics) — the oracle
+    twin applies the same conflation via NULLIF."""
     np_, rp = (
         f"{process_scratch()}/csv-nation-{_tag(sf_dir)}",
         f"{process_scratch()}/csv-region-{_tag(sf_dir)}",

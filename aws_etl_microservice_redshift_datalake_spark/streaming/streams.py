@@ -80,7 +80,18 @@ def _source_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory*; stage a symlink to the
     (read-only) events parquet in repo-local scratch. One file → availableNow
     processes the whole table in a single micro-batch, so no event can be
-    late relative to an earlier batch's watermark (initial watermark is 0)."""
+    late relative to an earlier batch's watermark (initial watermark is 0).
+
+    When events.parquet is itself a DIRECTORY of part files (every
+    Spark-written table is — the 100 TB shape; the driver's single-file
+    testdata is the special case), return it directly: the file source does
+    NOT recurse through a nested events.parquet/ subdirectory, so the old
+    symlink staging silently streamed ZERO rows from directory-shaped
+    corpora (r7 degraded-twin gate find — the rows-only sweeps had
+    false-greened it, `len(rows) >= 0` passes on empty)."""
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        return src
     tag = sf_dir.strip("/").replace("/", "-")
     d = f"{process_scratch()}/stream-src-{tag}"
     os.makedirs(d, exist_ok=True)
@@ -89,7 +100,7 @@ def _source_dir(sf_dir: str) -> str:
     # reports exists()==False but still makes os.symlink raise FileExistsError
     if os.path.lexists(link):
         os.unlink(link)
-    os.symlink(f"{sf_dir}/events.parquet", link)
+    os.symlink(src, link)
     return d
 
 
@@ -547,6 +558,12 @@ def _t8_fn(key, pdf_iter, state: GroupState):
 
 @query(
     "q_stream_stateful",
+    # sum_value's CASE/COALESCE is the oracle twin of the pandas kernel's
+    # NaN semantics (r7 degraded-twin gate): Arrow hands the kernel BOTH
+    # SQL NULL and NaN as np.nan, and pandas .sum(skipna=True) skips them —
+    # so the contract is "NaN/NULL measurements are missing", and an
+    # all-missing user sums to 0.0 (the kernel's initial state), not NULL.
+    # Identical on any corpus with finite non-null values.
     oracle="""
     WITH e AS (
         SELECT user_id, value, epoch(date_trunc('second', ts))::BIGINT AS ts_s
@@ -558,7 +575,8 @@ def _t8_fn(key, pdf_iter, state: GroupState):
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
+           COALESCE(ROUND(SUM(CASE WHEN NOT isnan(value) THEN value END), 2),
+                    0.0) AS sum_value,
            COALESCE(MAX(gap), 0) AS max_gap_s
     FROM gaps
     GROUP BY user_id
@@ -569,7 +587,9 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user state machine tracking count / sum / max inter-event gap,
     Arrow-batched (U2-class performance, not row-at-a-time). Over the finite
     stream the last emission per key equals the batch per-user aggregate;
-    dedup to the final state per user below covers the multi-batch case."""
+    dedup to the final state per user below covers the multi-batch case.
+    NaN/NULL measurements are missing by contract (see the oracle note —
+    Arrow erases the SQL NULL-vs-NaN distinction before the kernel runs)."""
     out = stream_events(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
         _t8_fn, _T8_OUT, _T8_STATE, "append", GroupStateTimeout.NoTimeout
     )
