@@ -978,3 +978,67 @@ def test_query_survives_mixed_degradation(spark, degmixed_sf, name):
     rows = df.collect()  # FULL materialization (see the sweeps above)
     assert len(rows) >= 0
     assert len(df.schema.fields) > 0
+
+
+# ---------------------------------------------------------------------------
+# Degraded-corpus TWIN gate: the crash sweeps above prove the Spark side
+# survives; these prove both ENGINES still AGREE there. Each entry pins a
+# contract that the r7 gate found drifting (or crashing quadratically) —
+# NULL/NaN/malformed-payload semantics spelled identically in query and
+# oracle. A regression that re-introduces asymmetric NULL handling fails
+# here long before a driver round could see it.
+# ---------------------------------------------------------------------------
+
+_TWIN_GATE: list[tuple[str, str]] = [
+    # (query, degraded fixture) — the corpus that exercises its contract
+    ("q_dedup_minhash_pairs", "nullpayload_sf"),   # null text -> no shingles
+    ("q_decontaminate_ngram", "nullpayload_sf"),   # null text can't 'leak'
+    ("q_lang_id", "nullpayload_sf"),               # null lang out of lexicon fit
+    ("q_mixture_sample", "nullpayload_sf"),        # null lang out of the mix
+    ("q_multimodal_frames", "nullpayload_sf"),     # null payload -> no frames
+    ("q_json_funcs", "degevents_sf"),              # malformed JSON -> NULL, both
+    ("q_time_gapfill", "degevents_sf"),            # NULL value = no observation
+    ("q_stream_stateful", "degevents_sf"),         # NaN/NULL missing by contract
+    ("q_value_histogram", "degevents_sf"),         # ±Inf/NaN out of lo/hi stats
+    ("q_dq_fk_orphans", "degdim_sf"),              # NULL FK is not an orphan
+    ("q_ingest_csv_roundtrip", "degdim_sf"),       # CSV '' == NULL conflation
+    ("q_math_funcs", "degzero_sf"),                # ln/log10 of 0 -> NULL, both
+]
+
+
+@pytest.mark.parametrize("name,fixture", _TWIN_GATE, ids=[n for n, _ in _TWIN_GATE])
+def test_twin_gate_fixed_contracts(spark, duck, request, name, fixture):
+    from tests.conftest import run_compare
+
+    sf = request.getfixturevalue(fixture)
+    run_compare(spark, duck, name, QS[name], engine.all_oracles()[name], sf)
+
+
+# DuckDB's list_inner_product THROWS on ragged/empty/NULL-element vectors
+# (no try_ variant), while the Spark side's conformance filters drop such
+# rows before any dot product — these 8 oracles cannot RUN on a degraded
+# corpus. Loud (the oracle errors out), never silently wrong; the Spark
+# side is still covered by the crash sweeps above. Mirroring the
+# conformance WHERE into each oracle is scheduled r8 work (each oracle
+# edit costs a driver recheck slot — r7's budget went to burn-in).
+_ORACLE_INFEASIBLE_ON_DEGRADED: frozenset[str] = frozenset({
+    "q_ann_topk", "q_cross_lingual_neardup", "q_decontaminate_semantic",
+    "q_embedding_norms", "q_hybrid_search_rrf", "q_knn_classify",
+    "q_semantic_search", "q_semdedup",
+})
+
+_FULL_GATE = sorted(set(engine.all_oracles()) - _ORACLE_INFEASIBLE_ON_DEGRADED)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_TWIN_GATE") != "1",
+    reason="full mixed-corpus twin gate: ~15 min; run explicitly with "
+    "SPARK_GRAFT_TWIN_GATE=1 (the per-contract pins above always run)",
+)
+@pytest.mark.parametrize("name", _FULL_GATE, ids=_FULL_GATE)
+def test_twin_gate_mixed_corpus(spark, duck, degmixed_sf, name):
+    """Every runnable oracle must agree with its query on the all-axes
+    degraded corpus — the full gate that found the r7 contract drifts."""
+    from tests.conftest import run_compare
+
+    run_compare(spark, duck, name, QS[name], engine.all_oracles()[name], degmixed_sf)
