@@ -285,21 +285,41 @@ def q_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard makes the oracle degrade identically. The roundtrip is guarded
     # on k in BOTH twins because the engines' null-field conventions differ
     # (Spark to_json omits null fields, DuckDB emits "k":null).
+    #
+    # Integer-format guards (r7 review): an ANSI Spark cast on a VALID but
+    # non-integer k ('{"k": 1.5}', '{"k": "abc"}') would kill the stage,
+    # and DuckDB's CAST would round '1.5' to 2 — both contract violations.
+    # The contract is spelled as ONE regex in both twins:
+    #   k_get   — path extraction is UNTYPED text (Redshift
+    #             JSON_EXTRACT_PATH_TEXT semantics), so a quoted integer
+    #             '"7"' extracts and casts; 18-digit bound keeps the ANSI
+    #             cast overflow-free in both engines.
+    #   k_schema — from_json is TYPED, so a quoted '"7"' is NOT a BIGINT
+    #             (NULL); the oracle tests the raw JSON repr (quotes
+    #             intact) against the same grammar, 19 digits + TRY_CAST
+    #             mirroring Jackson's int64-range acceptance (verified on
+    #             int64-max and 20-digit overflow — both engines agree).
+    # Everything non-integer degrades to NULL identically in both engines.
     oracle="""
-    SELECT event_id,
-           CASE WHEN json_valid(props)
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
-               AS k_get,
-           CASE WHEN json_valid(props)
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
-               AS k_schema,
-           CASE WHEN json_valid(props)
-                     AND CAST(json_extract_string(props, '$.k') AS BIGINT)
-                         IS NOT NULL
-                THEN to_json(struct_pack(
-                         k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
-           END AS roundtrip
-    FROM events
+    WITH j AS (
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS s,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS VARCHAR) END AS repr
+        FROM events
+    ), k AS (
+        SELECT event_id,
+               CASE WHEN regexp_matches(s, '^-?[0-9]{1,18}$')
+                    THEN CAST(s AS BIGINT) END AS k_get,
+               CASE WHEN regexp_matches(repr, '^-?[0-9]{1,19}$')
+                    THEN TRY_CAST(s AS BIGINT) END AS k_schema
+        FROM j
+    )
+    SELECT event_id, k_get, k_schema,
+           CASE WHEN k_get IS NOT NULL
+                THEN to_json(struct_pack(k := k_get)) END AS roundtrip
+    FROM k
     """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,9 +327,16 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JSON_EXTRACT_PATH_TEXT analog), schema-driven from_json, to_json
     round-trip. The roundtrip emits NULL (not '{}' / '{"k":null}') when k
     is absent — the one spelling both engines can agree on, since Spark
-    omits null struct fields and DuckDB serializes them."""
+    omits null struct fields and DuckDB serializes them. Non-integer k
+    degrades to NULL per column (see the oracle note): extraction is
+    untyped text so '"7"' still yields 7, while the from_json column is
+    typed and rejects it — exactly the Redshift
+    JSON_EXTRACT_PATH_TEXT-vs-SUPER distinction."""
     e = load_table(spark, sf_dir, "events")
-    k_get = F.get_json_object("props", "$.k").cast("bigint")
+    raw = F.get_json_object("props", "$.k")
+    # integer-format guard BEFORE the ANSI cast: 18 digits can never
+    # overflow int64, so the guarded cast is throw-free at any scale
+    k_get = F.when(raw.rlike(r"^-?[0-9]{1,18}$"), raw.cast("bigint"))
     return e.select(
         "event_id",
         k_get.alias("k_get"),

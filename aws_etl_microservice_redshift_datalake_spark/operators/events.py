@@ -337,7 +337,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                max_by(value, event_id) AS day_value
         FROM events
         WHERE user_id < 10 AND event_type = 'purchase'
-          AND value IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(value)
         GROUP BY 1, 2
     )
     SELECT s.user_id, s.day,
@@ -355,10 +355,14 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by on the monotone event_id — deterministic), then
     last-observation-carried-forward via `last(ignorenulls)` over the spine
     ordering. Days before a user's first observation stay NULL by contract.
-    A NULL measurement is NO observation, spelled identically in both twins
-    (r7 degraded-twin gate: DuckDB's arg_max IGNORES NULL values while
-    Spark's max_by returns them, so a day whose latest purchase carries a
-    NULL value silently diverged the LOCF chain on degraded corpora).
+    A NULL or NaN measurement is NO observation, spelled identically in
+    both twins (r7 degraded-twin gate: DuckDB's arg_max IGNORES NULL
+    values while Spark's max_by returns them, so a day whose latest
+    purchase carries a NULL value silently diverged the LOCF chain on
+    degraded corpora; r7 review: NaN is excluded too — one NaN'd sensor
+    reading must not poison the carried-forward chain for every
+    subsequent gap day, matching q_stream_stateful's missing-by-contract
+    treatment of the same column).
 
     Scale notes: the spine is |users|×|days| rows generated row-locally from
     a sequence (no scan); the fill is ONE window pass over the spine
@@ -378,7 +382,11 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
     )
     obs = (
-        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+        )
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.max_by("value", "event_id").alias("day_value"))
     )

@@ -60,12 +60,23 @@ _BASIS = [_basis_weight(i) for i in range(64)]
 
 @query(
     "q_pandas_udf_dot",
+    # isnan -> NULL mirror (r7 review, caught by the Arrow NaN-profile
+    # gate): a NaN element makes the kernel's dot NaN, which pyarrow's
+    # from_pandas renders as SQL NULL on the way out of the UDF, while
+    # list_inner_product renders the same product NaN — so the declared
+    # contract is "a NaN-poisoned product is missing (NULL)" in both twins.
+    # Identical on corpora with finite embeddings (the driver's case).
     oracle=f"""
+    WITH d AS (
+        SELECT vec_id,
+               list_inner_product(embedding::DOUBLE[],
+                                  {_BASIS!r}::DOUBLE[]) AS dot
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    )
     SELECT vec_id,
-           ROUND(list_inner_product(embedding::DOUBLE[],
-                                    {_BASIS!r}::DOUBLE[]), 6) AS basis_dot
-    FROM embeddings
-    WHERE embedding IS NOT NULL AND len(embedding) = 64
+           CASE WHEN NOT isnan(dot) THEN ROUND(dot, 6) END AS basis_dot
+    FROM d
     """,
 )
 def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,15 +102,28 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pandas_udaf_centroid",
+    # isnan -> NULL mirror (r7 review, caught by the Arrow NaN-profile
+    # gate): one NaN element in any group member makes the kernel's numpy
+    # mean NaN for that dimension, which pyarrow renders as SQL NULL, while
+    # AVG renders it NaN — "a NaN-poisoned centroid dimension is missing
+    # (NULL)" in both twins. Identical on finite corpora (the driver's
+    # case).
     oracle="""
-    SELECT label,
-           COUNT(*) AS n,
-           ROUND(AVG(embedding[1]::DOUBLE), 6) AS c1,
-           ROUND(AVG(embedding[2]::DOUBLE), 6) AS c2,
-           ROUND(AVG(embedding[3]::DOUBLE), 6) AS c3
-    FROM embeddings
-    WHERE embedding IS NOT NULL AND len(embedding) = 64
-    GROUP BY label
+    WITH a AS (
+        SELECT label,
+               COUNT(*) AS n,
+               AVG(embedding[1]::DOUBLE) AS a1,
+               AVG(embedding[2]::DOUBLE) AS a2,
+               AVG(embedding[3]::DOUBLE) AS a3
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+        GROUP BY label
+    )
+    SELECT label, n,
+           CASE WHEN NOT isnan(a1) THEN ROUND(a1, 6) END AS c1,
+           CASE WHEN NOT isnan(a2) THEN ROUND(a2, 6) END AS c2,
+           CASE WHEN NOT isnan(a3) THEN ROUND(a3, 6) END AS c3
+    FROM a
     """,
 )
 def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:

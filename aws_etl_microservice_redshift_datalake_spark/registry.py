@@ -227,24 +227,41 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # can never equi-join the rate table).
     "q_time_gapfill": 6,          # NULL measurement = no observation, both
                                   # twins (DuckDB arg_max ignores NULLs,
-                                  # Spark max_by returns them).
+                                  # Spark max_by returns them); r7 review:
+                                  # NaN excluded too (one NaN must not
+                                  # poison the LOCF chain).
     "q_dq_fk_orphans": 6,         # NULL FK = missing value, not orphan —
                                   # anti-join now filters ckey IS NOT NULL
                                   # to match the oracle's NOT IN semantics.
     "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
                                   # on malformed JSON) + roundtrip NULL-k
                                   # guard in both twins (Spark omits null
-                                  # struct fields, DuckDB serializes them).
+                                  # struct fields, DuckDB serializes them);
+                                  # r7 review: integer-format regex before
+                                  # the ANSI cast (valid-but-non-integer k
+                                  # killed the stage; DuckDB CAST rounds
+                                  # '1.5' to 2) — one grammar, both twins.
     "q_math_funcs": 6,            # oracle-only: ln/log10 > 0 CASE guards
                                   # (DuckDB throws Out of Range on 0 where
                                   # Spark returns NULL); Spark unchanged.
     "q_ingest_csv_roundtrip": 6,  # oracle-only: NULLIF('') models the CSV
                                   # channel's NULL-vs-'' conflation
                                   # (Redshift NULL AS '' semantics).
-    "q_stream_stateful": 6,       # oracle-only: NaN/NULL measurements are
-                                  # missing by contract (Arrow erases the
-                                  # SQL NULL/NaN distinction before the
-                                  # pandas kernel).
+    "q_pandas_udf_dot": 6,        # oracle-only isnan->NULL mirror: pyarrow
+                                  # from_pandas renders the kernel's NaN
+                                  # dot as SQL NULL, list_inner_product
+                                  # renders it NaN (r7 review, caught by
+                                  # the Arrow NaN-profile gate; inert on
+                                  # finite corpora like the driver's).
+    "q_pandas_udaf_centroid": 6,  # same NaN->NULL mirror for the numpy
+                                  # group-mean centroid dimensions.
+    "q_stream_stateful": 6,       # non-finite measurements are missing by
+                                  # contract in BOTH twins (Arrow erases
+                                  # SQL NULL/NaN before the pandas kernel;
+                                  # r7 review: inf + -inf made the kernel
+                                  # sum NaN -> pyarrow rendered it NULL
+                                  # while SQL SUM rendered NaN — caught by
+                                  # the new Arrow NaN-profile gate).
 }
 
 _RECHECK: frozenset[str] = frozenset(

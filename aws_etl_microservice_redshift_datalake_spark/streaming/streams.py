@@ -42,6 +42,7 @@ import os
 import shutil
 import uuid
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -533,7 +534,15 @@ def _t8_fn(key, pdf_iter, state: GroupState):
     secs = []
     for pdf in pdf_iter:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        # non-finite measurements are MISSING by contract: Arrow erases the
+        # SQL NULL/NaN distinction on the way in, and ±Inf would make the
+        # running sum NaN (inf + -inf) which pyarrow's from_pandas then
+        # renders back as SQL NULL on the way out while the SQL oracle's
+        # SUM renders it NaN — skipping all non-finite keeps the sum finite
+        # and the two engines byte-identical (r7 review find, caught by the
+        # run_compare Arrow NaN-profile gate)
+        v = pdf["value"]
+        s += float(v[np.isfinite(v)].sum())
         # Arrow may hand us datetime64[us] or [ns] — normalize before flooring
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
         secs.append(ts_ns // 1_000_000_000)
@@ -559,11 +568,13 @@ def _t8_fn(key, pdf_iter, state: GroupState):
 @query(
     "q_stream_stateful",
     # sum_value's CASE/COALESCE is the oracle twin of the pandas kernel's
-    # NaN semantics (r7 degraded-twin gate): Arrow hands the kernel BOTH
-    # SQL NULL and NaN as np.nan, and pandas .sum(skipna=True) skips them —
-    # so the contract is "NaN/NULL measurements are missing", and an
-    # all-missing user sums to 0.0 (the kernel's initial state), not NULL.
-    # Identical on any corpus with finite non-null values.
+    # missing-value semantics (r7 degraded-twin gate + review): Arrow hands
+    # the kernel BOTH SQL NULL and NaN as np.nan, and ±Inf would turn the
+    # running sum into NaN (inf + -inf) that pyarrow renders back as SQL
+    # NULL while SQL SUM renders it NaN — so the contract is "non-finite
+    # measurements are missing", an all-missing user sums to 0.0 (the
+    # kernel's initial state), and the sum is always finite in both
+    # engines. Identical on any corpus with finite non-null values.
     oracle="""
     WITH e AS (
         SELECT user_id, value, epoch(date_trunc('second', ts))::BIGINT AS ts_s
@@ -575,7 +586,7 @@ def _t8_fn(key, pdf_iter, state: GroupState):
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           COALESCE(ROUND(SUM(CASE WHEN NOT isnan(value) THEN value END), 2),
+           COALESCE(ROUND(SUM(CASE WHEN isfinite(value) THEN value END), 2),
                     0.0) AS sum_value,
            COALESCE(MAX(gap), 0) AS max_gap_s
     FROM gaps
@@ -588,8 +599,9 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched (U2-class performance, not row-at-a-time). Over the finite
     stream the last emission per key equals the batch per-user aggregate;
     dedup to the final state per user below covers the multi-batch case.
-    NaN/NULL measurements are missing by contract (see the oracle note —
-    Arrow erases the SQL NULL-vs-NaN distinction before the kernel runs)."""
+    Non-finite (NULL/NaN/±Inf) measurements are missing by contract (see
+    the oracle note — Arrow erases the SQL NULL-vs-NaN distinction before
+    the kernel runs, and infinities would de-finite the running sum)."""
     out = stream_events(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
         _t8_fn, _T8_OUT, _T8_STATE, "append", GroupStateTimeout.NoTimeout
     )

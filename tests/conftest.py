@@ -66,8 +66,14 @@ def _canon_cell(v):
     if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        v = v.to_pydatetime()
     if isinstance(v, _dt.datetime):
+        # Spark's toArrow renders TIMESTAMP (ltz) tz-aware in the session
+        # zone (UTC — session.py pins it); DuckDB and Spark NTZ are naive.
+        # Canonicalize to naive UTC, the same instant the old toPandas
+        # path rendered.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v
     if isinstance(v, _dt.date):
         return _dt.datetime(v.year, v.month, v.day)
@@ -113,8 +119,33 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
         )
 
 
+def _nan_profile(tbl, name: str) -> dict[str, tuple[int, int]]:
+    """Per-float-column (null_count, nan_count) of a pyarrow Table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    prof = {}
+    for col in tbl.column_names:
+        c = tbl.column(col)
+        if pa.types.is_floating(c.type):
+            nans = pc.sum(pc.is_nan(c)).as_py() or 0  # is_nan(null) = null; sum skips
+            prof[col] = (c.null_count, nans)
+    return prof
+
+
 def run_compare(spark, duck, name: str, fn, sql: str, sf_dir: str) -> None:
     duck_views(duck, sf_dir)
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    duck_pdf = duck.execute(sql).arrow().to_pandas()
-    compare_frames(spark_pdf, duck_pdf, name)
+    # Arrow on BOTH sides first: pandas float64 erases the NULL-vs-NaN
+    # distinction at conversion (NULL -> NaN), but the driver's value hash
+    # distinguishes them — so a query emitting NaN where its oracle emits
+    # NULL would false-green a pandas-only compare (r7 review find). The
+    # per-column (null, NaN) counts must match at the Arrow boundary;
+    # the value compare then runs on the pandas view as before.
+    spark_tbl = fn(spark, sf_dir).toArrow()
+    duck_tbl = duck.execute(sql).arrow()
+    sp, dp = _nan_profile(spark_tbl, name), _nan_profile(duck_tbl, name)
+    shared = set(sp) & set(dp)
+    assert {c: sp[c] for c in shared} == {c: dp[c] for c in shared}, (
+        f"{name}: float (null, NaN) profile mismatch — spark={sp} duck={dp}"
+    )
+    compare_frames(spark_tbl.to_pandas(), duck_tbl.to_pandas(), name)

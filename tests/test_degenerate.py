@@ -462,8 +462,10 @@ def test_query_survives_degraded_embeddings(spark, degvec_sf, name):
 
 
 def _degrade_events(ev):
-    """Malformed/truncated/empty JSON props, NaN/±Inf/NULL values, a
-    timestamp tie storm + epoch-0/far-future outliers, and a hub user."""
+    """Malformed/truncated/empty JSON props, VALID JSON with non-integer /
+    quoted / overflowing k (the ANSI-cast landmine — r7 review), NaN/±Inf/
+    NULL values, a timestamp tie storm + epoch-0/far-future outliers, and
+    a hub user."""
     from pyspark.sql import functions as F
 
     ts_t = ev.schema["ts"].dataType.simpleString()  # timestamp_ntz on ns parquet
@@ -474,6 +476,11 @@ def _degrade_events(ev):
             F.when(eid % 5 == 0, F.lit('{"k": 1, '))   # truncated JSON
             .when(eid % 5 == 1, F.lit("[]"))            # non-object JSON
             .when(eid % 5 == 2, F.lit(""))              # empty string
+            .when(eid % 7 == 3, F.lit('{"k": 1.5}'))    # valid, non-integer k
+            .when(eid % 7 == 4, F.lit('{"k": "abc"}'))  # valid, string k
+            .when(eid % 7 == 5, F.lit('{"k": "7"}'))    # quoted integer: the
+            # untyped text path extracts 7, the typed from_json path must not
+            .when(eid % 7 == 6, F.lit('{"k": 99999999999999999999}'))  # > int64
             .otherwise(F.col("props")),
         )
         .withColumn(
