@@ -119,7 +119,7 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
         )
 
 
-def _nan_profile(tbl, name: str) -> dict[str, tuple[int, int]]:
+def _nan_profile(tbl) -> dict[str, tuple[int, int]]:
     """Per-float-column (null_count, nan_count) of a pyarrow Table."""
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -143,7 +143,7 @@ def run_compare(spark, duck, name: str, fn, sql: str, sf_dir: str) -> None:
     # the value compare then runs on the pandas view as before.
     spark_tbl = fn(spark, sf_dir).toArrow()
     duck_tbl = duck.execute(sql).arrow()
-    sp, dp = _nan_profile(spark_tbl, name), _nan_profile(duck_tbl, name)
+    sp, dp = _nan_profile(spark_tbl), _nan_profile(duck_tbl)
     shared = set(sp) & set(dp)
     assert {c: sp[c] for c in shared} == {c: dp[c] for c in shared}, (
         f"{name}: float (null, NaN) profile mismatch — spark={sp} duck={dp}"
