@@ -940,6 +940,134 @@ def test_query_survives_adversarial_keys(spark, advkeys_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _degrade_order_dates(o):
+    """NULL / epoch-0 / far-future o_orderdate; NULL and empty
+    o_orderstatus (the partition column of the UNLOAD roundtrip — kept to
+    the dirty-but-writable states a real lake reaches); adversarial
+    o_orderpriority values (NULL, empty, whitespace, CJK, embedded
+    newline, 10k-char) — the grouping/ntile/case key several TPC-H-shaped
+    queries consume. Keys and money stay clean: the axis under test is
+    the DATE/status space."""
+    from pyspark.sql import functions as F
+
+    ts_t = o.schema["o_orderdate"].dataType.simpleString()
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(k % 11 == 0, F.lit(None))
+        .when(k % 13 == 0, F.lit(""))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+        F.when(k % 7 == 0, F.lit(None).cast(ts_t))
+        .when(k % 101 == 0, F.lit("1970-01-01 00:00:00").cast(ts_t))
+        .when(k % 103 == 0, F.lit("2199-12-31 23:59:59").cast(ts_t))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        F.when(k % 17 == 3, F.lit("P" * 10_000))
+        .when(k % 5 == 0, F.lit(None))
+        .when(k % 5 == 1, F.lit(""))
+        .when(k % 5 == 2, F.lit("   "))
+        .when(k % 19 == 4, F.lit("优先\n级"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+
+def _degrade_lineitem_dates(li):
+    """NULL / epoch-0 / far-future l_shipdate; NULL l_returnflag and
+    l_linestatus (the flagship Q1 grouping keys). Money/quantity stay
+    clean — the zero-money sweep owns that axis."""
+    from pyspark.sql import functions as F
+
+    ts_t = li.schema["l_shipdate"].dataType.simpleString()
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return li.select(
+        *[c for c in li.columns if c not in ("l_shipdate", "l_returnflag", "l_linestatus")],
+        F.when(k % 23 == 0, F.lit(None))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        F.when(k % 29 == 0, F.lit(None))
+        .otherwise(F.col("l_linestatus"))
+        .alias("l_linestatus"),
+        F.when(k % 7 == 0, F.lit(None).cast(ts_t))
+        .when(k % 101 == 0, F.lit("1970-01-01 00:00:00").cast(ts_t))
+        .when(k % 103 == 0, F.lit("2199-12-31 23:59:59").cast(ts_t))
+        .otherwise(F.col("l_shipdate"))
+        .alias("l_shipdate"),
+    )
+
+
+@pytest.fixture(scope="module")
+def degdates_sf(spark) -> str:
+    """Dirty-DATE facts corpus — the last untouched payload axis (SURVEY r8
+    queue item c, probed early): NULL order/ship dates (unparseable source
+    timestamps a PERMISSIVE ingest nulls out), epoch-0 and far-future
+    sentinels (the 1970-01-01 / 9999-ish placeholder dates every real
+    warehouse accumulates), NULL/empty status flags, and adversarial
+    priority strings. Every date filter, window ORDER BY, datediff
+    recency, ASOF/range join, and spine LEFT-join must execute — under
+    ANSI, date arithmetic on NULL is NULL (never a throw), and no spine
+    generator may size itself from a sentinel's 230-year range."""
+    d = os.path.join(process_scratch(), "sf-degdates")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        _degrade_order_dates(o).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        _degrade_lineitem_dates(li).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/lineitem.parquet"
+        )
+        for t in TABLES:
+            if t in ("orders", "lineitem"):
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle touches a degraded column, plus the rows-only
+# fact readers the oracle scan can't see (the money-sweep convention)
+_DATES_FAMILY = sorted(
+    {
+        n
+        for n, s in engine.all_oracles().items()
+        if _re.search(
+            r"o_orderdate|l_shipdate|o_orderpriority|o_orderstatus"
+            r"|l_returnflag|l_linestatus",
+            s,
+        )
+    }
+    | {
+        "q_freq_items",           # lineitem (Misra-Gries, rows-only)
+        "q_agg_approx_distinct",  # orders (HLL sketch, rows-only)
+        "q_agg_approx_pct",       # lineitem (quantile sketch, rows-only)
+        "q_dq_profile_approx",    # lineitem (HLL profile, rows-only)
+    }
+)
+
+
+@pytest.mark.parametrize("name", _DATES_FAMILY, ids=_DATES_FAMILY)
+def test_query_survives_degraded_dates(spark, degdates_sf, name):
+    """No date/status consumer may crash on sentinel or NULL dates — the
+    contract is NULL-flows-through (ANSI date arithmetic on NULL is NULL),
+    filters drop non-matching NULLs, and window/rank order puts NULLs in a
+    deterministic position; never an exception. NOTE (r8): folding this
+    axis into degmixed_sf drags NULL-date ordering divergences (Spark
+    NULLS FIRST vs DuckDB NULLS LAST on ASC) into the mixed twin gate —
+    schedule the ordering-contract mirrors together with the
+    _ORACLE_INFEASIBLE_ON_DEGRADED batch, then compose the recipes."""
+    df = QS[name](spark, degdates_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
 @pytest.fixture(scope="module")
 def degmixed_sf(spark) -> str:
     """EVERY degraded axis at once — null/ragged payloads, zero money,

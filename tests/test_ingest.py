@@ -288,3 +288,63 @@ def test_table_rows_hive_partitioned_layout(spark):
     assert len(_stat_sig(f"{root}/orders.parquet")) == len(files)
     assert table_rows(root, "orders") == n
     assert spark.read.parquet(f"{root}/orders.parquet").count() == n
+
+
+def test_unload_long_partition_value_fails_loudly(spark):
+    """Partition-value hygiene contract (r7 dirty-DATE probe): a partition
+    value longer than the filesystem's path-component limit makes the
+    partitioned UNLOAD job FAIL — loudly, never silently truncating or
+    dropping rows. At 100 TB the guard against paying hours before the
+    failure is organizational (partition only by validated low-cardinality
+    columns); an engine-side pre-flight would either rescan the column or
+    inline raise_error — both punted while behavior is a loud crash, not
+    corruption."""
+    import pytest as _pytest
+
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import unload
+    from tests.conftest import SF_SMALL
+
+    d = f"{SCRATCH}/longpart-{uuid.uuid4().hex[:8]}"
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(50)
+    deg = src.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("S" * 10_000)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    try:
+        with _pytest.raises(Exception, match="TASK_WRITE_FAILED|too long"):
+            unload(deg, d, partition_cols=["o_orderstatus"], max_records_per_file=100_000)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_unload_empty_string_partition_conflates_to_null(spark):
+    """Hive-layout channel contract (r7 dirty-DATE probe): partitionBy
+    writes BOTH '' and NULL as __HIVE_DEFAULT_PARTITION__, so a partitioned
+    UNLOAD roundtrip conflates them — exactly the CSV channel's NULL AS ''
+    semantics that q_ingest_csv_roundtrip mirrors with NULLIF. Pinned here
+    so the r8 mixed-twin-gate work knows q_unload_roundtrip's oracle needs
+    the same NULLIF mirror before the dates axis joins degmixed_sf."""
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import unload
+    from tests.conftest import SF_SMALL
+
+    d = f"{SCRATCH}/emptypart-{uuid.uuid4().hex[:8]}"
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(50)
+    deg = src.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(""))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    try:
+        n_empty = deg.filter(F.col("o_orderstatus") == "").count()
+        n_null = deg.filter(F.col("o_orderstatus").isNull()).count()
+        assert n_empty > 0 and n_null > 0
+        unload(deg, d, partition_cols=["o_orderstatus"], max_records_per_file=100_000)
+        back = spark.read.parquet(d)
+        assert back.filter(F.col("o_orderstatus") == "").count() == 0
+        assert back.filter(F.col("o_orderstatus").isNull()).count() == n_empty + n_null
+        assert back.count() == deg.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
