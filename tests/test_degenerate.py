@@ -461,6 +461,78 @@ def test_query_survives_degraded_embeddings(spark, degvec_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _elemnull_embeddings(emb):
+    """Element-NULL vectors: full-size arrays whose ELEMENTS are NULL (one,
+    scattered, or all) — the shape the size()==DIM + IS NOT NULL conformance
+    checks can NOT catch. Deliberately a separate recipe from
+    _degrade_embeddings: that one feeds twin compares, and element-NULLs
+    are Arrow-visible as NULL (not NaN), so folding them in belongs with
+    the r8 oracle-mirror batch (DuckDB list ops throw on NULL elements;
+    DuckDB AVG skips NULL elements where numpy NaN-poisons)."""
+    from pyspark.sql import functions as F
+
+    k = F.col("vec_id")
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            k % 9 == 0,
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, F.lit(None).cast("float")).otherwise(x),
+            ),
+        )
+        .when(
+            k % 9 == 1,
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i % 7 == 3, F.lit(None).cast("float")).otherwise(x),
+            ),
+        )
+        .when(
+            k % 9 == 2,
+            F.transform("embedding", lambda x: F.lit(None).cast("float")),
+        )
+        .otherwise(F.col("embedding")),
+    )
+
+
+@pytest.fixture(scope="module")
+def elemnullvec_sf(spark) -> str:
+    """sf0.001 with element-NULL embeddings (SURVEY r8 queue item b, the
+    Spark-side half probed early): a third of vectors carry NULL in the
+    first element, in scattered elements, or in EVERY element, always at
+    full size 64. SQL dots go NULL (fine); Arrow ships the NULLs to pandas
+    kernels as NaN (float conversion), so every kernel's non-finite guard
+    is what this sweep actually exercises."""
+    d = os.path.join(process_scratch(), "sf-elemnullvec")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        _elemnull_embeddings(emb).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        for t in TABLES:
+            if t == "embeddings":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+@pytest.mark.parametrize("name", _VECTOR_FAMILY, ids=_VECTOR_FAMILY)
+def test_query_survives_element_null_embeddings(spark, elemnullvec_sf, name):
+    """No vector operator may crash on element-NULL vectors — the malformed
+    class that passes every size/NULL conformance check. IVF training,
+    LSH bucketing, kernels, and clustered candidates must all execute
+    (value semantics on such rows are the r8 twin-contract batch)."""
+    df = QS[name](spark, elemnullvec_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
 def _degrade_events(ev):
     """Malformed/truncated/empty JSON props, VALID JSON with non-integer /
     quoted / overflowing k (the ANSI-cast landmine — r7 review), NaN/±Inf/
