@@ -335,8 +335,12 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     raw = F.get_json_object("props", "$.k")
     # integer-format guard BEFORE the ANSI cast: 18 digits can never
-    # overflow int64, so the guarded cast is throw-free at any scale
-    k_get = F.when(raw.rlike(r"^-?[0-9]{1,18}$"), raw.cast("bigint"))
+    # overflow int64, so the guarded cast is throw-free at any scale.
+    # \z, not $: Java's $ also matches before a TRAILING NEWLINE, so a
+    # string k of '123\n' would pass here (and ANSI cast trims it) while
+    # the oracle's RE2 $ rejects it — \z is absolute end-of-input in both
+    # grammars (r7 full-round review).
+    k_get = F.when(raw.rlike(r"^-?[0-9]{1,18}\z"), raw.cast("bigint"))
     return e.select(
         "event_id",
         k_get.alias("k_get"),

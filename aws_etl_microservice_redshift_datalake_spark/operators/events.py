@@ -337,7 +337,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                max_by(value, event_id) AS day_value
         FROM events
         WHERE user_id < 10 AND event_type = 'purchase'
-          AND value IS NOT NULL AND NOT isnan(value)
+          AND value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
         GROUP BY 1, 2
     )
     SELECT s.user_id, s.day,
@@ -359,10 +359,10 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     both twins (r7 degraded-twin gate: DuckDB's arg_max IGNORES NULL
     values while Spark's max_by returns them, so a day whose latest
     purchase carries a NULL value silently diverged the LOCF chain on
-    degraded corpora; r7 review: NaN is excluded too — one NaN'd sensor
-    reading must not poison the carried-forward chain for every
-    subsequent gap day, matching q_stream_stateful's missing-by-contract
-    treatment of the same column).
+    degraded corpora; r7 review: non-finite is excluded too — one NaN'd
+    or ±Inf'd sensor reading must not poison the carried-forward chain
+    for every subsequent gap day, matching q_stream_stateful's
+    isfinite-missing-by-contract treatment of the same column).
 
     Scale notes: the spine is |users|×|days| rows generated row-locally from
     a sequence (no scan); the fill is ONE window pass over the spine
@@ -386,6 +386,7 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase")
             & F.col("value").isNotNull()
             & ~F.isnan("value")
+            & (F.abs(F.col("value")) != float("inf"))
         )
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.max_by("value", "event_id").alias("day_value"))

@@ -141,12 +141,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id AS asset_id, text AS s
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND octet_length(CAST(s AS BLOB)) > 0
     ),
     f AS (
         SELECT asset_id, s,
                unnest(generate_series(
-                   0, LEAST(octet_length(CAST(s AS BLOB)) // 64, 7)
+                   0,
+                   LEAST((octet_length(CAST(s AS BLOB)) + 63) // 64, 8) - 1
                )) AS frame_idx
         FROM base
     )
@@ -173,13 +174,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r7 review, verified empirically): F.least SKIPS nulls, so
     least(floor(length(NULL)/64), 7) is 7, and a NULL payload exploded to
     8 all-NULL frames where the oracle emits none. Same drop-null rule as
-    decode/resize."""
-    a = _assets(spark, sf_dir).filter(F.col("payload").isNotNull())
+    decode/resize. Frame count is ceil(L/64) capped at 8 — spelled as the
+    overflow-free integer (L+63)//64 in BOTH twins — and empty payloads
+    emit ZERO frames like NULL ones (r7 full-round review: the old
+    floor(L/64)+1 spelling emitted a phantom zero-length trailing frame
+    whenever 64 divided L exactly; the L > 0 filter also keeps Spark's
+    sequence() away from the descending sequence(0,-1) trap)."""
+    a = _assets(spark, sf_dir).filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    )
+    n_frames = F.least(F.floor((F.length("payload") + 63) / 64), F.lit(8))
     frames = a.select(
         "asset_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.least(F.floor(F.length("payload") / 64), F.lit(7))),
+                F.sequence(F.lit(0), (n_frames - 1).cast("bigint")),
                 lambda i: F.substring(F.col("payload").cast("string"), i * 64 + 1, 64),
             )
         ).alias("frame_idx", "frame_bytes"),

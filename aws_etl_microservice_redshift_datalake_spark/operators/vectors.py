@@ -87,15 +87,21 @@ def _bucketable(vcol):
     banding exists to prevent on a 100 TB degraded lake.
 
     Excluding them is a CONTRACT, not a free optimization, and the
-    q_cosine_neardup oracle mirrors it with the same three conditions:
+    q_cosine_neardup oracle mirrors it with the same conditions:
     NULL/zero similarities could indeed never pass the >= 0.8 verify, but
     NaN could — NaN >= 0.8 is TRUE in both Spark and DuckDB (NaN sorts
     above all numerics; r7 review, verified empirically) — and a curation
     engine must not report NaN-poisoned garbage as near-duplicates.
-    Mirrors the size==DIM guard in the pandas-UDF kernels."""
+    ±Inf elements are excluded for the same reason (r7 full-round review):
+    an Inf element survives the NaN check, but its dot against a vector
+    with 0 (inf·0) or the opposite infinity at that position is NaN —
+    which PASSES the >= 0.8 verify in both engines. Non-finite anywhere →
+    not bucketable. Mirrors the size==DIM guard in the pandas-UDF
+    kernels."""
+    inf = float("inf")
     return (
         (F.size(vcol) == DIM)
-        & ~F.exists(vcol, lambda x: x.isNull() | F.isnan(x))
+        & ~F.exists(vcol, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf))
         & F.exists(vcol, lambda x: x != 0)
     )
 
@@ -329,14 +335,16 @@ def _lsh_tables(n_tables: int, n_bits: int, vcol):
 @query(
     "q_cosine_neardup",
     # the t CTE's WHERE is the oracle twin of _bucketable: malformed vectors
-    # (NULL/ragged/element-NULL/NaN/all-zero) are excluded from near-dup
-    # detection BY CONTRACT in both engines (NaN >= 0.8 is TRUE in both, so
-    # without the mirror a NaN-degraded corpus would hash-diverge)
+    # (NULL/ragged/element-NULL/NaN/±Inf/all-zero) are excluded from near-dup
+    # detection BY CONTRACT in both engines (NaN >= 0.8 is TRUE in both, and
+    # an Inf element dots to NaN against a 0 or opposite-Inf position, so
+    # without the mirror a NaN/Inf-degraded corpus would hash-diverge)
     oracle="""
     WITH t AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE len(embedding) = 64
-          AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
+          AND len(list_filter(embedding,
+                              x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
           AND len(list_filter(embedding, x -> x != 0)) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

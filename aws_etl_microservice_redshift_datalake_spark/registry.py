@@ -129,9 +129,13 @@ def _driver_history(repo: str | None = None) -> tuple[dict[str, int], frozenset[
             # contract here). Empty today — every current rows-only query
             # guarantees nonempty output by construction.
             if row.get("err") == "no_oracle":
+                # the empty-OK branch requires an EXPLICIT integer 0 in the
+                # artifact — a missing/None spark_rows means the run died
+                # before counting, which must re-enter the window, not rank
+                # green (r7 full-round review)
                 green = (row.get("spark_rows") or 0) > 0 or (
                     name in _ROWS_ONLY_EMPTY_OK
-                    and (row.get("spark_rows") or 0) == 0
+                    and row.get("spark_rows") == 0
                 )
             else:
                 green = bool(
@@ -187,7 +191,9 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # CONTRACT mirrored in the oracle's t CTE
                                   # (r7 review: NaN >= 0.8 is TRUE in both
                                   # engines, so NaN rows could otherwise
-                                  # reach the output); identical on clean
+                                  # reach the output; r7 full-round review:
+                                  # ±Inf elements dot to NaN, excluded by
+                                  # the same contract); identical on clean
                                   # corpora, twin-tested on the degraded
                                   # one (test_degenerate.py).
     "q_value_histogram": 6,       # ADVICE r6: lo/hi now MIN/MAX over the
@@ -199,7 +205,13 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # NULL payloads now drop JVM-side (r7
                                   # review: F.least SKIPS nulls, so a NULL
                                   # payload exploded to 8 all-NULL frames
-                                  # where the oracle emits none).
+                                  # where the oracle emits none); r7
+                                  # full-round review: frame count is now
+                                  # ceil(L/64) capped at 8 in both twins —
+                                  # the floor(L/64)+1 spelling emitted a
+                                  # phantom empty trailing frame when
+                                  # 64 | L, and empty payloads now emit
+                                  # zero frames like NULL ones.
     # ---- r7 degraded-twin gate (tests/test_degenerate.py twin sweeps):
     # running the FULL oracle-compare on the degraded corpora (not just the
     # crash sweeps) found one real quadratic-output bug and a set of
@@ -228,8 +240,10 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_time_gapfill": 6,          # NULL measurement = no observation, both
                                   # twins (DuckDB arg_max ignores NULLs,
                                   # Spark max_by returns them); r7 review:
-                                  # NaN excluded too (one NaN must not
-                                  # poison the LOCF chain).
+                                  # non-finite excluded too (one NaN or
+                                  # ±Inf reading must not poison the LOCF
+                                  # chain — isfinite both twins, matching
+                                  # q_stream_stateful's contract).
     "q_dq_fk_orphans": 6,         # NULL FK = missing value, not orphan —
                                   # anti-join now filters ckey IS NOT NULL
                                   # to match the oracle's NOT IN semantics.
@@ -240,7 +254,10 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # r7 review: integer-format regex before
                                   # the ANSI cast (valid-but-non-integer k
                                   # killed the stage; DuckDB CAST rounds
-                                  # '1.5' to 2) — one grammar, both twins.
+                                  # '1.5' to 2) — one grammar, both twins;
+                                  # r7 full-round review: \z anchor (Java $
+                                  # matches before a trailing newline,
+                                  # RE2's does not).
     "q_math_funcs": 6,            # oracle-only: ln/log10 > 0 CASE guards
                                   # (DuckDB throws Out of Range on 0 where
                                   # Spark returns NULL); Spark unchanged.

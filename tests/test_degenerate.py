@@ -369,7 +369,9 @@ def _degrade_embeddings(emb):
     """Every 5th vector all-zero, 7th NULL, 11th 63-dim, 13th empty array,
     17th NaN-poisoned in one element (r7: NaN >= threshold is TRUE in both
     engines, so NaN rows are the one malformed class that could REACH the
-    output — the conformance contract must exclude them in both twins)."""
+    output — the conformance contract must exclude them in both twins),
+    19th ±Inf-poisoned (r7 full-round review: Inf dots to NaN against a 0
+    or opposite-Inf position, so non-finite is non-bucketable too)."""
     from pyspark.sql import functions as F
 
     return emb.withColumn(
@@ -389,6 +391,19 @@ def _degrade_embeddings(emb):
             F.transform(
                 "embedding",
                 lambda x, i: F.when(i == 0, F.lit(float("nan")).cast("float"))
+                .otherwise(x),
+            ),
+        )
+        .when(
+            F.col("vec_id") % 19 == 0,
+            # ±Inf elements (r7 full-round review): pass every NULL/NaN/size
+            # check, but dot against a 0 or the opposite infinity at that
+            # position is NaN — which PASSES >= 0.8 in both engines, so
+            # non-finite rows must be non-bucketable by contract
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, F.lit(float("inf")).cast("float"))
+                .when(i == 1, F.lit(float("-inf")).cast("float"))
                 .otherwise(x),
             ),
         )
@@ -429,6 +444,18 @@ _VECTOR_FAMILY = [
         "embedding", "pandas_ud", "hybrid",
     ))
 ]
+
+
+def test_cosine_neardup_excludes_nonfinite_vectors(spark, degvec_sf):
+    """The non-finite exclusion is only observable DIRECTLY (r7 full-round
+    review): the ±Inf-planted rows (vec_id % 19) share every all-zero sign
+    bucket and their mutual dot is +Inf (inf·inf + (-inf)·(-inf)), which
+    PASSES the >= 0.8 verify in BOTH engines — so the twin compare stays
+    green while garbage pairs ship. The base corpus has no true near-dups
+    (max off-diagonal cosine ≈ 0.6) and every degraded shape is
+    non-bucketable by contract, so the output must be exactly empty."""
+    rows = QS["q_cosine_neardup"](spark, degvec_sf).collect()
+    assert rows == []
 
 
 def test_cosine_neardup_twin_agrees_on_degraded_corpus(spark, duck, degvec_sf):
@@ -553,6 +580,10 @@ def _degrade_events(ev):
             .when(eid % 7 == 5, F.lit('{"k": "7"}'))    # quoted integer: the
             # untyped text path extracts 7, the typed from_json path must not
             .when(eid % 7 == 6, F.lit('{"k": 99999999999999999999}'))  # > int64
+            .when(eid % 31 == 2, F.lit('{"k": "123\\n"}'))  # trailing-newline
+            # numeric string: Java's $ anchor matches before it, RE2's does
+            # not — both twins must reject it (\z anchor, r7 full-round
+            # review)
             .otherwise(F.col("props")),
         )
         .withColumn(
