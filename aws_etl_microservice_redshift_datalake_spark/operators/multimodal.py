@@ -207,13 +207,21 @@ RESIZE_BOX = 256  # fit-within box for the resize kernel
 @query(
     "q_multimodal_resize",
     oracle=f"""
-    WITH assets AS (
+    WITH raw AS (
         SELECT doc_id AS asset_id,
                octet_length(CAST(text AS BLOB)) AS n_bytes,
                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
                CAST((doc_id * 37) % 480 + 1 AS INTEGER) AS height
         FROM documents
         WHERE text IS NOT NULL
+    ),
+    -- dimension conformance, the oracle twin of the JVM-side filter: a
+    -- NULL width (NULL n_chars) passes BOTH engines' NULL-skipping
+    -- GREATEST box check, and a negative one (negative n_chars — Spark
+    -- and DuckDB % both keep the dividend sign) breaks the aspect
+    -- arithmetic; such metadata rows are not resizable by contract
+    assets AS (
+        SELECT * FROM raw WHERE width >= 1 AND height >= 1
     )
     SELECT asset_id, width, height,
            CAST(GREATEST(1, (width * {RESIZE_BOX}) // GREATEST(width, height))
@@ -238,8 +246,14 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-exact cross-engine), standing in for a real interpolating
     resampler; swap the body for PIL/cv2 on a cluster image with codecs —
     the Arrow plumbing, schema contract, and metadata pruning are the real,
-    tested part."""
+    tested part. Non-conforming dimensions (NULL/negative width from a
+    NULL/negative n_chars) drop JVM-SIDE before bytes reach Python,
+    mirrored in the oracle (r7 stats-axis sweep: greatest() SKIPS NULLs in
+    both engines, so a NULL width sailed through the box filter and killed
+    the Arrow kernel's int64 cast)."""
     a = _assets(spark, sf_dir).filter(
+        (F.col("meta.width") >= 1) & (F.col("meta.height") >= 1)
+    ).filter(
         F.greatest(F.col("meta.width"), F.col("meta.height")) > RESIZE_BOX
     ).filter(F.col("payload").isNotNull()).select(
         "asset_id",

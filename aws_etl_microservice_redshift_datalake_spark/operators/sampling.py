@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import N_CHARS_MAX, query, rnd
 from ..sources.io import load_table
 
 
@@ -45,12 +45,13 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_train_test_split",
-    oracle="""
-    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars_ok) AS BIGINT) AS total_chars
     FROM (
         SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS BIGINT) % 100 < 80
                     THEN 'train' ELSE 'test' END AS split,
-               n_chars
+               CASE WHEN n_chars BETWEEN 0 AND {N_CHARS_MAX}
+                    THEN n_chars END AS n_chars_ok
         FROM documents
     )
     GROUP BY split
@@ -59,15 +60,26 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/20 train-test split by document-id hash — the split a
     row lands in never changes as the corpus grows (hash membership, not
-    position), the property training pipelines need for incremental data."""
+    position), the property training pipelines need for incremental data.
+    Every doc belongs to a split regardless of its stats health, but the
+    char total sums the SANITIZED column (NULL outside [0, N_CHARS_MAX],
+    skipped by SUM identically in both engines — r7 stats-axis sweep: one
+    Long.MAX sentinel threw the ANSI SUM while DuckDB's int128 SUM
+    diverged past it)."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
         "bigint"
     ) % 100
     split = F.when(bucket < 80, "train").otherwise("test")
-    return d.select(split.alias("split"), "n_chars").groupBy("split").agg(
+    n_chars_ok = F.when(
+        (F.col("n_chars") >= 0) & (F.col("n_chars") <= N_CHARS_MAX),
+        F.col("n_chars"),
+    )
+    return d.select(split.alias("split"), n_chars_ok.alias("n_chars_ok")).groupBy(
+        "split"
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_chars_ok").cast("bigint").alias("total_chars"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import query, rnd
+from ..registry import N_CHARS_MAX, query, rnd
 from ..sources.io import load_spread, load_table, table_rows
 
 
@@ -77,15 +77,18 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_stats",
-    oracle="""
-    WITH t AS (SELECT lang, source, n_chars, len(string_split(text, ' ')) AS n_toks,
+    oracle=f"""
+    WITH t AS (SELECT lang, source,
+                      CASE WHEN n_chars BETWEEN 0 AND {N_CHARS_MAX}
+                           THEN n_chars END AS n_chars_ok,
+                      len(string_split(text, ' ')) AS n_toks,
                       length(text) = n_chars AS len_ok
                FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks) AS chars_per_token,
+           CAST(SUM(n_chars_ok) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars_ok) AS DOUBLE) / SUM(n_toks) AS chars_per_token,
            COUNT(DISTINCT source) AS n_sources,
            BOOL_AND(len_ok) AS n_chars_consistent
     FROM t
@@ -95,14 +98,26 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: corpus text statistics per language — token totals (whitespace
     tokenization; the vocab is space-separated by construction), chars/token,
-    source diversity, and an n_chars==length(text) consistency audit."""
+    source diversity, and an n_chars==length(text) consistency audit.
+
+    The char sums run over the SANITIZED stats column (NULL outside
+    [0, N_CHARS_MAX], which SUM skips identically in both engines — r7
+    stats-axis sweep: one Long.MAX sentinel row THROWS the whole ANSI
+    SUM(bigint) while DuckDB's int128 SUM diverges past it); row counts,
+    token totals, and the len_ok audit still see every row — a
+    non-conforming n_chars correctly reports as inconsistent, not as a
+    stage-killing overflow."""
     d = _docs(spark, sf_dir)
     n_toks = F.size(F.split("text", " "))
+    n_chars_ok = F.when(
+        (F.col("n_chars") >= 0) & (F.col("n_chars") <= N_CHARS_MAX),
+        F.col("n_chars"),
+    )
     return (
         d.select(
             "lang",
             "source",
-            "n_chars",
+            n_chars_ok.alias("n_chars_ok"),
             n_toks.alias("n_toks"),
             (F.length("text") == F.col("n_chars")).alias("len_ok"),
         )
@@ -110,8 +125,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("total_tokens"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            (F.sum("n_chars").cast("double") / F.sum("n_toks")).alias("chars_per_token"),
+            F.sum("n_chars_ok").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars_ok").cast("double") / F.sum("n_toks")).alias("chars_per_token"),
             F.countDistinct("source").alias("n_sources"),
             F.bool_and("len_ok").alias("n_chars_consistent"),
         )
@@ -648,16 +663,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quality_quartile",
-    oracle="""
-    WITH thr AS (
+    oracle=f"""
+    WITH conf AS (
+        SELECT lang, n_chars FROM documents
+        WHERE n_chars BETWEEN 0 AND {N_CHARS_MAX}
+    ),
+    thr AS (
         SELECT lang, ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
-        FROM documents GROUP BY lang
+        FROM conf GROUP BY lang
     )
     SELECT d.lang,
            COUNT(*) AS n_selected,
            CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
            MIN(thr.p75) AS p75
-    FROM documents d JOIN thr ON d.lang = thr.lang
+    FROM conf d JOIN thr ON d.lang = thr.lang
     WHERE d.n_chars >= thr.p75
     GROUP BY d.lang
     """,
@@ -674,8 +693,14 @@ def q_quality_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort, so parallelism never collapses to the class count (the
     same de-skew principle as q_stratified_sample). Threshold rounded to
     the 1e-4 grid on both engines (the A6-proven percentile_cont
-    discipline) so the >= comparison is cross-engine deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    discipline) so the >= comparison is cross-engine deterministic.
+    Non-conforming scores (n_chars outside [0, N_CHARS_MAX]) are excluded
+    BEFORE the quantile and the sum in both twins (r7 stats-axis sweep:
+    a Long.MAX sentinel both skewed the threshold and threw the ANSI
+    SUM) — a garbage quality score is not selectable by contract."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 0) & (F.col("n_chars") <= N_CHARS_MAX)
+    )
     thr = d.groupBy("lang").agg(
         F.round(F.percentile("n_chars", 0.75), 4).alias("p75")
     )

@@ -247,6 +247,21 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_dq_fk_orphans": 6,         # NULL FK = missing value, not orphan —
                                   # anti-join now filters ckey IS NOT NULL
                                   # to match the oracle's NOT IN semantics.
+    # ---- r7 stats-axis sweep (degraded n_chars corpus — 4 real crashes on
+    # first probe): ANSI SUM(bigint) THROWS on a Long.MAX sentinel row
+    # while DuckDB's int128 SUM diverges past it, and a NULL-derived width
+    # passed both engines' NULL-skipping greatest() into the Arrow kernel.
+    # All four carry the sanitize-or-exclude contract mirrored in both
+    # twins (registry.N_CHARS_MAX), output-identical on clean corpora and
+    # twin-pinned on the degraded one (test_degenerate.py degstats_sf).
+    "q_text_stats": 6,            # char sums over the sanitized column;
+                                  # counts/audit still see every row.
+    "q_train_test_split": 6,      # split membership keeps all docs, the
+                                  # char total sums sanitized only.
+    "q_quality_quartile": 6,      # non-conforming scores excluded before
+                                  # the quantile and the sum.
+    "q_multimodal_resize": 6,     # NULL/negative dims drop JVM-side before
+                                  # Python, mirrored oracle conformance CTE.
     "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
                                   # on malformed JSON) + roundtrip NULL-k
                                   # guard in both twins (Spark omits null
@@ -314,6 +329,19 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     names = sorted((n for n in _QUERIES if n in _ORACLES), key=_rank)
     return {n: _ORACLES[n] for n in names}
+
+
+# Conformance bound for document STATS columns (n_chars and kin), shared by
+# every query that SUMs or thresholds them (r7 stats-axis sweep): under
+# Spark 4's default ANSI mode SUM(bigint) THROWS ARITHMETIC_OVERFLOW, so one
+# Long.MAX sentinel row (a bad upstream cast, a -1 read as unsigned) kills a
+# corpus-wide aggregate — while DuckDB's int128 SUM sails past it, so the
+# twins diverge even before the crash. Rows outside [0, 2^40] are treated as
+# non-conforming by CONTRACT, spelled identically in both twins (dropped, or
+# nulled into the SUM which both engines skip). 2^40 chars = a 1 TiB single
+# document; with it, an int64 SUM can only overflow past 2^23 max-size docs
+# ≈ an 8-zettabyte corpus.
+N_CHARS_MAX = 1 << 40
 
 
 # --------------------------------------------------------------------------

@@ -1171,6 +1171,71 @@ def test_query_survives_degraded_dates(spark, degdates_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _degrade_doc_stats(doc):
+    """Garbage in the DERIVED stats column (n_chars) while text stays
+    clean — the stale/corrupt derived-column state every real lake
+    reaches: NULL, zero, negative, Long.MAX sentinel (a -1 read as
+    unsigned, a bad upstream cast), and a ×1000 stale drift that no
+    longer matches length(text)."""
+    from pyspark.sql import functions as F
+
+    k = F.col("doc_id")
+    return doc.withColumn(
+        "n_chars",
+        F.when(k % 5 == 0, F.lit(None).cast("long"))
+        .when(k % 5 == 1, F.lit(0).cast("long"))
+        .when(k % 5 == 2, F.lit(-7).cast("long"))
+        .when(k % 11 == 3, F.lit(2**63 - 1).cast("long"))
+        .when(k % 11 == 4, (F.col("n_chars") * 1000).cast("long"))
+        .otherwise(F.col("n_chars")),
+    )
+
+
+@pytest.fixture(scope="module")
+def degstats_sf(spark) -> str:
+    """Degraded document-STATS corpus (r7 stats-axis sweep — found 4 real
+    crashes on first probe): under ANSI, SUM(bigint) over one Long.MAX
+    sentinel row THROWS ARITHMETIC_OVERFLOW (three corpus-stats queries
+    died), while DuckDB's int128 SUM diverges past it — so stats sums
+    need a sanitized-column contract mirrored in both twins; and a NULL
+    width derived from NULL n_chars passes BOTH engines' NULL-skipping
+    greatest() box filter and killed the resize Arrow kernel."""
+    d = os.path.join(process_scratch(), "sf-degstats")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        doc = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        _degrade_doc_stats(doc).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        for t in TABLES:
+            if t == "documents":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle reads the stats column, plus the rows-only
+# documents readers whose kernels consume n_chars-derived metadata
+_STATS_FAMILY = sorted(
+    {n for n, s in engine.all_oracles().items() if "n_chars" in s}
+    | {"q_multimodal_decode"}  # rows-only; meta.width derives from n_chars
+)
+
+
+@pytest.mark.parametrize("name", _STATS_FAMILY, ids=_STATS_FAMILY)
+def test_query_survives_degraded_stats(spark, degstats_sf, name):
+    """No stats consumer may crash on garbage derived columns — the
+    contract is sanitize-or-exclude (mirrored in the oracle), never an
+    ANSI overflow or a poisoned Arrow kernel."""
+    df = QS[name](spark, degstats_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
 @pytest.fixture(scope="module")
 def degmixed_sf(spark) -> str:
     """EVERY degraded axis at once — null/ragged payloads, zero money,
@@ -1241,6 +1306,11 @@ _TWIN_GATE: list[tuple[str, str]] = [
     ("q_dq_fk_orphans", "degdim_sf"),              # NULL FK is not an orphan
     ("q_ingest_csv_roundtrip", "degdim_sf"),       # CSV '' == NULL conflation
     ("q_math_funcs", "degzero_sf"),                # ln/log10 of 0 -> NULL, both
+    # r7 stats-axis contracts: sanitized stats sums + dimension conformance
+    ("q_text_stats", "degstats_sf"),               # SUM skips garbage n_chars
+    ("q_train_test_split", "degstats_sf"),         # split keeps all, SUM doesn't
+    ("q_quality_quartile", "degstats_sf"),         # garbage score unselectable
+    ("q_multimodal_resize", "degstats_sf"),        # NULL/neg dims drop JVM-side
 ]
 
 
