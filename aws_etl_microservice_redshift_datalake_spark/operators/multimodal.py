@@ -51,7 +51,11 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         F.struct(
             (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
-            ((F.col("doc_id") * 37) % 480 + 1).cast("int").alias("height"),
+            # (doc_id % 480) first: mod-homomorphic, bit-identical for every
+            # doc_id, but overflow-proof — under ANSI, doc_id * 37 THROWS on
+            # snowflake-scale ids (> 2^63/37 ≈ 2.5e17, i.e. any modern
+            # 64-bit id scheme), in DuckDB too (r7 stats-axis sweep)
+            ((F.col("doc_id") % 480) * 37 % 480 + 1).cast("int").alias("height"),
             F.element_at(
                 F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
                 (F.col("doc_id") % 3 + 1).cast("int"),
@@ -66,7 +70,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS asset_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
            CAST(n_chars % 640 + 1 AS INTEGER) AS width,
-           CAST((doc_id * 37) % 480 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 480) * 37 % 480 + 1 AS INTEGER) AS height,
            ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INTEGER)] AS fmt
     FROM documents
     WHERE n_chars % 640 + 1 > 100 AND doc_id % 3 = 0
@@ -211,7 +215,7 @@ RESIZE_BOX = 256  # fit-within box for the resize kernel
         SELECT doc_id AS asset_id,
                octet_length(CAST(text AS BLOB)) AS n_bytes,
                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
-               CAST((doc_id * 37) % 480 + 1 AS INTEGER) AS height
+               CAST((doc_id % 480) * 37 % 480 + 1 AS INTEGER) AS height
         FROM documents
         WHERE text IS NOT NULL
     ),

@@ -261,7 +261,14 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_quality_quartile": 6,      # non-conforming scores excluded before
                                   # the quantile and the sum.
     "q_multimodal_resize": 6,     # NULL/negative dims drop JVM-side before
-                                  # Python, mirrored oracle conformance CTE.
+                                  # Python, mirrored oracle conformance CTE;
+                                  # also the mod-first height rewrite below.
+    "q_multimodal_meta": 6,       # height = (doc_id % 480) * 37 % 480 + 1
+                                  # in both twins — mod-homomorphic
+                                  # (bit-identical for every id) but
+                                  # overflow-proof: ANSI doc_id * 37 THROWS
+                                  # on snowflake-scale ids (> 2.5e17), in
+                                  # DuckDB too (r7 snowflake-keys sweep).
     "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
                                   # on malformed JSON) + roundtrip NULL-k
                                   # guard in both twins (Spark omits null

@@ -1237,6 +1237,53 @@ def test_query_survives_degraded_stats(spark, degstats_sf, name):
 
 
 @pytest.fixture(scope="module")
+def bigkey_sf(spark) -> str:
+    """Snowflake-scale doc_ids (shifted up near 2^62) — LEGAL key values,
+    not degradation: any modern 64-bit id scheme produces them. Under
+    ANSI, key arithmetic like doc_id * 37 THROWS ARITHMETIC_OVERFLOW past
+    2^63/37 ≈ 2.5e17 (found by this sweep's first probe in the multimodal
+    metadata derivation; DuckDB bigint multiply throws the same way) —
+    key math must be mod-first or hash-based. Referential integrity to
+    embeddings is intentionally broken (joins legally match nothing);
+    the contract under test is no-exception."""
+    d = os.path.join(process_scratch(), "sf-bigkey")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        doc = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        doc.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(4611686018427387904)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        for t in TABLES:
+            if t == "documents":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+# every query whose oracle touches doc_id, plus the rows-only documents
+# readers (multimodal decode, native hashes, ANN text hydration)
+_BIGKEY_FAMILY = sorted(
+    {n for n, s in engine.all_oracles().items() if "doc_id" in s}
+    | {"q_multimodal_decode", "q_hash_native"}
+)
+
+
+@pytest.mark.parametrize("name", _BIGKEY_FAMILY, ids=_BIGKEY_FAMILY)
+def test_query_survives_snowflake_keys(spark, bigkey_sf, name):
+    """No key arithmetic may overflow on 64-bit-scheme ids — mod before
+    multiply, or hash. A legal id space is not a degraded corpus."""
+    df = QS[name](spark, bigkey_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
 def degmixed_sf(spark) -> str:
     """EVERY degraded axis at once — null/ragged payloads, zero money,
     instrumentation-garbage events, broken dimensions — built from the SAME
