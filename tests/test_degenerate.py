@@ -1238,38 +1238,63 @@ def test_query_survives_degraded_stats(spark, degstats_sf, name):
 
 @pytest.fixture(scope="module")
 def bigkey_sf(spark) -> str:
-    """Snowflake-scale doc_ids (shifted up near 2^62) — LEGAL key values,
-    not degradation: any modern 64-bit id scheme produces them. Under
-    ANSI, key arithmetic like doc_id * 37 THROWS ARITHMETIC_OVERFLOW past
-    2^63/37 ≈ 2.5e17 (found by this sweep's first probe in the multimodal
-    metadata derivation; DuckDB bigint multiply throws the same way) —
-    key math must be mod-first or hash-based. Referential integrity to
-    embeddings is intentionally broken (joins legally match nothing);
-    the contract under test is no-exception."""
+    """Snowflake-scale ids (every fact key shifted up near 2^62,
+    CONSISTENTLY — FK pairs shift together so joins still match) — LEGAL
+    key values, not degradation: any modern 64-bit id scheme produces
+    them. Under ANSI, key arithmetic like doc_id * 37 THROWS
+    ARITHMETIC_OVERFLOW past 2^63/37 ≈ 2.5e17 (found by this sweep's
+    first probe in the multimodal metadata derivation; DuckDB bigint
+    multiply throws the same way) — key math must be mod-first or
+    hash-based. Embeddings keep small vec_ids (the doc join legally
+    matches nothing); the contract under test is no-exception."""
     d = os.path.join(process_scratch(), "sf-bigkey")
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
         from pyspark.sql import functions as F
 
+        BIG = 4611686018427387904
+        shifted = {
+            "documents": {"doc_id"},
+            "orders": {"o_orderkey", "o_custkey"},
+            "lineitem": {"l_orderkey"},
+            "customer": {"c_custkey"},
+            "events": {"event_id", "user_id"},
+        }
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        doc = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-        doc.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(4611686018427387904)
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
         for t in TABLES:
-            if t == "documents":
+            cols = shifted.get(t)
+            if not cols:
+                os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
                 continue
-            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+            df = spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            df.select(
+                *[
+                    (F.col(c) + BIG).alias(c) if c in cols else F.col(c)
+                    for c in df.columns
+                ]
+            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
         open(marker, "w").write("ok")
     return d
 
 
-# every query whose oracle touches doc_id, plus the rows-only documents
-# readers (multimodal decode, native hashes, ANN text hydration)
+# every query whose oracle touches a shifted key, plus the rows-only
+# readers of those tables (streams, sketches, multimodal decode, native
+# hashes)
 _BIGKEY_FAMILY = sorted(
-    {n for n, s in engine.all_oracles().items() if "doc_id" in s}
-    | {"q_multimodal_decode", "q_hash_native"}
+    {
+        n
+        for n, s in engine.all_oracles().items()
+        if _re.search(
+            r"doc_id|o_orderkey|o_custkey|l_orderkey|c_custkey|event_id|user_id",
+            s,
+        )
+    }
+    | {n for n in QS if n.startswith("q_stream_")}
+    | {
+        "q_multimodal_decode", "q_hash_native", "q_freq_items",
+        "q_agg_approx_distinct", "q_agg_approx_pct", "q_dq_profile_approx",
+    }
 )
 
 
