@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import MONEY_MAX, query
 from ..sources.io import load_table
 
 
@@ -124,12 +124,22 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_math_funcs",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 30000.0::DOUBLE) AS abs_dev,
-           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-           CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
-           sqrt(l_extendedprice)                  AS price_sqrt,
+           -- MONEY_MAX guards (r7 extreme-money sweep): floor/ceil/sign of a
+           -- 1e308/NaN/±Inf price otherwise throw the ANSI BIGINT/INT cast —
+           -- the BETWEEN guard (NaN and ±Inf fail it in both engines) nulls
+           -- non-conforming rows identically in both twins
+           CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                THEN CAST(floor(l_extendedprice) AS BIGINT) END AS price_floor,
+           CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                THEN CAST(ceil(l_extendedprice) AS BIGINT) END  AS price_ceil,
+           -- >= 0 guard, same asymmetry as ln below: Spark sqrt(negative)
+           -- returns NaN, DuckDB's THROWS Out of Range (r7 extreme-money
+           -- sweep) — negative prices degrade to NULL identically instead
+           CASE WHEN l_extendedprice >= 0
+                THEN sqrt(l_extendedprice) END    AS price_sqrt,
            pow(l_quantity, 2.0::DOUBLE)           AS qty_sq,
            ROUND(exp(l_quantity / 50.0::DOUBLE), 6) AS qty_exp,
            -- > 0 guards (r7 degraded-twin gate): Spark's log/log10 return
@@ -140,7 +150,9 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ROUND(ln(l_extendedprice), 6) END    AS price_ln,
            CASE WHEN l_extendedprice > 0
                 THEN ROUND(log10(l_extendedprice), 6) END AS price_log10,
-           CAST(sign(l_extendedprice - 30000.0::DOUBLE) AS INTEGER) AS dev_sign,
+           CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                THEN CAST(sign(l_extendedprice - 30000.0::DOUBLE) AS INTEGER)
+                END AS dev_sign,
            greatest(l_extendedprice, l_quantity * 1000.0::DOUBLE) AS hi,
            least(l_extendedprice, l_quantity * 1000.0::DOUBLE)    AS lo,
            l_orderkey % 7 AS okey_mod7
@@ -150,22 +162,26 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: math family — abs/floor/ceil/sqrt/pow/exp/ln/log10/sign/greatest/
     least/pmod. sqrt and pow-of-integral are IEEE-exact (unrounded);
-    transcendentals are rounded (JVM vs libm last-ulp)."""
+    transcendentals are rounded (JVM vs libm last-ulp). The int-landing
+    columns (floor/ceil/sign) carry the MONEY_MAX guard (r7 extreme-money
+    sweep): a 1e308/NaN/±Inf price otherwise throws the ANSI narrowing
+    cast — non-conforming rows null identically in both twins."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     qty = F.col("l_quantity")
+    price_ok = price.between(-MONEY_MAX, MONEY_MAX)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs(price - 30000.0).alias("abs_dev"),
-        F.floor(price).alias("price_floor"),
-        F.ceil(price).alias("price_ceil"),
-        F.sqrt(price).alias("price_sqrt"),
+        F.when(price_ok, F.floor(price)).alias("price_floor"),
+        F.when(price_ok, F.ceil(price)).alias("price_ceil"),
+        F.when(price >= 0, F.sqrt(price)).alias("price_sqrt"),
         F.pow(qty, 2.0).alias("qty_sq"),
         F.round(F.exp(qty / 50.0), 6).alias("qty_exp"),
         F.round(F.log(price), 6).alias("price_ln"),
         F.round(F.log10(price), 6).alias("price_log10"),
-        F.signum(price - 30000.0).cast("int").alias("dev_sign"),
+        F.when(price_ok, F.signum(price - 30000.0)).cast("int").alias("dev_sign"),
         F.greatest(price, qty * 1000.0).alias("hi"),
         F.least(price, qty * 1000.0).alias("lo"),
         F.pmod("l_orderkey", F.lit(7)).alias("okey_mod7"),
@@ -390,11 +406,17 @@ def q_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_decimal_money",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_exact,
-           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_exact,
-           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_exact,
+           CAST(SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_exact,
+           CAST(MIN(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS min_exact,
+           CAST(MAX(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS max_exact,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -404,9 +426,16 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: decimal (Redshift money) arithmetic — sums in DECIMAL(18,2) are
     exact and order-insensitive (no float discipline needed!), surfaced as
     doubles under the scalar-primitive output policy. This is the recommended
-    money path at 100 TB: decimal partial aggregates merge exactly."""
+    money path at 100 TB: decimal partial aggregates merge exactly. The
+    decimal hop carries the MONEY_MAX guard (r7 extreme-money sweep): one
+    corrupted 1e308 price otherwise throws the whole stage out of decimal
+    range under ANSI — non-conforming rows null into the aggregates, which
+    both engines skip identically."""
     li = load_table(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    price = F.col("l_extendedprice")
+    price_dec = F.when(price.between(-MONEY_MAX, MONEY_MAX), price).cast(
+        "decimal(18,2)"
+    )
     return li.groupBy("l_returnflag").agg(
         F.sum(price_dec).cast("double").alias("sum_exact"),
         F.min(price_dec).cast("double").alias("min_exact"),
@@ -452,11 +481,14 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bitwise_aggs",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           BIT_AND(CAST(l_quantity AS BIGINT)) AS qty_and,
-           BIT_OR(CAST(l_quantity AS BIGINT)) AS qty_or,
-           BIT_XOR(CAST(l_quantity AS BIGINT)) AS qty_xor,
+           BIT_AND(CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                        THEN CAST(l_quantity AS BIGINT) END) AS qty_and,
+           BIT_OR(CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                       THEN CAST(l_quantity AS BIGINT) END) AS qty_or,
+           BIT_XOR(CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                        THEN CAST(l_quantity AS BIGINT) END) AS qty_xor,
            BIT_OR(1 << (l_linenumber % 7)) AS line_mask
     FROM lineitem
     GROUP BY l_returnflag
@@ -467,9 +499,13 @@ def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flag-mask rollup idiom (e.g. which linenumber slots ever occur per
     group, as one bigint mask). Fully associative/commutative integer
     lattice operations → two-phase map-side-combinable aggregates with no
-    ordering sensitivity at all — the easiest possible 100 TB aggregate."""
+    ordering sensitivity at all — the easiest possible 100 TB aggregate.
+    The quantity narrowing carries the MONEY_MAX guard (r7 extreme-money
+    sweep: ANSI CAST_OVERFLOW on a 1e308 sentinel); bit-aggs skip the
+    resulting NULLs identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("bigint")
+    qty = F.col("l_quantity")
+    q = F.when(qty.between(-MONEY_MAX, MONEY_MAX), qty).cast("bigint")
     return li.groupBy("l_returnflag").agg(
         F.bit_and(q).alias("qty_and"),
         F.bit_or(q).alias("qty_or"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import MONEY_MAX, query
 from ..sources.io import load_table
 
 
@@ -131,12 +131,15 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cast",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           CAST(l_quantity AS BIGINT) AS qty_int,
+           CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                THEN CAST(l_quantity AS BIGINT) END AS qty_int,
            CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_orderkey AS VARCHAR) AS okey_str,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           CAST(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END
+                AS DOUBLE) AS price_dec,
            CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS line_roundtrip
     FROM lineitem
     """,
@@ -146,13 +149,25 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     double→DECIMAL(18,2)→double round-trip (Redshift money semantics; data is
     exact 2-decimal so the decimal hop is lossless on both engines). The
     decimal lands back in DOUBLE because oracle-checked outputs stay scalar
-    primitives — Decimal objects hash differently across pandas bridges."""
+    primitives — Decimal objects hash differently across pandas bridges.
+    The double-narrowing casts carry the MONEY_MAX guard (r7 extreme-money
+    sweep): one 1e308/NaN price throws ANSI CAST_OVERFLOW / decimal
+    out-of-range — non-conforming doubles cast to NULL by the contract
+    spelled identically in both twins (a BETWEEN guard, which NaN and ±Inf
+    fail in both engines; DuckDB's TRY_CAST still throws on NaN→DECIMAL,
+    so TRY_CAST is not a safe mirror)."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     return li.select(
         "l_orderkey",
-        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.when(qty.between(-MONEY_MAX, MONEY_MAX), qty)
+        .cast("bigint")
+        .alias("qty_int"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_orderkey").cast("string").alias("okey_str"),
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+        F.when(price.between(-MONEY_MAX, MONEY_MAX), price)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price_dec"),
         F.col("l_linenumber").cast("string").cast("bigint").alias("line_roundtrip"),
     )

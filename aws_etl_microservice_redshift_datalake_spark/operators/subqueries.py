@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import exact_sum, o_exact_sum, query
+from ..registry import MONEY_MAX, QTY_MAX, exact_sum, o_exact_sum, query
 from ..sources.io import load_table, register_all
 
 # "Very late" shipment: >1800 days after the order date (~p95 of the fixture's
@@ -144,13 +144,16 @@ def q_subq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_subq_in_agg",
-    oracle="""
+    oracle=f"""
     SELECT c_name, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(SUM(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
+                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+        GROUP BY l_orderkey
+        HAVING SUM(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
+                        THEN CAST(l_quantity AS BIGINT) END) > 250
       )
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, o_orderkey, o_orderdate
@@ -163,9 +166,13 @@ def q_subq_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders. DataFrame route: the IN-list is the aggregate itself —
     groupBy(orderkey).sum(qty) filtered >250, then LEFT SEMI join back.
     Quantities are integral doubles (FIXTURES.md); summing them as BIGINT
-    keeps the HAVING threshold and output exact on both engines."""
+    keeps the HAVING threshold and output exact on both engines. The
+    narrowing carries the QTY_MAX guard (r7 extreme-money sweep: ANSI
+    CAST_OVERFLOW on a 1e308 sentinel; the tighter quantity bound also
+    keeps the per-order bigint SUM overflow-free at any line count)."""
+    qty = F.col("l_quantity")
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "qty", F.col("l_quantity").cast("bigint")
+        "qty", F.when(qty.between(-QTY_MAX, QTY_MAX), qty).cast("bigint")
     )
     big = li.groupBy("l_orderkey").agg(F.sum("qty").alias("tq")).filter(F.col("tq") > 250)
     o = load_table(spark, sf_dir, "orders").join(
@@ -221,7 +228,9 @@ def q_subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_subq_scalar_corr_avg",
     oracle=f"""
     WITH pa AS (
-        SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+        SELECT l_partkey AS pk,
+               SUM(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
+                        THEN CAST(l_quantity AS BIGINT) END) AS sq,
                COUNT(*) AS nq
         FROM lineitem GROUP BY l_partkey
     )
@@ -230,7 +239,8 @@ def q_subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem, part, pa
     WHERE p_partkey = l_partkey AND pa.pk = l_partkey
       AND p_type = 'SMALL'
-      AND CAST(l_quantity AS BIGINT) * 5 * pa.nq < pa.sq
+      AND CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
+               THEN CAST(l_quantity AS BIGINT) END * 5 * pa.nq < pa.sq
     """,
 )
 def q_subq_scalar_corr_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,9 +250,14 @@ def q_subq_scalar_corr_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(partkey) aggregate equi-joined back — the per-part avg is
     computed ONCE, not per outer row. The threshold ``qty < 0.2·avg`` is
     cross-multiplied into integers (5·qty·n < sum) so both engines filter on
-    exact arithmetic."""
+    exact arithmetic. The quantity narrowing carries the QTY_MAX guard in
+    both twins (r7 extreme-money sweep: ANSI CAST_OVERFLOW on a ±1e308
+    sentinel; the tight bound also keeps ``qty·5·nq`` and the per-part SUM
+    overflow-free at any line count) — a NULL qty row then drops from the
+    filter in both engines, exactly like the NULL comparison semantics."""
+    qraw = F.col("l_quantity")
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "qty", F.col("l_quantity").cast("bigint")
+        "qty", F.when(qraw.between(-QTY_MAX, QTY_MAX), qraw).cast("bigint")
     )
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("nq")
@@ -706,11 +721,11 @@ def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_value_concentration",
     oracle="""
     SELECT l_suppkey,
-           CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) AS DOUBLE) AS supp_value
+           CAST(SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)))
-         > (SELECT SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) * 0.0105::DOUBLE
+    HAVING SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
+         > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105::DOUBLE
             FROM lineitem)
     ORDER BY supp_value DESC, l_suppkey ASC
     """,
@@ -723,16 +738,19 @@ def q_sql_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-aggregation filter. Both the per-supplier and the grand total are
     EXACT decimal sums (prices are 2-dec-grid money), so the threshold cut
     is deterministic; the decimal×double product keeps the comparison the
-    same IEEE op on both engines."""
+    same IEEE op on both engines. The decimal hop carries the MONEY_MAX
+    guard in all three spots, identically in both twins (r7 extreme-money
+    sweep: one 1e308 price otherwise throws the stage out of decimal
+    range under ANSI; NaN/±Inf fail the BETWEEN in both engines)."""
     register_all(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_suppkey,
-               CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) AS DOUBLE) AS supp_value
+               CAST(SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
         FROM lineitem
         GROUP BY l_suppkey
-        HAVING SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)))
-             > (SELECT SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2))) * 0.0105D
+        HAVING SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
+             > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105D
                 FROM lineitem)
         ORDER BY supp_value DESC, l_suppkey ASC
         """

@@ -269,6 +269,31 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # overflow-proof: ANSI doc_id * 37 THROWS
                                   # on snowflake-scale ids (> 2.5e17), in
                                   # DuckDB too (r7 snowflake-keys sweep).
+    # ---- r7 extreme-money sweep (±1e308/±Inf/NaN/NULL prices+quantities —
+    # 8 real crashes on first probe): ANSI narrowing casts THROW on finite
+    # absurd doubles (CAST_OVERFLOW to BIGINT/INT, NUMERIC_VALUE_OUT_OF_RANGE
+    # to DECIMAL) while DuckDB's TRY_CAST still throws on NaN→DECIMAL, so
+    # the mirrored contract is a MONEY_MAX/QTY_MAX BETWEEN guard (NaN and
+    # ±Inf fail it in both engines) nulling non-conforming rows into
+    # NULL-skipping aggregates. exact_sum/o_exact_sum/dec/o_dec are hardened
+    # at the HELPER level — q_subq_scalar_corr_avg's rank-0 row verifies the
+    # shared helpers for every o_exact_sum consumer (the r6 shared-builder
+    # precedent). The ~9 q_sql_* twins that spell the exact-sum decimal
+    # pattern INLINE are queued as the FIRST r8 batch (replace the inline
+    # spellings with the hardened helper; each edit costs a recheck slot —
+    # adding them now would break the r7 burn-in floor).
+    "q_cast": 6,                  # qty/price narrowing guarded both twins.
+    "q_decimal_money": 6,         # decimal hop guarded both twins.
+    "q_bitwise_aggs": 6,          # qty narrowing guarded; bit-aggs skip NULL.
+    "q_agg_collect": 6,           # qty domain guarded; collect_set drops
+                                  # NULL = array_to_string skips NULL.
+    "q_subq_in_agg": 6,           # QTY_MAX-guarded sums (also overflow-free
+                                  # at any line count).
+    "q_subq_scalar_corr_avg": 6,  # QTY_MAX-guarded pa CTE + cross-multiplied
+                                  # filter; also verifies the hardened
+                                  # exact_sum/o_exact_sum helpers.
+    "q_sql_value_concentration": 6,  # MONEY_MAX-guarded decimal hops in all
+                                  # three spots, both twins.
     "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
                                   # on malformed JSON) + roundtrip NULL-k
                                   # guard in both twins (Spark omits null
@@ -350,6 +375,32 @@ def all_oracles() -> dict[str, str]:
 # ≈ an 8-zettabyte corpus.
 N_CHARS_MAX = 1 << 40
 
+# Conformance bound for MONEY/quantity doubles entering exact decimal
+# arithmetic (r7 extreme-money sweep): under ANSI, casting a finite-but-
+# absurd double (1e308 — a corrupted price) to DECIMAL(27,g) THROWS
+# NUMERIC_VALUE_OUT_OF_RANGE in Spark and a Conversion Error in DuckDB,
+# killing the whole aggregate stage; NaN is worse — Spark's ANSI cast gives
+# NULL but DuckDB's TRY_CAST(NaN AS DECIMAL) still throws, so TRY_CAST is
+# NOT a safe mirror. The one spelling both engines agree on is a
+# BETWEEN-guard: NaN and +Inf fail `x <= hi` and -Inf fails `x >= lo` in
+# BOTH engines (NaN sorts above all numerics in both), so
+# `CASE WHEN x BETWEEN -MONEY_MAX AND MONEY_MAX THEN <cast> END` nulls every
+# non-conforming row into a SUM that skips it, identically. 1e15 — a
+# quadrillion — is far above any legal money/quantity value and far below
+# DECIMAL(27,6) capacity (1e21), and the widened sum precision (Spark
+# DECIMAL(37,g), DuckDB DECIMAL(38,g)) then cannot overflow before ~1e18
+# rows of max-value money.
+MONEY_MAX = 1e15
+
+# Tighter bound for QUANTITY columns feeding exact INTEGER arithmetic
+# (Q17/Q18-shaped cross-multiplied comparisons and per-group bigint sums):
+# MONEY_MAX guarantees representability but not arithmetic headroom — a
+# conforming 1e15 quantity cross-multiplied by 5·nq overflows int64 past
+# ~1.8e3 lines per part. 1e9 (a billion units on one line item is garbage
+# in any lake) keeps `qty * 5 * nq` and per-group SUMs overflow-free up to
+# ~1.8e9 lines per group — beyond any real order or part.
+QTY_MAX = 1e9
+
 
 # --------------------------------------------------------------------------
 # float-hash discipline helpers
@@ -375,13 +426,21 @@ def rnd(col: Column, scale: int = 2) -> Column:
 def dec(col: Column, scale: int = 2, precision: int = 22) -> Column:
     """Decimal-typed variant (Redshift DECIMAL money semantics, F9/P6 only —
     elsewhere prefer :func:`rnd`, which keeps DOUBLE and avoids any
-    decimal-representation ambiguity in the driver's value hash)."""
-    return F.round(col, scale).cast(T.DecimalType(precision, scale))
+    decimal-representation ambiguity in the driver's value hash).
+    MONEY_MAX-guarded: non-conforming doubles become NULL, never an ANSI
+    decimal-range throw (r7 extreme-money sweep)."""
+    return (
+        F.when(col.between(-MONEY_MAX, MONEY_MAX), F.round(col, scale))
+        .cast(T.DecimalType(precision, scale))
+    )
 
 
 def o_dec(expr: str, scale: int = 2, precision: int = 22) -> str:
     """DuckDB-side twin of :func:`dec` for building oracle SQL strings."""
-    return f"CAST(ROUND({expr}, {scale}) AS DECIMAL({precision},{scale}))"
+    return (
+        f"CASE WHEN {expr} BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} "
+        f"THEN CAST(ROUND({expr}, {scale}) AS DECIMAL({precision},{scale})) END"
+    )
 
 
 def exact_sum(col: Column, grid: int, out_scale: int = 2) -> Column:
@@ -398,14 +457,25 @@ def exact_sum(col: Column, grid: int, out_scale: int = 2) -> Column:
     exact), round the decimal, and hand back a canonical DOUBLE. ``grid``
     is the product's decimal grid: 4 for price×(1−disc), 6 with ×(1+tax).
     Oracle twin: :func:`o_exact_sum` with the same ``grid``.
+
+    MONEY_MAX-guarded (r7 extreme-money sweep): one corrupted finite price
+    (1e308) otherwise throws the whole aggregate stage out of decimal range
+    under ANSI — and a NaN product would throw DuckDB's TRY_CAST — so
+    non-conforming rows null into the SUM, which both engines skip
+    identically. On clean money (FIXTURES.md: 2-decimal rationals far below
+    MONEY_MAX) the guard selects every row and the sum is unchanged.
     """
-    per_row = F.round(col, grid).cast(T.DecimalType(27, grid))
+    per_row = (
+        F.when(col.between(-MONEY_MAX, MONEY_MAX), F.round(col, grid))
+        .cast(T.DecimalType(27, grid))
+    )
     return F.round(F.sum(per_row), out_scale).cast("double")
 
 
 def o_exact_sum(expr: str, grid: int, out_scale: int = 2) -> str:
     """DuckDB-side twin of :func:`exact_sum`."""
     return (
-        f"CAST(ROUND(SUM(CAST(ROUND({expr}, {grid}) AS DECIMAL(27,{grid}))),"
-        f" {out_scale}) AS DOUBLE)"
+        f"CAST(ROUND(SUM(CASE WHEN {expr} BETWEEN -{MONEY_MAX:.0f} AND"
+        f" {MONEY_MAX:.0f} THEN CAST(ROUND({expr}, {grid}) AS"
+        f" DECIMAL(27,{grid})) END), {out_scale}) AS DOUBLE)"
     )
