@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, QTY_MAX, exact_sum, o_exact_sum, query
+from ..registry import MONEY_MAX, QTY_MAX, dec, exact_sum, o_dec, o_exact_sum, query
 from ..sources.io import load_table, register_all
 
 # "Very late" shipment: >1800 days after the order date (~p95 of the fixture's
@@ -97,15 +97,15 @@ def q_subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_subq_not_exists",
-    oracle="""
+    oracle=f"""
     WITH pos AS (
-        SELECT SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS s, COUNT(*) AS n
+        SELECT SUM({o_dec("c_acctbal")}) AS s, COUNT(*) AS n
         FROM customer WHERE c_acctbal > 0.0::DOUBLE
     )
     SELECT c_nationkey, COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+           CAST(SUM({o_dec("c_acctbal")}) AS DOUBLE) AS total_bal
     FROM customer, pos
-    WHERE CAST(c_acctbal AS DECIMAL(14,2)) * pos.n > pos.s
+    WHERE {o_dec("c_acctbal")} * pos.n > pos.s
       AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
@@ -120,9 +120,13 @@ def q_subq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     since 2000 — per nation. DataFrame route: NOT EXISTS → LEFT ANTI join on
     custkey; the scalar avg is a 1-row aggregate cross-joined (broadcast) in.
     The avg threshold is compared exactly — bal·n > sum in DECIMAL cents —
-    so no order-dependent double avg feeds the filter."""
+    so no order-dependent double avg feeds the filter. The decimal hop goes
+    through the MONEY_MAX-guarded registry.dec/o_dec helpers (r7
+    extreme-money sweep: a 1e308 balance threw the raw DECIMAL(14,2) cast;
+    round(x,2) is the identity on the fixture's 2-grid balances, so clean
+    output is unchanged)."""
     c = load_table(spark, sf_dir, "customer").withColumn(
-        "bal_dec", F.col("c_acctbal").cast("decimal(14,2)")
+        "bal_dec", dec(F.col("c_acctbal"))
     )
     pos = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum("bal_dec").alias("s"), F.count(F.lit(1)).alias("n")

@@ -294,6 +294,12 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # exact_sum/o_exact_sum helpers.
     "q_sql_value_concentration": 6,  # MONEY_MAX-guarded decimal hops in all
                                   # three spots, both twins.
+    "q_subq_not_exists": 6,       # c_acctbal decimal hop through the
+                                  # hardened dec/o_dec helpers (a 1e308
+                                  # balance threw the raw DECIMAL(14,2)
+                                  # cast; round-to-2 is the identity on
+                                  # 2-grid balances, clean output
+                                  # unchanged).
     "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
                                   # on malformed JSON) + roundtrip NULL-k
                                   # guard in both twins (Spark omits null

@@ -1276,20 +1276,24 @@ def degmoney_sf(spark) -> str:
 
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
-        _extreme_money(
-            li,
-            ("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
-            F.col("l_orderkey") * 8 + F.col("l_linenumber"),
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
-        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
-        _extreme_money(o, ("o_totalprice",), F.col("o_orderkey") + 11).coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        plans = {
+            "lineitem": (("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+                         F.col("l_orderkey") * 8 + F.col("l_linenumber")),
+            "orders": (("o_totalprice",), F.col("o_orderkey") + 11),
+            "customer": (("c_acctbal",), F.col("c_custkey")),
+            "supplier": (("s_acctbal",), F.col("s_suppkey") + 3),
+            "part": (("p_retailprice",), F.col("p_partkey") + 7),
+            "events": (("value",), F.col("event_id") + 13),
+        }
         for t in TABLES:
-            if t in ("lineitem", "orders"):
+            plan = plans.get(t)
+            if plan is None:
+                os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
                 continue
-            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+            df = spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            _extreme_money(df, *plan).coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/{t}.parquet"
+            )
         open(marker, "w").write("ok")
     return d
 
@@ -1312,7 +1316,15 @@ _EXTREME_MONEY_DEFERRED: frozenset[str] = frozenset({
 
 _EXTREME_MONEY_FAMILY = sorted(
     (
-        {n for n, s in engine.all_oracles().items() if "lineitem" in s or "orders" in s}
+        {
+            n
+            for n, s in engine.all_oracles().items()
+            if _re.search(
+                r"lineitem|orders|c_acctbal|s_acctbal|p_retailprice|events",
+                s,
+            )
+        }
+        | {n for n in QS if n.startswith("q_stream_")}
         | {"q_freq_items", "q_agg_approx_distinct", "q_agg_approx_pct",
            "q_dq_profile_approx"}
     )
@@ -1487,6 +1499,7 @@ _TWIN_GATE: list[tuple[str, str]] = [
     ("q_subq_in_agg", "degmoney_sf"),              # QTY_MAX-guarded Q18 sums
     ("q_subq_scalar_corr_avg", "degmoney_sf"),     # + hardened exact_sum twin
     ("q_sql_value_concentration", "degmoney_sf"),  # guarded decimal, 3 spots
+    ("q_subq_not_exists", "degmoney_sf"),          # dec/o_dec helper guards
 ]
 
 
