@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, query
+from ..registry import MONEY_MAX, QTY_MAX, query
 from ..sources.io import load_table
 
 
@@ -483,11 +483,11 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bitwise_aggs",
     oracle=f"""
     SELECT l_returnflag,
-           BIT_AND(CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+           BIT_AND(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
                         THEN CAST(l_quantity AS BIGINT) END) AS qty_and,
-           BIT_OR(CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+           BIT_OR(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
                        THEN CAST(l_quantity AS BIGINT) END) AS qty_or,
-           BIT_XOR(CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+           BIT_XOR(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
                         THEN CAST(l_quantity AS BIGINT) END) AS qty_xor,
            BIT_OR(1 << (l_linenumber % 7)) AS line_mask
     FROM lineitem
@@ -500,12 +500,13 @@ def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, as one bigint mask). Fully associative/commutative integer
     lattice operations → two-phase map-side-combinable aggregates with no
     ordering sensitivity at all — the easiest possible 100 TB aggregate.
-    The quantity narrowing carries the MONEY_MAX guard (r7 extreme-money
-    sweep: ANSI CAST_OVERFLOW on a 1e308 sentinel); bit-aggs skip the
-    resulting NULLs identically in both engines."""
+    The quantity narrowing carries the QTY_MAX guard (r7 extreme-money
+    sweep: ANSI CAST_OVERFLOW on a 1e308 sentinel; one conformance
+    contract per column suite-wide); bit-aggs skip the resulting NULLs
+    identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
-    q = F.when(qty.between(-MONEY_MAX, MONEY_MAX), qty).cast("bigint")
+    q = F.when(qty.between(-QTY_MAX, QTY_MAX), qty).cast("bigint")
     return li.groupBy("l_returnflag").agg(
         F.bit_and(q).alias("qty_and"),
         F.bit_or(q).alias("qty_or"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, exact_sum, o_exact_sum, query, rnd
+from ..registry import QTY_MAX, exact_sum, o_exact_sum, query, rnd
 from ..sources.io import load_table
 
 
@@ -291,7 +291,7 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
            array_to_string(list_sort(list_distinct(list(
-               CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+               CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
                     THEN CAST(l_quantity AS BIGINT) END))), ',') AS qty_domain
     FROM lineitem
     GROUP BY l_returnflag
@@ -302,7 +302,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect order is partition-order-dependent; SURVEY.md §5.3). The array is
     serialized to a CSV string because oracle-checked outputs stay scalar
     primitives (numpy arrays vs python lists hash differently across pandas
-    bridges). The quantity narrowing carries the MONEY_MAX guard (r7
+    bridges). The quantity narrowing carries the QTY_MAX guard (r7
     extreme-money sweep: ANSI CAST_OVERFLOW on a 1e308 sentinel) —
     non-conforming rows become NULL, which Spark's collect_set drops and
     DuckDB's array_to_string skips, so the serialized domain agrees."""
@@ -313,7 +313,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.sort_array(
                 F.collect_set(
-                    F.when(qty.between(-MONEY_MAX, MONEY_MAX), qty).cast("bigint")
+                    F.when(qty.between(-QTY_MAX, QTY_MAX), qty).cast("bigint")
                 )
             ),
             ",",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, query
+from ..registry import MONEY_MAX, QTY_MAX, query
 from ..sources.io import load_table
 
 
@@ -133,7 +133,7 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cast",
     oracle=f"""
     SELECT l_orderkey,
-           CASE WHEN l_quantity BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
+           CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
                 THEN CAST(l_quantity AS BIGINT) END AS qty_int,
            CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_orderkey AS VARCHAR) AS okey_str,
@@ -150,9 +150,10 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 2-decimal so the decimal hop is lossless on both engines). The
     decimal lands back in DOUBLE because oracle-checked outputs stay scalar
     primitives — Decimal objects hash differently across pandas bridges.
-    The double-narrowing casts carry the MONEY_MAX guard (r7 extreme-money
-    sweep): one 1e308/NaN price throws ANSI CAST_OVERFLOW / decimal
-    out-of-range — non-conforming doubles cast to NULL by the contract
+    The double-narrowing casts carry the conformance guards (r7
+    extreme-money sweep; QTY_MAX for the quantity, MONEY_MAX for the
+    price — ONE contract per column suite-wide): one 1e308/NaN price
+    throws ANSI CAST_OVERFLOW / decimal out-of-range — non-conforming doubles cast to NULL by the contract
     spelled identically in both twins (a BETWEEN guard, which NaN and ±Inf
     fail in both engines; DuckDB's TRY_CAST still throws on NaN→DECIMAL,
     so TRY_CAST is not a safe mirror)."""
@@ -160,7 +161,7 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     return li.select(
         "l_orderkey",
-        F.when(qty.between(-MONEY_MAX, MONEY_MAX), qty)
+        F.when(qty.between(-QTY_MAX, QTY_MAX), qty)
         .cast("bigint")
         .alias("qty_int"),
         F.col("l_shipdate").cast("date").alias("ship_date"),

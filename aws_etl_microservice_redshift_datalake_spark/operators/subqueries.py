@@ -723,13 +723,13 @@ def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_value_concentration",
-    oracle="""
+    oracle=f"""
     SELECT l_suppkey,
-           CAST(SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
+           CAST(SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
-         > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105::DOUBLE
+    HAVING SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
+         > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105::DOUBLE
             FROM lineitem)
     ORDER BY supp_value DESC, l_suppkey ASC
     """,
@@ -748,13 +748,13 @@ def q_sql_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     range under ANSI; NaN/±Inf fail the BETWEEN in both engines)."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT l_suppkey,
-               CAST(SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
+               CAST(SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
         FROM lineitem
         GROUP BY l_suppkey
-        HAVING SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
-             > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -1000000000000000 AND 1000000000000000 THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105D
+        HAVING SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
+             > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105D
                 FROM lineitem)
         ORDER BY supp_value DESC, l_suppkey ASC
         """
