@@ -868,16 +868,19 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fuzzy_join",
     oracle="""
-    WITH probes AS (
+    WITH conf AS (
+        SELECT * FROM customer WHERE length(c_name) <= 1000
+    ),
+    probes AS (
         SELECT c_custkey AS probe_id,
                substr(c_name, 1, 9) || 'x' || substr(c_name, 11) AS probe_name,
                substr(c_name, 15, 4) AS blk
-        FROM customer
+        FROM conf
         WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
     )
     SELECT probe_id, probe_name, c_custkey AS matched_id,
            CAST(levenshtein(probe_name, c_name) AS BIGINT) AS dist
-    FROM probes JOIN customer ON blk = substr(c_name, 15, 4)
+    FROM probes JOIN conf ON blk = substr(c_name, 15, 4)
     WHERE levenshtein(probe_name, c_name) <= 2
     """,
 )
@@ -893,8 +896,28 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the block key bounds candidate pairs at Σ|block|² instead
     of |probes|·|master|. At 100 TB the blocking key generalizes to
     phonetic codes / q-gram signatures with the identical plan. Both the
-    probe derivation and the blocking are mirrored in the oracle."""
-    c = load_table(spark, sf_dir, "customer")
+    probe derivation and the blocking are mirrored in the oracle.
+
+    The verify uses the THRESHOLD form of levenshtein (r7 adversarial
+    dimension-string probe): the plain form is a full O(|a|·|b|) DP, so
+    two 10k-char garbage names sharing a degenerate block cost 10⁸ cells
+    PER PAIR (measured 84 s on a 1.5k-row corpus — an executor-staller at
+    lake scale, the q_text_redact class). levenshtein(a, b, 2) band-limits
+    the DP to O(min(|a|,|b|)·2) and returns -1 past the threshold, so the
+    kept pairs and their distances are IDENTICAL to the plain form (the
+    oracle keeps plain levenshtein — DuckDB lacks the threshold parameter
+    but its ≤ 2 filter selects the same rows). Even band-limited, Spark's
+    UTF8 DP costs ~14 ms on a 10k-char pair, so the PRIMARY guard is a
+    name-length conformance filter (length ≤ 1000, mirrored in the
+    oracle's conf CTE): kilobyte-scale 'names' are garbage by contract,
+    and excluding them also dissolves the degenerate all-garbage block
+    the length planted (every 10k-char name shared one 'xxxx' key —
+    Σ|block|² with the heaviest possible per-pair cost). Residual
+    at-scale caveat, documented not guarded: a legitimately hot blocking
+    key still costs Σ|block|² cheap comparisons — if a real lake's key
+    space can degenerate, add a mirrorable block-size cap
+    (COUNT() OVER block ≤ B) before the join."""
+    c = load_table(spark, sf_dir, "customer").filter(F.length("c_name") <= 1000)
     bucket = F.conv(
         F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 6), 16, 10
     ).cast("bigint") % 100
@@ -909,9 +932,11 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_custkey", "c_name", F.substring("c_name", 15, 4).alias("blk")),
         "blk",
     )
-    dist = F.levenshtein(F.col("probe_name"), F.col("c_name"))
+    # threshold form: -1 means "distance exceeds 2", so the filter must be
+    # BETWEEN 0 AND 2 (a plain <= 2 would keep every -1 row)
+    dist = F.levenshtein(F.col("probe_name"), F.col("c_name"), 2)
     return (
-        cand.filter(dist <= 2)
+        cand.filter(dist.between(0, 2))
         .select(
             "probe_id",
             "probe_name",

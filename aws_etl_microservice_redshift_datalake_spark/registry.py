@@ -300,6 +300,15 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # cast; round-to-2 is the identity on
                                   # 2-grid balances, clean output
                                   # unchanged).
+    "q_fuzzy_join": 6,            # r7 adversarial dimension-string probe:
+                                  # name-length conformance (<= 1000,
+                                  # mirrored oracle conf CTE) + threshold
+                                  # levenshtein — 10k-char garbage names
+                                  # shared one degenerate block at ~14 ms
+                                  # per banded DP pair (84 s on 1.5k rows,
+                                  # an executor-staller class). Clean
+                                  # output identical (real names are ~18
+                                  # chars).
     "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
                                   # on malformed JSON) + roundtrip NULL-k
                                   # guard in both twins (Spark omits null

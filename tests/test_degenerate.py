@@ -1236,6 +1236,92 @@ def test_query_survives_degraded_stats(spark, degstats_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _adversarial_strings(df, cols, key):
+    """NULL / empty / whitespace / CJK+newline / 10k-char / delimiter-soup /
+    LIKE-metachar values planted independently per string column — the key
+    and match spaces of the entity-resolution and string-function
+    families."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for i, c in enumerate(cols):
+        k = key + i * 3
+        out = out.withColumn(
+            c,
+            F.when(k % 11 == 0, F.lit(None))
+            .when(k % 11 == 1, F.lit(""))
+            .when(k % 11 == 2, F.lit("   "))
+            .when(k % 11 == 3, F.lit("零件\n名字"))
+            .when(k % 11 == 4, F.lit("x" * 10_000))
+            .when(k % 11 == 5, F.lit('a"b,c|d\te'))
+            .when(k % 11 == 6, F.lit("%_%' OR 1=1 --"))
+            .otherwise(F.col(c)),
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def advdimstr_sf(spark) -> str:
+    """Adversarial DIMENSION-string corpus (r7 probe): part/supplier/
+    customer name, type, brand, and segment columns carry the full garbage
+    spectrum. Found the q_fuzzy_join stall: 10k-char 'names' all shared
+    one degenerate blocking key AND cost ~14 ms per banded-levenshtein
+    pair — 84 s on a 1.5k-row corpus, an executor-staller at lake scale.
+    The contract is a name-length conformance filter mirrored in both
+    twins plus the threshold levenshtein form."""
+    d = os.path.join(process_scratch(), "sf-advdimstr")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        plans = {
+            "part": (("p_name", "p_type", "p_brand"), F.col("p_partkey")),
+            "supplier": (("s_name",), F.col("s_suppkey") + 1),
+            "customer": (("c_name", "c_mktsegment"), F.col("c_custkey") + 5),
+        }
+        for t in TABLES:
+            plan = plans.get(t)
+            if plan is None:
+                os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+                continue
+            df = spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+            _adversarial_strings(df, *plan).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+_DIMSTR_FAMILY = sorted(
+    {
+        n
+        for n, s in engine.all_oracles().items()
+        if _re.search(r"p_name|p_type|p_brand|s_name|c_name|c_mktsegment", s)
+    }
+)
+
+
+@pytest.mark.parametrize("name", _DIMSTR_FAMILY, ids=_DIMSTR_FAMILY)
+def test_query_survives_adversarial_dim_strings(spark, advdimstr_sf, name):
+    """No string-function or entity-resolution operator may crash on
+    adversarial dimension strings — and none may stall (the per-test
+    wall-clock is effectively the guard: the pre-fix fuzzy join took 84 s
+    HERE, vs ~1 s after the conformance filter)."""
+    import time
+
+    t0 = time.time()
+    df = QS[name](spark, advdimstr_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+    # wall-clock regression guard, the q_text_redact precedent: a
+    # degenerate-block or unbounded-DP regression shows up as tens of
+    # seconds on this 1.5k-row corpus long before any bench could see it
+    assert time.time() - t0 < 30, f"{name} stalled on adversarial strings"
+
+
 def _extreme_money(df, cols, key):
     """±1e308 / ±Inf / NaN / NULL planted INDEPENDENTLY per money column
     (different offsets — correlated positions would mask product paths:
