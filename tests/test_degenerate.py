@@ -734,6 +734,84 @@ def test_query_survives_degraded_events(spark, degevents_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _degrade_event_keys(ev):
+    """NULL event-time / NULL user / adversarial event_type — the KEY
+    columns degevents_sf deliberately kept clean. A PERMISSIVE ingest nulls
+    unparseable source timestamps (so `ts IS NULL` is a legal lake state,
+    same contract as the dirty-DATE axis), user_id is nullable in any
+    anonymous-traffic stream, and event_type is free instrumentation text:
+    empty, CJK+emoji, 10k-char garbage, LIKE/regex metachars, embedded
+    newlines. event_id (the true PK) stays non-null."""
+    from pyspark.sql import functions as F
+
+    ts_t = ev.schema["ts"].dataType.simpleString()
+    eid = F.col("event_id")
+    return (
+        ev.withColumn(
+            "ts",
+            F.when(eid % 13 == 0, F.lit(None).cast(ts_t)).otherwise(F.col("ts")),
+        )
+        .withColumn(
+            "user_id",
+            F.when(eid % 17 == 0, F.lit(None).cast("bigint")).otherwise(
+                F.col("user_id")
+            ),
+        )
+        .withColumn(
+            "event_type",
+            F.when(eid % 23 == 0, F.lit(None).cast("string"))
+            .when(eid % 23 == 1, F.lit(""))
+            .when(eid % 23 == 2, F.lit("視聴クリック購入🛒"))
+            .when(eid % 23 == 3, F.concat(F.lit("t"), F.repeat(F.lit("x"), 10_000)))
+            .when(eid % 23 == 4, F.lit("%_\\%escape"))
+            .when(eid % 23 == 5, F.lit("view\npurchase"))
+            .otherwise(F.col("event_type")),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def degeventkeys_sf(spark) -> str:
+    """Adversarial event KEY corpus — the complement of degevents_sf (which
+    degraded the payloads but pinned ts/user_id/event_type clean)."""
+    d = os.path.join(process_scratch(), "sf-degeventkeys")
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        _degrade_event_keys(ev).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        for t in TABLES:
+            if t == "events":
+                continue
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+@pytest.mark.parametrize("name", _EVENTS_FAMILY, ids=_EVENTS_FAMILY)
+def test_query_survives_degraded_event_keys(spark, degeventkeys_sf, name):
+    """No event operator may crash or stall when the grouping/ordering keys
+    themselves are degraded: a NULL event time must never kill a window,
+    watermark, session, spine, or recency computation (one unparseable
+    timestamp = one dead 100 TB job otherwise); NULL users and garbage
+    event_type values must flow through grouping, lag/lead, funnel-step
+    equality, and transition concat as ordinary (if useless) keys. Twin
+    agreement on this corpus is r8-queue work (NULLS FIRST/LAST ordering
+    mirrors, the dirty-DATE convention); this sweep is the crash half."""
+    import time
+
+    t0 = time.time()
+    df = QS[name](spark, degeventkeys_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+    # 10k-char keys through concat/regex paths: linear or bust
+    assert time.time() - t0 < 30, f"{name} stalled on adversarial event keys"
+
+
 @pytest.fixture(scope="module")
 def planted_neardup_sf(spark) -> str:
     """sf0.001 embeddings plus a near-clone of each (one dim wiggled 0.5% →
@@ -1596,6 +1674,9 @@ _TWIN_GATE: list[tuple[str, str]] = [
     ("q_subq_scalar_corr_avg", "degmoney_sf"),     # + hardened exact_sum twin
     ("q_sql_value_concentration", "degmoney_sf"),  # guarded decimal, 3 spots
     ("q_subq_not_exists", "degmoney_sf"),          # dec/o_dec helper guards
+    # r7 dimension-strings contract: name-length conformance + threshold
+    # levenshtein (the manual 5 s twin compare from the fix commit, pinned)
+    ("q_fuzzy_join", "advdimstr_sf"),              # kilobyte names unselectable
 ]
 
 
