@@ -579,6 +579,22 @@ def test_dedup_substring_apply_join_shape(spark):
     audit.assert_filter_pushed(df, "text")
 
 
+def test_fuzzy_join_blocked_equi_not_pairwise(spark):
+    """Entity-resolution fuzzy join (r7-hardened): candidates must come
+    from the blocking-key EQUI-join (Σ|block|² pairs), never a pairwise
+    plan over probes×master; the expensive verify must be the banded
+    THRESHOLD levenshtein (O(min·2) per pair — the plain full-DP form
+    measured 84 s on a 1.5k-row adversarial corpus); and the customer
+    scan must prune to the two consumed columns."""
+    df = QS["q_fuzzy_join"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the threshold form renders its third argument as Some(2) in the plan
+    # expression; a regression to plain levenshtein(a, b) would drop it
+    assert "levenshtein" in p and "Some(2))" in p
+    audit.assert_scan_pruned(df, ["c_acctbal", "c_mktsegment", "c_nationkey"])
+
+
 def test_flagship_runs_in_whole_stage_codegen(spark):
     """The flagship scan-agg must execute inside fused whole-stage-codegen
     spans: after an action finalizes the AQE plan, codegen_stage_count
