@@ -737,3 +737,43 @@ def test_connected_components_groupby_spelling_matches(spark, monkeypatch, edges
         for r in dedup.connected_components(pairs, "a", "b").collect()
     }
     assert got == _brute_components(edges)
+
+
+# short strings over a tiny alphabet (plus multibyte chars to stress the
+# UTF8 DP path) so distances 0..4 and the -1 sentinel are all common
+_lev_strings = st.text(alphabet="ab✓💡", min_size=0, max_size=6)
+_lev_pairs = st.lists(
+    st.tuples(_lev_strings, _lev_strings), min_size=1, max_size=20
+)
+
+
+def _brute_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(pairs=_lev_pairs, thr=st.integers(min_value=0, max_value=3))
+@settings(**_SETTINGS)
+def test_threshold_levenshtein_sentinel_semantics(spark, pairs, thr):
+    """The banded THRESHOLD levenshtein the fuzzy join verifies with
+    (r7 dimension-strings fix) vs a brute-force full DP: the threshold
+    form must return the EXACT distance whenever it is <= thr and the -1
+    sentinel otherwise — so `BETWEEN 0 AND thr` selects precisely the
+    plain form's `<= thr` rows with identical distances. A Spark upgrade
+    that changed the sentinel (NULL? threshold+1?) would silently break
+    the fuzzy join's kept-pair contract; this pins it."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(
+        "a", "b", F.levenshtein("a", "b", thr).alias("d")
+    ).collect()
+    for r in got:
+        exact = _brute_levenshtein(r.a, r.b)
+        expect = exact if exact <= thr else -1
+        assert r.d == expect, (r.a, r.b, thr, r.d, exact)
