@@ -812,6 +812,42 @@ def test_query_survives_degraded_event_keys(spark, degeventkeys_sf, name):
     assert time.time() - t0 < 30, f"{name} stalled on adversarial event keys"
 
 
+# NULL event-time twin divergences, measured on degeventkeys_sf (r7 probe):
+# Spark's window()/session_window() emit NO window for a NULL ts while
+# DuckDB's time_bucket(NULL) forms a NULL group (tumbling: spark=911 vs
+# duck=922 rows), RANGE frames and the ASOF union-tag spelling order NULL
+# ts NULLS FIRST in Spark vs LAST in DuckDB, and the stateful kernel's
+# Arrow boundary erases a NULL ts differently from SQL GROUP BY. Each fix
+# is a `ts IS NOT NULL` (or ordering) contract mirrored in BOTH twins of an
+# oracled query NOT in this round's recheck set — r8-queue work by the
+# dirty-DATE convention (every edit costs a driver burn-in slot). The
+# crash sweep above still covers their Spark side; the twin pin below
+# covers everything that ALREADY agrees, so the r8 batch shrinks to these.
+_EVENTKEYS_TWIN_DEFERRED: frozenset[str] = frozenset({
+    "q_join_asof", "q_sessionize", "q_sliding_window", "q_stream_sliding",
+    "q_stream_stateful", "q_stream_tumbling", "q_tumbling_window",
+    "q_window_range",
+})
+
+_EVENTKEYS_TWIN_OK = sorted(
+    {n for n, s in engine.all_oracles().items() if "events" in s}
+    - _EVENTKEYS_TWIN_DEFERRED
+)
+
+
+@pytest.mark.parametrize("name", _EVENTKEYS_TWIN_OK, ids=_EVENTKEYS_TWIN_OK)
+def test_twin_gate_degraded_event_keys(spark, duck, degeventkeys_sf, name):
+    """Both engines must agree on the degraded-keys corpus for every events
+    oracle OUTSIDE the deferred NULL-ts set — pinned green on first probe
+    (23/31), so any regression that introduces asymmetric NULL-key handling
+    fails here immediately."""
+    from tests.conftest import run_compare
+
+    run_compare(
+        spark, duck, name, QS[name], engine.all_oracles()[name], degeventkeys_sf
+    )
+
+
 @pytest.fixture(scope="module")
 def planted_neardup_sf(spark) -> str:
     """sf0.001 embeddings plus a near-clone of each (one dim wiggled 0.5% →
