@@ -26,7 +26,13 @@ from ..registry import query
 from ..sources.io import load_table
 
 
-def _digitsum_oracle_expr(col: str, digits: int = 8) -> str:
+def _digitsum_oracle_expr(col: str, digits: int = 19) -> str:
+    """Digit-sum as pure integer arithmetic (DuckDB lacks a digit fold).
+    19 terms cover every int64 (max 9223372036854775807 has 19 digits) —
+    the original 8-term spelling was exact on the driver corpus but
+    silently truncated snowflake-scale ids (r7 bigkey axis-gate probe:
+    spark=true digit sum vs duck=low-8-digits sum). High terms are 0 on
+    small keys, so clean-corpus output is unchanged."""
     return " + ".join(f"(({col} // {10 ** i}) % 10)" for i in range(digits))
 
 

@@ -300,6 +300,15 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # cast; round-to-2 is the identity on
                                   # 2-grid balances, clean output
                                   # unchanged).
+    "q_udf_digitsum": 6,          # oracle-only (r7 bigkey axis-gate probe):
+                                  # digit-sum expression widened 8 -> 19
+                                  # terms so it is exact for every int64
+                                  # key, not just the driver corpus's
+                                  # short ids; Spark side untouched, clean
+                                  # output identical (high terms are 0).
+                                  # Net window cost ZERO: this query was
+                                  # already in-window as an r2-tail
+                                  # burn-in row.
     "q_fuzzy_join": 6,            # r7 adversarial dimension-string probe:
                                   # name-length conformance (<= 1000,
                                   # mirrored oracle conf CTE) + threshold
