@@ -1817,6 +1817,20 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
     "elemnullvec_sf": _ORACLE_INFEASIBLE_ON_DEGRADED | frozenset({
         "q_pandas_udf_dot", "q_pandas_udaf_centroid",
     }),
+    "tiny_sf": frozenset(),
+    # empty-corpus engine divergences (a stray all-filtered partition on a
+    # real lake): Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows on empty
+    # input where DuckDB emits the SQL-standard grand-total row (one row,
+    # NULL aggregates), and the two scalar-count reports render their
+    # zero-denominator shapes with NULL counts on one side only (pandas
+    # int64 -> float64 dtype drift through the Arrow boundary). Mirroring
+    # means either a UNION-the-empty-total contract or an
+    # emit-nothing-when-empty contract spelled in BOTH twins of five
+    # r6-green queries — r8 batch material, not worth five burn-in slots.
+    "empty_sf": frozenset({
+        "q_agg_cube", "q_agg_rollup", "q_sql_grouping_sets",
+        "q_chi_square", "q_dq_uniqueness",
+    }),
 }
 
 _AXIS_FAMILIES: dict[str, list] = {
@@ -1827,6 +1841,11 @@ _AXIS_FAMILIES: dict[str, list] = {
     "advkeys_sf": _KEYS_FAMILY,
     "advdimstr_sf": _DIMSTR_FAMILY,
     "elemnullvec_sf": _VECTOR_FAMILY,
+    # stray-partition shapes: the crash sweeps prove the Spark side
+    # EXECUTES on 1-row and 0-row corpora; these prove both engines also
+    # AGREE there (global aggs on zero rows, empty-group semantics)
+    "tiny_sf": sorted(engine.all_oracles()),
+    "empty_sf": sorted(engine.all_oracles()),
 }
 
 _AXIS_GATE_PARAMS = [
