@@ -488,6 +488,18 @@ def exact_sum(col: Column, grid: int, out_scale: int = 2) -> Column:
     non-conforming rows null into the SUM, which both engines skip
     identically. On clean money (FIXTURES.md: 2-decimal rationals far below
     MONEY_MAX) the guard selects every row and the sum is unchanged.
+
+    Bit-identity BOUNDARY (r7 helper twin property test): the final
+    DECIMAL→DOUBLE cast is correctly rounded in Spark but double-rounds in
+    DuckDB once the decimal's SCALED integer exceeds 2^53 (DuckDB goes
+    int→double, then ×10^-scale — measured: true sum 1000000000004305.94 →
+    Spark 1000000000004306.0, DuckDB 1000000000004305.9). So the helpers
+    guarantee bit-identical doubles only while |sum| < 2^53 / 10^out_scale
+    ≈ 9e13 at the default scale — four orders of magnitude above any
+    driver-corpus aggregate, and a per-GROUP sum that large on a real lake
+    indicates unconformed money anyway (MONEY_MAX bounds each ROW, not the
+    group total; a group would need ~90 max-value rows — possible, so keep
+    group sums in mind if a 100 TB deployment oracles against DuckDB).
     """
     per_row = (
         F.when(col.between(-MONEY_MAX, MONEY_MAX), F.round(col, grid))

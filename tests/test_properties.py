@@ -777,3 +777,144 @@ def test_threshold_levenshtein_sentinel_semantics(spark, pairs, thr):
         exact = _brute_levenshtein(r.a, r.b)
         expect = exact if exact <= thr else -1
         assert r.d == expect, (r.a, r.b, thr, r.d, exact)
+
+
+# --------------------------------------------------------------------------
+# Helper-level twin properties: exact_sum/o_exact_sum and dec/o_dec are the
+# ONE change point protecting every decimal money hop (r7 extreme-money
+# hardening verifies them through a single rank-0 consumer; this pins them
+# DIRECTLY against DuckDB on randomized money). Domain mirrors the
+# contract: on-grid money values (the fixtures' 2-decimal rationals and
+# product grids) plus the full non-conforming spectrum — ±1e308, ±Inf,
+# NaN, NULL, and the exact MONEY_MAX boundary from both sides.
+# --------------------------------------------------------------------------
+
+_money_extremes = [
+    1e308, -1e308, float("inf"), float("-inf"), float("nan"), None,
+    1.0e15, -1.0e15,            # exactly MONEY_MAX: conforming in BOTH
+    1.0000000000000002e15,      # next double up: non-conforming in BOTH
+]
+
+# the SUM property must stay inside the documented bit-identity boundary
+# (exact_sum docstring: DuckDB's DECIMAL→DOUBLE cast double-rounds once the
+# scaled sum exceeds 2^53 — THIS TEST found that boundary), so conforming
+# magnitudes cap at 10^7 and the MONEY_MAX boundary is exercised from the
+# non-conforming side plus the exact-integer case below
+_sum_extremes = [
+    1e308, -1e308, float("inf"), float("-inf"), float("nan"), None,
+    1.0000000000000002e15, -1.0000000000000002e15,
+]
+
+
+def _money_vals(grid: int):
+    """Values ON the 10^-grid grid (the helper contract: a product of
+    2-decimal rationals lives on a 4- or 6-grid; off-grid .xx5 midpoints
+    are explicitly OUT of contract — both docstrings) plus the
+    non-conforming spectrum."""
+    return st.lists(
+        st.one_of(
+            st.integers(-10**9, 10**9).map(lambda c, g=grid: c / 10**g),
+            st.sampled_from(_money_extremes),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+
+def _sum_vals(grid: int):
+    return st.lists(
+        st.one_of(
+            st.integers(-10**9, 10**9).map(lambda c, g=grid: c / 10**g),
+            st.sampled_from(_sum_extremes),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+
+_sum_cases = st.sampled_from([2, 4, 6]).flatmap(
+    lambda g: st.tuples(st.just(g), _sum_vals(g))
+)
+
+
+def _duck_literal(v) -> str:
+    if v is None:
+        return "CAST(NULL AS DOUBLE)"
+    if v != v:
+        return "'NaN'::DOUBLE"
+    if v == float("inf"):
+        return "'Infinity'::DOUBLE"
+    if v == float("-inf"):
+        return "'-Infinity'::DOUBLE"
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _duck_from(vals) -> str:
+    if not vals:
+        return "FROM (VALUES (CAST(0 AS DOUBLE))) t(x) WHERE FALSE"
+    rows = ", ".join(f"({_duck_literal(v)})" for v in vals)
+    return f"FROM (VALUES {rows}) t(x)"
+
+
+@given(case=_sum_cases)
+@settings(**_SETTINGS)
+def test_exact_sum_twin_property(spark, duck, case):
+    """registry.exact_sum(x) on Spark must equal o_exact_sum('x') on DuckDB
+    for ANY mix of on-grid money and non-conforming garbage — bit-identical
+    DOUBLE or both NULL (the whole float-hash discipline rests on this)."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import (
+        exact_sum, o_exact_sum,
+    )
+
+    grid, vals = case
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(exact_sum(F.col("x"), grid).alias("s")).collect()[0].s
+    want = duck.execute(
+        f"SELECT {o_exact_sum('x', grid)} AS s {_duck_from(vals)}"
+    ).fetchone()[0]
+    assert got == want or (got is None and want is None), (vals, grid, got, want)
+
+
+@given(vals=_money_vals(2))
+@settings(**_SETTINGS)
+def test_dec_twin_property(spark, duck, vals):
+    """registry.dec(x) per row must equal o_dec('x') per row on DuckDB —
+    equal DECIMAL or both NULL, for conforming and garbage money alike."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import dec, o_dec
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = {
+        r.i: r.d for r in df.select("i", dec(F.col("x")).alias("d")).collect()
+    }
+    sql = (
+        f"SELECT ROW_NUMBER() OVER () - 1 AS i, {o_dec('x')} AS d "
+        f"{_duck_from(vals)}"
+    )
+    want = {int(i): d for i, d in duck.execute(sql).fetchall()}
+    # VALUES preserves order under ROW_NUMBER() OVER () in DuckDB; map by
+    # index and compare each pair
+    assert len(got) == len(want) == len(vals)
+    for i, v in enumerate(vals):
+        g, w = got[i], want[i]
+        assert g == w or (g is None and w is None), (i, v, g, w)
+
+
+def test_exact_sum_twin_money_max_boundary(spark, duck):
+    """The conforming side of the MONEY_MAX boundary, deterministically:
+    ±1e15 are exact integers whose scaled decimals (1e17) ARE exactly
+    representable doubles, so both engines agree there — the property
+    test keeps such magnitudes out of its random mix because FRACTIONAL
+    sums that large cross the documented 2^53 scaled-cast boundary."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import (
+        exact_sum, o_exact_sum,
+    )
+
+    for vals in ([1.0e15], [-1.0e15], [1.0e15, -1.0e15], [1.0e15, 1e308]):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = df.agg(exact_sum(F.col("x"), 2).alias("s")).collect()[0].s
+        want = duck.execute(
+            f"SELECT {o_exact_sum('x', 2)} AS s {_duck_from(vals)}"
+        ).fetchone()[0]
+        assert got == want, (vals, got, want)
