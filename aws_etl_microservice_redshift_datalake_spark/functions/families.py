@@ -374,7 +374,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text) AS text_md5,
            sha256(text) AS text_sha256,
            lower(hex(doc_id)) AS id_hex,
-           base64(CAST(substr(text, 1, 16) AS BLOB)) AS head_b64
+           base64(encode(substr(text, 1, 16))) AS head_b64
     FROM documents
     """,
 )

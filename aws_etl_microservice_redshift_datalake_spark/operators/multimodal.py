@@ -68,7 +68,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_meta",
     oracle="""
     SELECT doc_id AS asset_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            CAST(n_chars % 640 + 1 AS INTEGER) AS width,
            CAST((doc_id % 480) * 37 % 480 + 1 AS INTEGER) AS height,
            ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INTEGER)] AS fmt
@@ -95,13 +95,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_decode",
     oracle="""
-    SELECT doc_id AS asset_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
+    -- BYTE-true twin (r7 advtext probe): the kernel reads b[0] and
+    -- sum(b[:8]) over the UTF-8 payload BYTES, so the oracle must too —
+    -- the old ascii(substr(...)) spelling read CODE POINTS, identical on
+    -- ASCII corpora only. Bytes come from hex(encode(text)) two hex chars
+    -- at a time; an empty payload yields 0/0 like the kernel's guards.
+    WITH b AS (
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text)) AS n_bytes,
+               hex(encode(text)) AS h
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT asset_id,
+           n_bytes,
+           CASE WHEN n_bytes >= 1
+                THEN CAST(('0x' || substr(h, 1, 2)) AS INTEGER)
+                ELSE 0 END AS first_byte,
            CAST(list_sum(list_transform(generate_series(1, 8),
-                                        i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_checksum
-    FROM documents
-    WHERE text IS NOT NULL
+                i -> CASE WHEN i <= n_bytes
+                     THEN CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT)
+                     ELSE 0 END)) AS BIGINT) AS head_checksum
+    FROM b
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,13 +160,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id AS asset_id, text AS s
-        FROM documents WHERE text IS NOT NULL AND octet_length(CAST(s AS BLOB)) > 0
+        FROM documents WHERE text IS NOT NULL AND octet_length(encode(s)) > 0
     ),
     f AS (
         SELECT asset_id, s,
                unnest(generate_series(
                    0,
-                   LEAST((octet_length(CAST(s AS BLOB)) + 63) // 64, 8) - 1
+                   LEAST((octet_length(encode(s)) + 63) // 64, 8) - 1
                )) AS frame_idx
         FROM base
     )
@@ -213,7 +228,7 @@ RESIZE_BOX = 256  # fit-within box for the resize kernel
     oracle=f"""
     WITH raw AS (
         SELECT doc_id AS asset_id,
-               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               octet_length(encode(text)) AS n_bytes,
                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
                CAST((doc_id % 480) * 37 % 480 + 1 AS INTEGER) AS height
         FROM documents

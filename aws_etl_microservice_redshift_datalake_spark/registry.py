@@ -300,6 +300,25 @@ _RECHECK_CHANGED: dict[str, int] = {
                                   # cast; round-to-2 is the identity on
                                   # 2-grid balances, clean output
                                   # unchanged).
+    "q_hash_funcs": 6,            # oracle-only (r7 advtext axis-gate probe):
+                                  # VARCHAR->BLOB via encode() — DuckDB's
+                                  # CAST(x AS BLOB) interprets \xHH escapes
+                                  # (throws on a literal '\d+') and rejects
+                                  # ALL non-ASCII text, so the old spelling
+                                  # only worked because the driver corpus
+                                  # is ASCII. byte-identical on ASCII; net
+                                  # window cost ZERO (in-window r2-tail
+                                  # row, the digitsum precedent).
+    "q_multimodal_decode": 6,     # oracle-only: same encode() hop (all
+                                  # FIVE BLOB-cast oracles fixed as one
+                                  # class) PLUS byte-true first_byte/
+                                  # head_checksum via hex(encode(text)) —
+                                  # the kernel reads payload BYTES, the old
+                                  # ascii() spelling read CODE POINTS,
+                                  # identical on ASCII corpora only. Costs
+                                  # one r3 burn-in slot — spent
+                                  # deliberately to retire the whole
+                                  # non-ASCII oracle fragility this round.
     "q_udf_digitsum": 6,          # oracle-only (r7 bigkey axis-gate probe):
                                   # digit-sum expression widened 8 -> 19
                                   # terms so it is exact for every int64

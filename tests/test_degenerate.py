@@ -1817,6 +1817,12 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
     "elemnullvec_sf": _ORACLE_INFEASIBLE_ON_DEGRADED | frozenset({
         "q_pandas_udf_dot", "q_pandas_udaf_centroid",
     }),
+    # the report-population ambiguity measured on bigkey_sf (above) — on
+    # this corpus doc_ids 0..49 only partially overlap the symlinked
+    # embeddings' vec_ids, so the oracle's INNER-join population diverges
+    # from the Spark side's all-embeddings report the same way
+    "advtext_sf": frozenset({"q_semdedup"}),
+    "alldup_sf": frozenset(),
     "tiny_sf": frozenset(),
     # empty-corpus engine divergences (a stray all-filtered partition on a
     # real lake): Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows on empty
@@ -1841,6 +1847,17 @@ _AXIS_FAMILIES: dict[str, list] = {
     "advkeys_sf": _KEYS_FAMILY,
     "advdimstr_sf": _DIMSTR_FAMILY,
     "elemnullvec_sf": _VECTOR_FAMILY,
+    # crawl-grade text (not composed into degmixed, which degrades
+    # documents via the null-payload recipe instead) and the dedup-family
+    # complete-graph worst case
+    "advtext_sf": sorted(
+        n for n, s in engine.all_oracles().items() if "documents" in s
+    ),
+    "alldup_sf": sorted(
+        n
+        for n, s in engine.all_oracles().items()
+        if "documents" in s or "embeddings" in s
+    ),
     # stray-partition shapes: the crash sweeps prove the Spark side
     # EXECUTES on 1-row and 0-row corpora; these prove both engines also
     # AGREE there (global aggs on zero rows, empty-group semantics)
