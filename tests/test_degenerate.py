@@ -1875,8 +1875,8 @@ _AXIS_GATE_PARAMS = [
 
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_TWIN_GATE") != "1",
-    reason="per-axis twin gates: ~10 min; run explicitly with "
-    "SPARK_GRAFT_TWIN_GATE=1 (the per-contract pins above always run)",
+    reason="per-axis twin gates: ~30 min (advtext dominates); run explicitly "
+    "with SPARK_GRAFT_TWIN_GATE=1 (the per-contract pins above always run)",
 )
 @pytest.mark.parametrize(
     "fixture,name", _AXIS_GATE_PARAMS, ids=[f"{f}-{n}" for f, n in _AXIS_GATE_PARAMS]
