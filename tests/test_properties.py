@@ -918,3 +918,47 @@ def test_exact_sum_twin_money_max_boundary(spark, duck):
             f"SELECT {o_exact_sum('x', 2)} AS s {_duck_from(vals)}"
         ).fetchone()[0]
         assert got == want, (vals, got, want)
+
+
+@given(
+    cents=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=15),
+    ulps=st.lists(st.integers(-3, 3), min_size=1, max_size=15),
+    scale=st.sampled_from([0, 1, 2, 4]),
+)
+@settings(**_SETTINGS)
+def test_rnd_twin_property(spark, duck, cents, ulps, scale):
+    """registry.rnd's whole premise — 'both engines' round(x, s) return the
+    double nearest to k/10^s' — checked directly: an on-grid money double
+    perturbed by a few ULPs (exactly the addition-order noise rnd exists
+    to kill) must round to the SAME double in Spark and DuckDB, and
+    NaN/±Inf must pass through identically (rnd is deliberately
+    unguarded)."""
+    import math
+
+    def nudge(v: float, u: int) -> float:
+        for _ in range(abs(u)):
+            v = math.nextafter(v, math.copysign(float("inf"), u))
+        return v
+
+    vals = [nudge(c / 10**scale, u) for c, u in zip(cents, ulps)] + [
+        float("nan"), float("inf"), float("-inf"), 1e308,
+    ]
+    from aws_etl_microservice_redshift_datalake_spark.registry import rnd
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = {
+        r.i: r.v
+        for r in df.select("i", rnd(F.col("x"), scale).alias("v")).collect()
+    }
+    sql = (
+        f"SELECT ROW_NUMBER() OVER () - 1 AS i, ROUND(x, {scale}) AS v "
+        f"{_duck_from(vals)}"
+    )
+    want = {int(i): v for i, v in duck.execute(sql).fetchall()}
+    assert len(got) == len(want)
+    for i in got:
+        g, w = got[i], want[i]
+        same = g == w or (g != g and w != w)  # NaN == NaN for this check
+        assert same, (i, vals[i], g, w)
