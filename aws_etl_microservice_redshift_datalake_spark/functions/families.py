@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, QTY_MAX, query
+from ..registry import MONEY_MAX, QTY_MAX, guarded_bigint, o_guarded_bigint, query
 from ..sources.io import load_table
 
 
@@ -446,11 +446,12 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_try_funcs",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
            l_extendedprice / NULLIF(l_quantity - 1.0, 0.0) AS unit_price_m1,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
+                THEN CAST(l_quantity AS INTEGER) END AS qty_int,
            TRY_CAST(substr(l_returnflag, 1, 0) AS DOUBLE) AS empty_as_double
     FROM lineitem
     WHERE l_orderkey < 50
@@ -463,8 +464,17 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_cast('A' as int) → NULL, try_divide(x, 0) → NULL, an
     overflow-guarded int narrowing, and a cast of an empty string — each
     oracled against DuckDB's TRY_CAST / NULLIF-div equivalents. Row-local,
-    codegen, pushdown-safe."""
+    codegen, pushdown-safe.
+
+    qty_int carries the QTY_MAX BETWEEN guard in BOTH twins (r8 degmoney
+    wave): Spark's try_cast(1e308 AS INT) nulls, but DuckDB's TRY_CAST
+    still THROWS on an out-of-range double→INT (and on NaN), so TRY_CAST
+    alone is not a safe mirror — the guard nulls non-conforming values
+    before either engine's cast runs (QTY_MAX < 2^31, so guarded values
+    can never overflow INT). The Spark side keeps try_cast underneath:
+    that is the operator under test."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    qty = F.col("l_quantity")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -472,7 +482,9 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - F.lit(1.0)
         ).alias("unit_price_m1"),
-        F.col("l_quantity").try_cast("integer").alias("qty_int"),
+        F.when(qty.between(-QTY_MAX, QTY_MAX), qty)
+        .try_cast("integer")
+        .alias("qty_int"),
         F.substring("l_returnflag", 1, 0).try_cast("double").alias(
             "empty_as_double"
         ),
@@ -483,12 +495,9 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bitwise_aggs",
     oracle=f"""
     SELECT l_returnflag,
-           BIT_AND(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                        THEN CAST(l_quantity AS BIGINT) END) AS qty_and,
-           BIT_OR(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                       THEN CAST(l_quantity AS BIGINT) END) AS qty_or,
-           BIT_XOR(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                        THEN CAST(l_quantity AS BIGINT) END) AS qty_xor,
+           BIT_AND({o_guarded_bigint("l_quantity")}) AS qty_and,
+           BIT_OR({o_guarded_bigint("l_quantity")}) AS qty_or,
+           BIT_XOR({o_guarded_bigint("l_quantity")}) AS qty_xor,
            BIT_OR(1 << (l_linenumber % 7)) AS line_mask
     FROM lineitem
     GROUP BY l_returnflag
@@ -505,8 +514,7 @@ def q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract per column suite-wide); bit-aggs skip the resulting NULLs
     identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity")
-    q = F.when(qty.between(-QTY_MAX, QTY_MAX), qty).cast("bigint")
+    q = guarded_bigint(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
         F.bit_and(q).alias("qty_and"),
         F.bit_or(q).alias("qty_or"),

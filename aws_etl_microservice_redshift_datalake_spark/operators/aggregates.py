@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import QTY_MAX, exact_sum, o_exact_sum, query, rnd
+from ..registry import (
+    QTY_MAX,
+    exact_sum,
+    money_col,
+    o_exact_sum,
+    o_money_col,
+    query,
+    rnd,
+)
 from ..sources.io import load_table
 
 
@@ -140,18 +148,24 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_stats",
-    oracle="""
+    oracle=f"""
+    WITH li AS (
+        SELECT l_returnflag,
+               {o_money_col("l_extendedprice")} AS price,
+               {o_money_col("l_quantity", QTY_MAX)} AS qty
+        FROM lineitem
+    )
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
-           ROUND(stddev_pop(l_extendedprice), 4)  AS sdp_price,
-           ROUND(var_samp(l_quantity), 4)         AS var_qty,
-           CASE WHEN stddev_samp(l_quantity) * stddev_samp(l_extendedprice) <> 0
-                THEN ROUND(covar_samp(l_quantity, l_extendedprice)
-                           / (stddev_samp(l_quantity)
-                              * stddev_samp(l_extendedprice)), 6)
+           ROUND(stddev_samp(price), 4) AS sd_price,
+           ROUND(stddev_pop(price), 4)  AS sdp_price,
+           ROUND(var_samp(qty), 4)      AS var_qty,
+           CASE WHEN stddev_samp(qty) * stddev_samp(price) <> 0
+                THEN ROUND(covar_samp(qty, price)
+                           / (stddev_samp(qty)
+                              * stddev_samp(price)), 6)
            END AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
-    FROM lineitem
+           ROUND(covar_samp(qty, price), 4) AS cov_qty_price
+    FROM li
     GROUP BY l_returnflag
     """,
 )
@@ -170,31 +184,49 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero variance, matching the guard). The guard tests the PRODUCT sx·sy —
     the actual divisor — not the factors: two denormal-small stddevs can
     each be nonzero while their product underflows to exactly 0.0 (r6
-    review)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sx = F.stddev_samp("l_quantity")
-    sy = F.stddev_samp("l_extendedprice")
-    cov = F.covar_samp("l_quantity", "l_extendedprice")
+    review).
+
+    Inputs carry the MONEY_MAX/QTY_MAX conformance guard in both twins
+    (r8 degmoney wave): a single ±1e308 price otherwise overflows the
+    variance accumulator — DuckDB's STDDEV_SAMP THROWS Out of Range, and
+    a NaN poisons every moment — so non-conforming values null out and
+    the moment aggregates skip them identically. covar pairs drop when
+    EITHER side is non-conforming (NULL-pair semantics, both engines).
+    No-op on clean money."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        money_col(F.col("l_extendedprice")).alias("price"),
+        money_col(F.col("l_quantity"), QTY_MAX).alias("qty"),
+    )
+    sx = F.stddev_samp("qty")
+    sy = F.stddev_samp("price")
+    cov = F.covar_samp("qty", "price")
     return li.groupBy("l_returnflag").agg(
-        rnd(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        rnd(F.stddev_pop("l_extendedprice"), 4).alias("sdp_price"),
-        rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        rnd(F.stddev_samp("price"), 4).alias("sd_price"),
+        rnd(F.stddev_pop("price"), 4).alias("sdp_price"),
+        rnd(F.var_samp("qty"), 4).alias("var_qty"),
         F.when((sx * sy) != 0, rnd(cov / (sx * sy), 6)).alias(
             "corr_qty_price"
         ),
-        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        rnd(F.covar_samp("qty", "price"), 4).alias("cov_qty_price"),
     )
 
 
 @query(
     "q_agg_percentile",
-    oracle="""
+    oracle=f"""
+    WITH li AS (
+        SELECT l_returnflag,
+               {o_money_col("l_extendedprice")} AS price,
+               {o_money_col("l_quantity", QTY_MAX)} AS qty
+        FROM lineitem
+    )
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.5), 4)       AS median_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
-           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price,
-           ROUND(median(l_quantity), 4) AS med2_qty
-    FROM lineitem
+           ROUND(quantile_cont(qty, 0.5), 4)   AS median_qty,
+           ROUND(quantile_cont(price, 0.25), 4) AS p25_price,
+           ROUND(quantile_cont(price, 0.90), 4) AS p90_price,
+           ROUND(median(qty), 4) AS med2_qty
+    FROM li
     GROUP BY l_returnflag
     """,
 )
@@ -202,13 +234,24 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: exact PERCENTILE_CONT / median (linear interpolation).
 
     Exact percentiles buffer each group — fine for oracle-checked small-sf
-    runs; the at-scale variant is q_agg_approx_pct (quantile sketch)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    runs; the at-scale variant is q_agg_approx_pct (quantile sketch).
+
+    Inputs carry the MONEY_MAX/QTY_MAX conformance guard in both twins
+    (r8 degmoney wave): both aggregates skip NULL, but the engines treat
+    raw NaN DIFFERENTLY (DuckDB quantile feeds NaN through the sort —
+    NaN results; Spark percentile excludes it), and a ±1e308 sentinel
+    shifts every rank. The guard nulls all non-conforming values so both
+    engines rank the same multiset. No-op on clean money."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        money_col(F.col("l_extendedprice")).alias("price"),
+        money_col(F.col("l_quantity"), QTY_MAX).alias("qty"),
+    )
     return li.groupBy("l_returnflag").agg(
-        rnd(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
-        rnd(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
-        rnd(F.percentile("l_extendedprice", 0.90), 4).alias("p90_price"),
-        rnd(F.median("l_quantity"), 4).alias("med2_qty"),
+        rnd(F.percentile("qty", 0.5), 4).alias("median_qty"),
+        rnd(F.percentile("price", 0.25), 4).alias("p25_price"),
+        rnd(F.percentile("price", 0.90), 4).alias("p90_price"),
+        rnd(F.median("qty"), 4).alias("med2_qty"),
     )
 
 

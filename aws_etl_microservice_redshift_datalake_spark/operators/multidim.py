@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import o_exact_sum, query, rnd, s_exact_sum
 from ..sources.io import load_table, register_all
 
 
@@ -90,9 +90,9 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0::DOUBLE - l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+           {o_exact_sum("l_extendedprice * (1.0::DOUBLE - l_discount)", 4)} AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -112,9 +112,9 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey breaks ties."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT l_orderkey,
-               CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0D - l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+               {s_exact_sum("l_extendedprice * (1.0D - l_discount)", 4)} AS revenue,
                o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -131,9 +131,9 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1.0::DOUBLE - l.l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+           {o_exact_sum("l.l_extendedprice * (1.0::DOUBLE - l.l_discount)", 4)} AS revenue,
            COUNT(*) AS n_items
     FROM customer c, orders o, lineitem l, nation n
     WHERE c.c_custkey = o.o_custkey
@@ -154,9 +154,9 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded before ORDER BY for a deterministic top-20 (custkey ties)."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-               CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1.0D - l.l_discount), 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+               {s_exact_sum("l.l_extendedprice * (1.0D - l.l_discount)", 4)} AS revenue,
                COUNT(*) AS n_items
         FROM customer c, orders o, lineitem l, nation n
         WHERE c.c_custkey = o.o_custkey

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, QTY_MAX, query
+from ..registry import MONEY_MAX, QTY_MAX, guarded_bigint, o_guarded_bigint, query
 from ..sources.io import load_table
 
 
@@ -133,8 +133,7 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cast",
     oracle=f"""
     SELECT l_orderkey,
-           CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                THEN CAST(l_quantity AS BIGINT) END AS qty_int,
+           {o_guarded_bigint("l_quantity")} AS qty_int,
            CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_orderkey AS VARCHAR) AS okey_str,
            CAST(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f}
@@ -161,9 +160,7 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     return li.select(
         "l_orderkey",
-        F.when(qty.between(-QTY_MAX, QTY_MAX), qty)
-        .cast("bigint")
-        .alias("qty_int"),
+        guarded_bigint(qty).alias("qty_int"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_orderkey").cast("string").alias("okey_str"),
         F.when(price.between(-MONEY_MAX, MONEY_MAX), price)

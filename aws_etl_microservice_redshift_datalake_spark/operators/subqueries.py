@@ -39,7 +39,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import MONEY_MAX, QTY_MAX, dec, exact_sum, o_dec, o_exact_sum, query
+from ..registry import (
+    dec,
+    exact_sum,
+    guarded_bigint,
+    o_dec,
+    o_exact_sum,
+    o_guarded_bigint,
+    o_money_col,
+    query,
+    s_exact_sum,
+)
 from ..sources.io import load_table, register_all
 
 # "Very late" shipment: >1800 days after the order date (~p95 of the fixture's
@@ -150,14 +160,12 @@ def q_subq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_subq_in_agg",
     oracle=f"""
     SELECT c_name, o_orderkey, o_orderdate,
-           CAST(SUM(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                         THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS total_qty
+           CAST(SUM({o_guarded_bigint("l_quantity")}) AS BIGINT) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                        THEN CAST(l_quantity AS BIGINT) END) > 250
+        HAVING SUM({o_guarded_bigint("l_quantity")}) > 250
       )
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, o_orderkey, o_orderdate
@@ -174,9 +182,8 @@ def q_subq_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrowing carries the QTY_MAX guard (r7 extreme-money sweep: ANSI
     CAST_OVERFLOW on a 1e308 sentinel; the tighter quantity bound also
     keeps the per-order bigint SUM overflow-free at any line count)."""
-    qty = F.col("l_quantity")
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "qty", F.when(qty.between(-QTY_MAX, QTY_MAX), qty).cast("bigint")
+        "qty", guarded_bigint(F.col("l_quantity"))
     )
     big = li.groupBy("l_orderkey").agg(F.sum("qty").alias("tq")).filter(F.col("tq") > 250)
     o = load_table(spark, sf_dir, "orders").join(
@@ -233,8 +240,7 @@ def q_subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pa AS (
         SELECT l_partkey AS pk,
-               SUM(CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-                        THEN CAST(l_quantity AS BIGINT) END) AS sq,
+               SUM({o_guarded_bigint("l_quantity")}) AS sq,
                COUNT(*) AS nq
         FROM lineitem GROUP BY l_partkey
     )
@@ -243,8 +249,7 @@ def q_subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem, part, pa
     WHERE p_partkey = l_partkey AND pa.pk = l_partkey
       AND p_type = 'SMALL'
-      AND CASE WHEN l_quantity BETWEEN -{QTY_MAX:.0f} AND {QTY_MAX:.0f}
-               THEN CAST(l_quantity AS BIGINT) END * 5 * pa.nq < pa.sq
+      AND {o_guarded_bigint("l_quantity")} * 5 * pa.nq < pa.sq
     """,
 )
 def q_subq_scalar_corr_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,9 +264,8 @@ def q_subq_scalar_corr_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel; the tight bound also keeps ``qty·5·nq`` and the per-part SUM
     overflow-free at any line count) — a NULL qty row then drops from the
     filter in both engines, exactly like the NULL comparison semantics."""
-    qraw = F.col("l_quantity")
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "qty", F.when(qraw.between(-QTY_MAX, QTY_MAX), qraw).cast("bigint")
+        "qty", guarded_bigint(F.col("l_quantity"))
     )
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("nq")
@@ -345,7 +349,7 @@ def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH rev AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_revenue
+                   {s_exact_sum(_REV4_S, 4)} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -481,8 +485,8 @@ def q_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN den <> 0 THEN 100.0D * num / den END AS promo_pct,
                n_lines
         FROM (
-            SELECT CAST(ROUND(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO' THEN {_REV4_S} ELSE 0.0D END, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS num,
-                   CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS den,
+            SELECT {s_exact_sum(f"CASE WHEN p_type = 'PROMO' THEN {_REV4_S} ELSE 0.0D END", 4)} AS num,
+                   {s_exact_sum(_REV4_S, 4)} AS den,
                    COUNT(*) AS n_lines
             FROM lineitem, part
             WHERE l_partkey = p_partkey
@@ -516,7 +520,7 @@ def q_sql_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+        SELECT {s_exact_sum(_REV4_S, 4)} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem, part
         WHERE p_partkey = l_partkey
@@ -532,8 +536,8 @@ def q_sql_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_discount_revenue",
-    oracle="""
-    SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {o_exact_sum("l_extendedprice * l_discount", 4)} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -550,8 +554,8 @@ def q_sql_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal sum."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
-        SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+        f"""
+        SELECT {s_exact_sum("l_extendedprice * l_discount", 4)} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -593,7 +597,7 @@ def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT r2.r_name AS cust_region,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+               {s_exact_sum(_REV4_S, 4)} AS revenue
         FROM supplier, lineitem, orders, customer,
              nation n1, nation n2, region r1, region r2
         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -655,8 +659,8 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN den <> 0 THEN num / den END AS mkt_share
         FROM (
             SELECT o_year,
-                   CAST(ROUND(SUM(CAST(ROUND(CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0.0D END, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS num,
-                   CAST(ROUND(SUM(CAST(ROUND(volume, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS den
+                   {s_exact_sum("CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0.0D END", 4)} AS num,
+                   {s_exact_sum("volume", 4)} AS den
             FROM (
                 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                        {_REV4_S} AS volume,
@@ -710,7 +714,7 @@ def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
-               CAST(ROUND(SUM(CAST(ROUND({_PROFIT_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS profit
+               {s_exact_sum(_PROFIT_S, 4)} AS profit
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
           AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -725,11 +729,11 @@ def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_value_concentration",
     oracle=f"""
     SELECT l_suppkey,
-           CAST(SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
+           CAST(SUM({o_dec("l_extendedprice", 2, 27)}) AS DOUBLE) AS supp_value
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
-         > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105::DOUBLE
+    HAVING SUM({o_dec("l_extendedprice", 2, 27)})
+         > (SELECT SUM({o_dec("l_extendedprice", 2, 27)}) * 0.0105::DOUBLE
             FROM lineitem)
     ORDER BY supp_value DESC, l_suppkey ASC
     """,
@@ -750,11 +754,11 @@ def q_sql_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT l_suppkey,
-               CAST(SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) AS DOUBLE) AS supp_value
+               CAST(SUM({o_dec("l_extendedprice", 2, 27)}) AS DOUBLE) AS supp_value
         FROM lineitem
         GROUP BY l_suppkey
-        HAVING SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END)
-             > (SELECT SUM(CASE WHEN l_extendedprice BETWEEN -{MONEY_MAX:.0f} AND {MONEY_MAX:.0f} THEN CAST(ROUND(l_extendedprice, 2) AS DECIMAL(27,2)) END) * 0.0105D
+        HAVING SUM({o_dec("l_extendedprice", 2, 27)})
+             > (SELECT SUM({o_dec("l_extendedprice", 2, 27)}) * 0.0105D
                 FROM lineitem)
         ORDER BY supp_value DESC, l_suppkey ASC
         """
@@ -796,7 +800,7 @@ def q_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT n_name,
-               CAST(ROUND(SUM(CAST(ROUND({_REV4_S}, 4) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+               {s_exact_sum(_REV4_S, 4)} AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -865,7 +869,7 @@ def q_sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_recursive_spine",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE months(m) AS (
         SELECT DATE '1995-01-01'
         UNION ALL
@@ -874,7 +878,7 @@ def q_sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m AS month,
            COUNT(o_orderkey) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) AS total_price
     FROM months
     LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
     GROUP BY m
@@ -892,11 +896,13 @@ def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     side iteration over 80 levels, each a trivial localRelation step — the
     corpus is NOT in the recursion); the fact table joins once, hashed on
     the month key. Money sum is a raw 2-decimal column — plain ROUND is
-    exact (registry rnd contract); empty months yield NULL sums on both
-    engines identically."""
+    exact (registry rnd contract) under the MONEY_MAX conformance guard
+    (r8 degmoney wave: one ±1e308/NaN price otherwise poisons the whole
+    month's fold, differently per engine); empty months yield NULL sums on
+    both engines identically."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE months(m) AS (
             SELECT DATE '1995-01-01'
             UNION ALL
@@ -905,7 +911,7 @@ def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT m AS month,
                COUNT(o_orderkey) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               ROUND(SUM({o_money_col("o_totalprice")}), 2) AS total_price
         FROM months
         LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
         GROUP BY m

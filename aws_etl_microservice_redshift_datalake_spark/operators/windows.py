@@ -19,9 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from ..registry import query, rnd
+from ..registry import dec, money_col, o_dec, o_money_col, query, rnd
 from ..sources.io import load_table
 
 
@@ -140,9 +139,9 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_running",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+           ROUND(SUM({o_money_col("value")}) OVER (PARTITION BY user_id ORDER BY event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
@@ -151,7 +150,13 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: running total (cumulative frame). The double sum is rounded at the
-    data's 2-decimal grid: engines accumulate in different orders internally."""
+    data's 2-decimal grid: engines accumulate in different orders internally.
+    The summed value carries the MONEY_MAX conformance guard in both twins
+    (r8 degmoney wave): one NaN/±Inf/±1e308 measurement otherwise poisons
+    every subsequent running value in the partition — and does so
+    DIFFERENTLY per engine once the fold order differs. Non-conforming
+    rows null out and SUM skips them identically; running_n still counts
+    every row, so the report shows where values were excluded."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -161,7 +166,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        rnd(F.sum("value").over(w)).alias("running_value"),
+        rnd(F.sum(money_col(F.col("value"))).over(w)).alias("running_value"),
         F.count(F.lit(1)).over(w).alias("running_n"),
     )
 
@@ -277,11 +282,10 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_supplier_pareto",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT l_suppkey AS suppkey,
-               SUM(CAST(ROUND(l_extendedprice * (1.0::DOUBLE - l_discount), 4)
-                        AS DECIMAL(27,4))) AS r
+               SUM({o_dec("l_extendedprice * (1.0::DOUBLE - l_discount)", 4, 27)}) AS r
         FROM lineitem GROUP BY l_suppkey
     ), c AS (
         SELECT suppkey, r,
@@ -305,8 +309,11 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which suppliers carry 80% of revenue): revenue ranked descending with
     a running cumulative share and an in-top-80% flag.
 
-    Float discipline: per-supplier revenue is the exact_sum DECIMAL (grid
-    4) and stays DECIMAL through the ordering, the running window SUM, and
+    Float discipline: per-supplier revenue is the MONEY_MAX-guarded
+    registry.dec DECIMAL (grid 4 — r8 degmoney wave: one ±1e308 price
+    otherwise throws the decimal hop corpus-wide under ANSI; a no-op on
+    clean 2-grid money) and stays DECIMAL through the ordering, the
+    running window SUM, and
     the 80% test — which is the INTEGER-decimal comparison cum·10 ≤ tot·8,
     exact on both engines even when a supplier lands precisely on the
     boundary. Doubles appear only in display columns (exact decimal→double
@@ -319,9 +326,7 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_top80 integer-decimal test needs no guard (0 <= 0 is just true)."""
     li = load_table(spark, sf_dir, "lineitem")
     r = F.sum(
-        F.round(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-        ).cast(T.DecimalType(27, 4))
+        dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4, 27)
     )
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(r.alias("r"))
     w = (

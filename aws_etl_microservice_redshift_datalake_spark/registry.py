@@ -179,196 +179,45 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 # green in CORRECTNESS_r06 on the changed code (VERDICT r6 §3), so their
 # entries expired and are pruned.
 _RECHECK_CHANGED: dict[str, int] = {
-    # r7 changes land before the r7 driver run, so they are recorded at 6
-    # (a round-7 green verifies them). NOT re-entered despite r7 changes:
-    # rows-only vector twins sharing changed helpers keep their pytest
-    # recall floors as the binding check (r5/r6 precedent) — a rows-only
-    # re-row adds no hash signal and would displace a burn-in slot.
-    "q_cosine_neardup": 6,        # ADVICE r6: degraded rows (NULL/ragged/
-                                  # NaN/zero-norm) filtered BEFORE LSH
-                                  # bucketing so they can't form an O(m²·L)
-                                  # bucket-0 clique. The exclusion is a
-                                  # CONTRACT mirrored in the oracle's t CTE
-                                  # (r7 review: NaN >= 0.8 is TRUE in both
-                                  # engines, so NaN rows could otherwise
-                                  # reach the output; r7 full-round review:
-                                  # ±Inf elements dot to NaN, excluded by
-                                  # the same contract); identical on clean
-                                  # corpora, twin-tested on the degraded
-                                  # one (test_degenerate.py).
-    "q_value_histogram": 6,       # ADVICE r6: lo/hi now MIN/MAX over the
-                                  # same finite in_range guard as the
-                                  # buckets, in both twins — no raw NaN/Inf
-                                  # can reach the NULL-bucket stats row.
-    "q_multimodal_frames": 6,     # PROMOTED rows-only -> full hash oracle
-                                  # (VERDICT r6 #6): substring+md5 twin;
-                                  # NULL payloads now drop JVM-side (r7
-                                  # review: F.least SKIPS nulls, so a NULL
-                                  # payload exploded to 8 all-NULL frames
-                                  # where the oracle emits none); r7
-                                  # full-round review: frame count is now
-                                  # ceil(L/64) capped at 8 in both twins —
-                                  # the floor(L/64)+1 spelling emitted a
-                                  # phantom empty trailing frame when
-                                  # 64 | L, and empty payloads now emit
-                                  # zero frames like NULL ones.
-    # ---- r7 degraded-twin gate (tests/test_degenerate.py twin sweeps):
-    # running the FULL oracle-compare on the degraded corpora (not just the
-    # crash sweeps) found one real quadratic-output bug and a set of
-    # twin-contract divergences. Every query whose own body/oracle changed
-    # re-enters; q_ngram_jaccard / q_dedup_clusters / q_training_pipeline
-    # are pure downstream consumers of the SAME changed shingle relation
-    # and own no changed code — q_dedup_minhash_pairs' rank-0 row verifies
-    # the shared builder (the r6 CC-reliable precedent). The 8 other
-    # stream queries' _source_dir change is gated behind os.path.isdir,
-    # provably inert on the driver's single-file corpus — not re-entered.
-    "q_dedup_minhash_pairs": 6,   # NULL-text docs excluded from shingling:
-                                  # concat_ws never returns NULL, so every
-                                  # null doc shared the '' shingle and m
-                                  # null docs emitted C(m,2) J=1 'pairs' —
-                                  # a quadratic OUTPUT blowup on any real
-                                  # crawl (31,137 garbage pairs from 250
-                                  # null docs at sf0.001).
-    "q_decontaminate_ngram": 6,   # same concat_ws flaw: null train docs
-                                  # 'contaminated' every null test doc.
-    "q_lang_id": 6,               # NULL-lang lexicon excluded from the fit
-                                  # in both twins (Spark sorts NULL first
-                                  # on ASC tie-breaks, DuckDB last).
-    "q_mixture_sample": 6,        # NULL-lang docs excluded in both twins
-                                  # (the NULL group survives GROUP BY but
-                                  # can never equi-join the rate table).
-    "q_time_gapfill": 6,          # NULL measurement = no observation, both
-                                  # twins (DuckDB arg_max ignores NULLs,
-                                  # Spark max_by returns them); r7 review:
-                                  # non-finite excluded too (one NaN or
-                                  # ±Inf reading must not poison the LOCF
-                                  # chain — isfinite both twins, matching
-                                  # q_stream_stateful's contract).
-    "q_dq_fk_orphans": 6,         # NULL FK = missing value, not orphan —
-                                  # anti-join now filters ckey IS NOT NULL
-                                  # to match the oracle's NOT IN semantics.
-    # ---- r7 stats-axis sweep (degraded n_chars corpus — 4 real crashes on
-    # first probe): ANSI SUM(bigint) THROWS on a Long.MAX sentinel row
-    # while DuckDB's int128 SUM diverges past it, and a NULL-derived width
-    # passed both engines' NULL-skipping greatest() into the Arrow kernel.
-    # All four carry the sanitize-or-exclude contract mirrored in both
-    # twins (registry.N_CHARS_MAX), output-identical on clean corpora and
-    # twin-pinned on the degraded one (test_degenerate.py degstats_sf).
-    "q_text_stats": 6,            # char sums over the sanitized column;
-                                  # counts/audit still see every row.
-    "q_train_test_split": 6,      # split membership keeps all docs, the
-                                  # char total sums sanitized only.
-    "q_quality_quartile": 6,      # non-conforming scores excluded before
-                                  # the quantile and the sum.
-    "q_multimodal_resize": 6,     # NULL/negative dims drop JVM-side before
-                                  # Python, mirrored oracle conformance CTE;
-                                  # also the mod-first height rewrite below.
-    "q_multimodal_meta": 6,       # height = (doc_id % 480) * 37 % 480 + 1
-                                  # in both twins — mod-homomorphic
-                                  # (bit-identical for every id) but
-                                  # overflow-proof: ANSI doc_id * 37 THROWS
-                                  # on snowflake-scale ids (> 2.5e17), in
-                                  # DuckDB too (r7 snowflake-keys sweep).
-    # ---- r7 extreme-money sweep (±1e308/±Inf/NaN/NULL prices+quantities —
-    # 8 real crashes on first probe): ANSI narrowing casts THROW on finite
-    # absurd doubles (CAST_OVERFLOW to BIGINT/INT, NUMERIC_VALUE_OUT_OF_RANGE
-    # to DECIMAL) while DuckDB's TRY_CAST still throws on NaN→DECIMAL, so
-    # the mirrored contract is a MONEY_MAX/QTY_MAX BETWEEN guard (NaN and
-    # ±Inf fail it in both engines) nulling non-conforming rows into
-    # NULL-skipping aggregates. exact_sum/o_exact_sum/dec/o_dec are hardened
-    # at the HELPER level — q_subq_scalar_corr_avg's rank-0 row verifies the
-    # shared helpers for every o_exact_sum consumer (the r6 shared-builder
-    # precedent). The ~9 q_sql_* twins that spell the exact-sum decimal
-    # pattern INLINE are queued as the FIRST r8 batch (replace the inline
-    # spellings with the hardened helper; each edit costs a recheck slot —
-    # adding them now would break the r7 burn-in floor).
-    "q_cast": 6,                  # qty/price narrowing guarded both twins.
-    "q_decimal_money": 6,         # decimal hop guarded both twins.
-    "q_bitwise_aggs": 6,          # qty narrowing guarded; bit-aggs skip NULL.
-    "q_agg_collect": 6,           # qty domain guarded; collect_set drops
-                                  # NULL = array_to_string skips NULL.
-    "q_subq_in_agg": 6,           # QTY_MAX-guarded sums (also overflow-free
-                                  # at any line count).
-    "q_subq_scalar_corr_avg": 6,  # QTY_MAX-guarded pa CTE + cross-multiplied
-                                  # filter; also verifies the hardened
-                                  # exact_sum/o_exact_sum helpers.
-    "q_sql_value_concentration": 6,  # MONEY_MAX-guarded decimal hops in all
-                                  # three spots, both twins.
-    "q_subq_not_exists": 6,       # c_acctbal decimal hop through the
-                                  # hardened dec/o_dec helpers (a 1e308
-                                  # balance threw the raw DECIMAL(14,2)
-                                  # cast; round-to-2 is the identity on
-                                  # 2-grid balances, clean output
-                                  # unchanged).
-    "q_hash_funcs": 6,            # oracle-only (r7 advtext axis-gate probe):
-                                  # VARCHAR->BLOB via encode() — DuckDB's
-                                  # CAST(x AS BLOB) interprets \xHH escapes
-                                  # (throws on a literal '\d+') and rejects
-                                  # ALL non-ASCII text, so the old spelling
-                                  # only worked because the driver corpus
-                                  # is ASCII. byte-identical on ASCII; net
-                                  # window cost ZERO (in-window r2-tail
-                                  # row, the digitsum precedent).
-    "q_multimodal_decode": 6,     # oracle-only: same encode() hop (all
-                                  # FIVE BLOB-cast oracles fixed as one
-                                  # class) PLUS byte-true first_byte/
-                                  # head_checksum via hex(encode(text)) —
-                                  # the kernel reads payload BYTES, the old
-                                  # ascii() spelling read CODE POINTS,
-                                  # identical on ASCII corpora only. Costs
-                                  # one r3 burn-in slot — spent
-                                  # deliberately to retire the whole
-                                  # non-ASCII oracle fragility this round.
-    "q_udf_digitsum": 6,          # oracle-only (r7 bigkey axis-gate probe):
-                                  # digit-sum expression widened 8 -> 19
-                                  # terms so it is exact for every int64
-                                  # key, not just the driver corpus's
-                                  # short ids; Spark side untouched, clean
-                                  # output identical (high terms are 0).
-                                  # Net window cost ZERO: this query was
-                                  # already in-window as an r2-tail
-                                  # burn-in row.
-    "q_fuzzy_join": 6,            # r7 adversarial dimension-string probe:
-                                  # name-length conformance (<= 1000,
-                                  # mirrored oracle conf CTE) + threshold
-                                  # levenshtein — 10k-char garbage names
-                                  # shared one degenerate block at ~14 ms
-                                  # per banded DP pair (84 s on 1.5k rows,
-                                  # an executor-staller class). Clean
-                                  # output identical (real names are ~18
-                                  # chars).
-    "q_json_funcs": 6,            # json_valid oracle guard (DuckDB throws
-                                  # on malformed JSON) + roundtrip NULL-k
-                                  # guard in both twins (Spark omits null
-                                  # struct fields, DuckDB serializes them);
-                                  # r7 review: integer-format regex before
-                                  # the ANSI cast (valid-but-non-integer k
-                                  # killed the stage; DuckDB CAST rounds
-                                  # '1.5' to 2) — one grammar, both twins;
-                                  # r7 full-round review: \z anchor (Java $
-                                  # matches before a trailing newline,
-                                  # RE2's does not).
-    "q_math_funcs": 6,            # oracle-only: ln/log10 > 0 CASE guards
-                                  # (DuckDB throws Out of Range on 0 where
-                                  # Spark returns NULL); Spark unchanged.
-    "q_ingest_csv_roundtrip": 6,  # oracle-only: NULLIF('') models the CSV
-                                  # channel's NULL-vs-'' conflation
-                                  # (Redshift NULL AS '' semantics).
-    "q_pandas_udf_dot": 6,        # oracle-only isnan->NULL mirror: pyarrow
-                                  # from_pandas renders the kernel's NaN
-                                  # dot as SQL NULL, list_inner_product
-                                  # renders it NaN (r7 review, caught by
-                                  # the Arrow NaN-profile gate; inert on
-                                  # finite corpora like the driver's).
-    "q_pandas_udaf_centroid": 6,  # same NaN->NULL mirror for the numpy
-                                  # group-mean centroid dimensions.
-    "q_stream_stateful": 6,       # non-finite measurements are missing by
-                                  # contract in BOTH twins (Arrow erases
-                                  # SQL NULL/NaN before the pandas kernel;
-                                  # r7 review: inf + -inf made the kernel
-                                  # sum NaN -> pyarrow rendered it NULL
-                                  # while SQL SUM rendered NaN — caught by
-                                  # the new Arrow NaN-profile gate).
+    # r8 changes land before the r8 driver run, so they are recorded at 7
+    # (a round-8 green verifies them). All r7 entries (recorded at 6) were
+    # verified green in CORRECTNESS_r07 on the changed code, so they
+    # expired and are pruned.
+    #
+    # --- r8 degmoney wave (VERDICT r7 #1/#2; SURVEY r8 kickoff rows 1-2):
+    # the q_sql_* Spark-side bodies spelled the exact-sum decimal hop
+    # inline WITHOUT the MONEY_MAX guard (the oracles were already
+    # hardened in r7) — migrated to registry.s_exact_sum; identical
+    # output on clean money (the guard is a no-op when every row
+    # conforms), crash-proof on a degraded lake.
+    "q_sql_top_supplier": 7,
+    "q_sql_promo_revenue": 7,
+    "q_sql_disjunctive_pred": 7,
+    "q_sql_discount_revenue": 7,   # oracle side migrated to o_exact_sum too
+    "q_sql_volume_shipping": 7,
+    "q_sql_market_share": 7,       # not in the deferred set (its filters
+                                   # happened to exclude every degraded row
+                                   # at test SF) but the same latent crash
+    "q_sql_product_profit": 7,
+    "q_sql_regional_revenue": 7,
+    "q_sql_shipping_priority": 7,  # oracle side migrated too
+    "q_sql_returned_items": 7,     # oracle side migrated too
+    "q_supplier_pareto": 7,        # both twins -> registry.dec/o_dec(4,27)
+    # --- degmoney stragglers (the non-finite DIVERGENCE class, not
+    # crashes): MONEY_MAX/QTY_MAX conformance mirrors in BOTH twins so
+    # moment/rank/fold aggregates see the same multiset on a dirty lake.
+    "q_agg_stats": 7,
+    "q_agg_percentile": 7,
+    "q_window_running": 7,
+    "q_sql_recursive_spine": 7,
+    "q_try_funcs": 7,
+    # NOT re-entered: q_subq_in_agg / q_subq_scalar_corr_avg /
+    # q_sql_value_concentration / q_cast / q_bitwise_aggs — pure helper
+    # migrations (o_guarded_bigint/o_dec emit the same SQL modulo
+    # whitespace; guarded_bigint builds the same Column). The money-wave
+    # entries above are the rank-0 consumers that verify the helpers
+    # (r6/r7 shared-builder precedent); all five were additionally driven
+    # through run_compare at sf0.01 in-session.
 }
 
 _RECHECK: frozenset[str] = frozenset(
@@ -533,4 +382,57 @@ def o_exact_sum(expr: str, grid: int, out_scale: int = 2) -> str:
         f"CAST(ROUND(SUM(CASE WHEN {expr} BETWEEN -{MONEY_MAX:.0f} AND"
         f" {MONEY_MAX:.0f} THEN CAST(ROUND({expr}, {grid}) AS"
         f" DECIMAL(27,{grid})) END), {out_scale}) AS DOUBLE)"
+    )
+
+
+def s_exact_sum(expr: str, grid: int, out_scale: int = 2) -> str:
+    """Spark-SQL-string twin of :func:`exact_sum` for raw-SQL query bodies
+    (``q_sql_*`` through ``spark.sql``). The guarded-decimal wrapper
+    spelling is dialect-portable — ``CASE WHEN … BETWEEN``, ``ROUND``,
+    ``SUM``, ``DECIMAL(27,g)`` and the casts parse and evaluate identically
+    in Spark SQL and DuckDB — so this is textually :func:`o_exact_sum`; the
+    distinct name exists so call sites state which engine's dialect the
+    inner ``expr`` uses (``1.0D`` vs ``1.0::DOUBLE``). Introduced by the r8
+    extreme-money migration: the q_sql_* bodies previously spelled the
+    decimal hop inline WITHOUT the MONEY_MAX guard, so one corrupted finite
+    price (±1e308) on a degraded lake threw the whole aggregate stage under
+    ANSI (tests/test_degenerate.py extreme-money sweep)."""
+    return o_exact_sum(expr, grid, out_scale)
+
+
+def money_col(col: Column, bound: float = MONEY_MAX) -> Column:
+    """Conformance-guarded passthrough of a money/quantity DOUBLE: values
+    outside ``[-bound, bound]`` (including NaN and ±Inf, which fail BETWEEN
+    in both engines) become NULL, which every aggregate then skips
+    identically on both sides. Keeps DOUBLE type — use for stddev/
+    percentile/window-SUM inputs where :func:`exact_sum`'s decimal hop is
+    not wanted. Oracle twin: :func:`o_money_col`. No-op on conforming data,
+    so clean-corpus results are unchanged (r8 degmoney wave)."""
+    return F.when(col.between(-bound, bound), col)
+
+
+def o_money_col(expr: str, bound: float = MONEY_MAX) -> str:
+    """DuckDB/Spark-SQL-portable twin of :func:`money_col`."""
+    return (
+        f"CASE WHEN {expr} BETWEEN -{bound:.0f} AND {bound:.0f}"
+        f" THEN {expr} END"
+    )
+
+
+def guarded_bigint(col: Column, bound: float = QTY_MAX) -> Column:
+    """QTY_MAX-guarded narrowing of an integral-valued DOUBLE to BIGINT —
+    the one spelling for every exact-integer quantity path (Q17/Q18-shaped
+    cross-multiplied thresholds, per-group bigint sums, bitwise aggs).
+    Non-conforming values (±absurd, NaN, ±Inf) null out instead of an ANSI
+    CAST_OVERFLOW throw; the tight default bound also keeps ``qty·5·n`` and
+    per-group SUMs inside int64 (see QTY_MAX). Oracle twin:
+    :func:`o_guarded_bigint`."""
+    return money_col(col, bound).cast("bigint")
+
+
+def o_guarded_bigint(expr: str, bound: float = QTY_MAX) -> str:
+    """DuckDB/Spark-SQL-portable twin of :func:`guarded_bigint`."""
+    return (
+        f"CASE WHEN {expr} BETWEEN -{bound:.0f} AND {bound:.0f}"
+        f" THEN CAST({expr} AS BIGINT) END"
     )

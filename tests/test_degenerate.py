@@ -1498,21 +1498,14 @@ def degmoney_sf(spark) -> str:
     return d
 
 
-# The nine twins whose SPARK side still spells the exact-sum decimal hop
-# INLINE (not via the hardened registry.exact_sum) and therefore still
-# crash on a lone finite-extreme price. Queued as the FIRST r8 batch:
-# replace each inline spelling with the hardened helper (each edit costs a
-# driver recheck slot — adding nine more now would break the r7 burn-in
-# floor). Loud and listed, like _ORACLE_INFEASIBLE_ON_DEGRADED; the same
-# batch must also sweep the oracle-side inline spellings (rollup/cube and
-# kin pass THIS Spark-only sweep because their Spark side already uses the
-# hardened exact_sum, but their inline-oracle twins would still throw
-# inside a degraded-corpus run_compare).
-_EXTREME_MONEY_DEFERRED: frozenset[str] = frozenset({
-    "q_sql_discount_revenue", "q_sql_disjunctive_pred", "q_sql_product_profit",
-    "q_sql_promo_revenue", "q_sql_returned_items", "q_sql_shipping_priority",
-    "q_sql_top_supplier", "q_sql_volume_shipping", "q_supplier_pareto",
-})
+# CLEARED in r8 (the first-commit batch VERDICT r7 #1 demanded): the nine
+# twins whose Spark side spelled the exact-sum decimal hop inline (and the
+# two whose oracle side did) migrated to registry.s_exact_sum/o_exact_sum/
+# dec(4,27), so the whole q_sql_* money family now runs the crash sweep
+# AND the degmoney twin gate. Kept as an (empty) set so the gate math
+# below reads unchanged and any future regression has a place to be
+# declared loudly.
+_EXTREME_MONEY_DEFERRED: frozenset[str] = frozenset()
 
 _EXTREME_MONEY_FAMILY = sorted(
     (
@@ -1779,18 +1772,11 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
         "q_unload_roundtrip",
     }),
     "degstats_sf": frozenset(),
-    # the nine inline exact-sum twins (crash class) PLUS the non-finite
-    # divergence class this gate measured: DuckDB quantile/STDDEV feed
-    # ±1e308/NaN straight through (quantile -> NaN where Spark percentile
-    # excludes; STDDEV_SAMP THROWS Out of Range on 1e308 variance), the
-    # running-sum window and recursive-spine arithmetic diverge once a
-    # non-finite enters the fold, and DuckDB's TRY_CAST(-1e308 AS INT)
-    # still THROWS where Spark's try_cast nulls. All take the same
-    # MONEY_MAX BETWEEN mirror as the r7 fixed set — batch with r8 (a).
-    "degmoney_sf": _EXTREME_MONEY_DEFERRED | frozenset({
-        "q_agg_percentile", "q_agg_stats", "q_sql_recursive_spine",
-        "q_try_funcs", "q_window_running",
-    }),
+    # CLEARED in r8: the nine inline exact-sum twins (crash class) and the
+    # five non-finite divergence stragglers (quantile/STDDEV/running-fold/
+    # spine/TRY_CAST) all carry the MONEY_MAX/QTY_MAX conformance mirror
+    # in both twins now — the full money family runs this gate.
+    "degmoney_sf": frozenset(),
     "bigkey_sf": frozenset({
         # report-POPULATION ambiguity, visible only when vec_id and doc_id
         # diverge (never on the driver corpus): the oracle counts only
