@@ -1049,6 +1049,10 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_oracle() -> str:
+    # deferred import: text.py is imported by vectors-adjacent modules, so
+    # the conformance fragment binds at oracle-build time, not module load
+    from ..operators.vectors import O_VEC_CONFORM as _O_VEC_CONFORM
+
     score = _kw_score_sql()
     dfs = _kw_dfs_sql()
     anyhit = _kw_anyhit_sql()
@@ -1062,13 +1066,14 @@ def _rrf_oracle() -> str:
         WHERE {anyhit}
         ORDER BY kw_rank LIMIT {KW_TOPK}
     ),
-    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0 AND {_O_VEC_CONFORM}),
     sem AS (
         SELECT vec_id AS doc_id,
                ROW_NUMBER() OVER (ORDER BY list_inner_product(qv, embedding::DOUBLE[]) DESC,
                                   vec_id ASC) AS sem_rank
         FROM embeddings CROSS JOIN q
-        WHERE vec_id <> 0
+        WHERE vec_id <> 0 AND {_O_VEC_CONFORM}
         ORDER BY sem_rank LIMIT {KW_TOPK}
     )
     SELECT COALESCE(kw.doc_id, sem.doc_id) AS doc_id,
@@ -1097,7 +1102,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with id tie-breaks. Scale shape: both arms end in Q×K-row lists, so
     the fusion join is trivially broadcast; arm costs are the documented
     per-arm plans."""
-    from ..operators.vectors import _dot, _embeddings
+    from ..operators.vectors import _dot, _embeddings, _finite_vec
 
     d = load_spread(spark, sf_dir, "documents")
     stats, score, anyhit = _kw_spark(d)
@@ -1114,7 +1119,10 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kw_rank", F.row_number().over(wkw))
         .select("doc_id", "kw_rank")
     )
-    e = _embeddings(spark, sf_dir)
+    # sem arm population = the _finite_vec conformance contract (r8),
+    # mirrored in the oracle's q/sem CTEs: a NaN-poisoned dot would
+    # outrank every real hit in both engines otherwise
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     wsem = Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
     sem = (

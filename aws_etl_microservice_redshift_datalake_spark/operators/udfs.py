@@ -79,6 +79,7 @@ _BASIS = [_basis_weight(i) for i in range(64)]
                                   {_BASIS!r}::DOUBLE[]) AS dot
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
     )
     SELECT vec_id,
            CASE WHEN NOT isnan(dot) THEN ROUND(dot, 6) END AS basis_dot
@@ -92,7 +93,11 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL and off-dimension embeddings drop JVM-side before Arrow ships the
     batch: np.stack crashes on a 0-d None array AND on ragged/empty arrays
     (truncated 63-dim or [] rows — the same degraded-lake class, r6 review),
-    so the guard is isNotNull AND size == 64, mirrored in the oracle."""
+    so the guard is isNotNull AND size == 64 AND no NULL elements (r8:
+    numpy silently converts a None element to NaN inside the kernel where
+    DuckDB's list_inner_product THROWS — element-NULL rows are excluded by
+    contract in both twins; NaN/±Inf elements keep the r7 NaN→NULL
+    mirror), mirrored in the oracle."""
     basis = np.array(_BASIS, dtype=np.float64)
 
     @F.pandas_udf(T.DoubleType())
@@ -101,7 +106,9 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(np.round(mat @ basis, 6))
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     return e.select("vec_id", basis_dot("embedding").alias("basis_dot"))
 
@@ -123,6 +130,7 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
                AVG(embedding[3]::DOUBLE) AS a3
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
         GROUP BY label
     )
     SELECT label, n,
@@ -139,8 +147,12 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL and off-dimension embeddings are dropped JVM-side before Arrow
     ships the group (the multimodal drop-null rule): np.stack crashes on a
     0-d None array (r6 degraded-embeddings sweep) and on ragged/empty
-    arrays (r6 review), so the guard is isNotNull AND size == 64, mirrored
-    in the oracle twin."""
+    arrays (r6 review), so the guard is isNotNull AND size == 64 AND no
+    NULL elements (r8: numpy converts a None element to NaN, poisoning the
+    whole group mean, where DuckDB's AVG skips only the NULL row for that
+    dimension — element-NULL rows are excluded by contract in both twins;
+    NaN/±Inf elements keep the r7 NaN→NULL mirror), mirrored in the
+    oracle twin."""
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
@@ -156,7 +168,9 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     return e.groupBy("label").applyInPandas(
         centroid, schema="label int, n long, c1 double, c2 double, c3 double"

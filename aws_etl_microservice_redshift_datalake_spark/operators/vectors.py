@@ -98,20 +98,43 @@ def _bucketable(vcol):
     which PASSES the >= 0.8 verify in both engines. Non-finite anywhere →
     not bucketable. Mirrors the size==DIM guard in the pandas-UDF
     kernels."""
+    return _finite_vec(vcol) & F.exists(vcol, lambda x: x != 0)
+
+
+def _finite_vec(vcol):
+    """Embedding conformance contract for every similarity/stat consumer
+    (r8, VERDICT r7 #2): declared width AND every element present and
+    finite. NULL vectors, ragged/truncated rows, and element-NULL/NaN/±Inf
+    values are excluded BY CONTRACT in both twins — DuckDB's
+    list_inner_product THROWS on ragged/element-NULL input (no try_
+    variant), Spark's zip_with fold silently yields NULL/NaN, and a NaN
+    dot PASSES every >= τ cut in both engines (NaN sorts above all
+    numerics) — so without one shared declared population, a dirty lake
+    either crashes the oracle or reports NaN-poisoned garbage as
+    neighbors. Oracle twin: :data:`O_VEC_CONFORM`. All-zero vectors stay
+    (their sims are exactly 0.0 in both engines); `_bucketable` adds the
+    nonzero test only where sign-LSH needs it."""
     inf = float("inf")
-    return (
-        (F.size(vcol) == DIM)
-        & ~F.exists(vcol, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf))
-        & F.exists(vcol, lambda x: x != 0)
+    return (F.size(vcol) == DIM) & ~F.exists(
+        vcol, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf)
     )
+
+
+# DuckDB-side twin of _finite_vec (the q_cosine_neardup oracle spelling,
+# minus its LSH-only nonzero clause). Interpolate into an oracle WHERE.
+O_VEC_CONFORM = (
+    "len(embedding) = 64 AND len(list_filter(embedding,"
+    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+)
 
 
 @query(
     "q_ann_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
-    t AS (SELECT vec_id AS t_id, label, embedding::DOUBLE[] AS tv FROM embeddings),
+               FROM embeddings WHERE vec_id < {N_QUERIES} AND {O_VEC_CONFORM}),
+    t AS (SELECT vec_id AS t_id, label, embedding::DOUBLE[] AS tv
+          FROM embeddings WHERE {O_VEC_CONFORM}),
     scored AS (
         SELECT q_id, t_id, label,
                list_inner_product(qv, tv) AS sim,
@@ -128,8 +151,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: brute-force cosine top-k — for each query vector (vec_id < 10) the
     5 nearest neighbors by dot product (≡ cosine on unit vectors), self
     excluded. Broadcast queries × streamed targets; rank on raw sims with
-    t_id tie-break, sims rounded only for output."""
-    e = _embeddings(spark, sf_dir)
+    t_id tie-break, sims rounded only for output. Population is the
+    `_finite_vec` conformance contract in both twins (r8): a ragged or
+    NaN/Inf-poisoned vector must neither crash the scorer nor outrank
+    every real neighbor."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -153,8 +179,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_classify",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, label AS true_label, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 50),
-    t AS (SELECT vec_id AS t_id, label, embedding::DOUBLE[] AS tv FROM embeddings),
+               FROM embeddings WHERE vec_id < 50 AND {O_VEC_CONFORM}),
+    t AS (SELECT vec_id AS t_id, label, embedding::DOUBLE[] AS tv
+          FROM embeddings WHERE {O_VEC_CONFORM}),
     neigh AS (
         SELECT q_id, true_label, label,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -180,8 +207,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: 10-NN majority-vote label check for vec_id < 50 — exercises the
     ANN pipeline end-to-end (neighbors → votes → argmax with label asc
-    tie-break) and compares predicted vs true label."""
-    e = _embeddings(spark, sf_dir)
+    tie-break) and compares predicted vs true label. Population is the
+    `_finite_vec` conformance contract in both twins (r8): a NaN dot
+    would outvote every real neighbor in both engines otherwise."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
@@ -699,19 +728,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_norms",
     oracle=f"""
+    WITH e AS (
+        SELECT label,
+               COALESCE({O_VEC_CONFORM}, FALSE) AS ok,
+               -- the CASE nulls the VECTOR (not the norm): list_inner_product
+               -- propagates a NULL list but THROWS on ragged/element-NULL
+               -- input, so malformed vectors must never reach it even if the
+               -- engine evaluates a vectorized batch eagerly
+               CASE WHEN COALESCE({O_VEC_CONFORM}, FALSE)
+                    THEN embedding::DOUBLE[] END AS v
+        FROM embeddings
+    )
     SELECT label,
-           COUNT(*) AS n_vecs,
-           {o_exact_sum("sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))", 6, 4)} AS sum_norm,
-           ROUND(MIN(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
-           ROUND(MAX(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
-    FROM embeddings
+           COUNT(*) FILTER (WHERE ok) AS n_vecs,
+           COUNT(*) FILTER (WHERE NOT ok) AS n_malformed,
+           {o_exact_sum("sqrt(list_inner_product(v, v))", 6, 4)} AS sum_norm,
+           ROUND(MIN(sqrt(list_inner_product(v, v))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_inner_product(v, v))), 6) AS max_norm
+    FROM e
     GROUP BY label
     """,
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality stats per class: L2-norm count/sum/min/max — the
     sanity report a pipeline runs before cosine math (un-normalized or
-    degenerate vectors break similarity thresholds).
+    degenerate vectors break similarity thresholds). Norm stats run over
+    the `_finite_vec` conformance population, and the report SURFACES the
+    excluded rows as ``n_malformed`` per label (r8: a sanity report that
+    silently drops the insane rows isn't one — and DuckDB's
+    list_inner_product would throw on them anyway, so the conformance
+    split is the one spelling both engines execute).
 
     Float discipline: the per-row norm sqrt(dot(v,v)) is BIT-identical on
     both engines (sequential left-to-right fold + correctly-rounded IEEE
@@ -720,10 +766,17 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-6 grid, sum exactly in DECIMAL, round once) — the same rule the
     money aggregates follow. Scale: row-local arithmetic in codegen + one
     map-side-combinable aggregate over ≤ |labels| groups."""
-    e = _embeddings(spark, sf_dir)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    e = _embeddings(spark, sf_dir).withColumn(
+        "ok", _finite_vec(F.col("embedding"))
+    )
+    norm = F.when(
+        F.col("ok"), F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
     return e.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_vecs"),
+        F.count(F.when(~F.coalesce(F.col("ok"), F.lit(False)), 1)).alias(
+            "n_malformed"
+        ),
         exact_sum(norm, 6, 4).alias("sum_norm"),
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
@@ -741,6 +794,7 @@ SEMDECON_TAU = 0.45  # cross-split cosine flagging threshold
                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
                    AS is_train
         FROM embeddings
+        WHERE {O_VEC_CONFORM}
     ),
     cont AS (
         SELECT DISTINCT b.vec_id
@@ -792,8 +846,11 @@ def _train_bucket(idcol: Column) -> Column:
 
 
 def _decon_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings tagged with the deterministic 80/20 train/test split."""
-    e = _embeddings(spark, sf_dir)
+    """Embeddings tagged with the deterministic 80/20 train/test split.
+    Population is the `_finite_vec` conformance contract (r8) — shared by
+    the exact twin, the clustered path, and the oracle's e CTE, so the
+    leakage report is defined over the same vectors everywhere."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     return e.select(
         "vec_id", "label", "embedding",
         (_train_bucket(F.col("vec_id")) < 80).alias("is_train"),
@@ -855,8 +912,10 @@ SEARCH_K = 8
     "q_semantic_search",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < {SEARCH_QUERIES}),
-    t AS (SELECT vec_id AS t_id, embedding::DOUBLE[] AS tv FROM embeddings),
+               FROM embeddings
+               WHERE vec_id < {SEARCH_QUERIES} AND {O_VEC_CONFORM}),
+    t AS (SELECT vec_id AS t_id, embedding::DOUBLE[] AS tv
+          FROM embeddings WHERE {O_VEC_CONFORM}),
     hits AS (
         SELECT q_id, t_id,
                list_inner_product(qv, tv) AS sim,
@@ -885,8 +944,9 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     set broadcasts into the documents scan — documents' text column never
     moves through a shuffle, and at 100 TB the ANN stage swaps to the
     LSH/IVF candidate path (q_ann_lsh_topk / q_ann_ivf_topk) with the same
-    hydration tail."""
-    e = _embeddings(spark, sf_dir)
+    hydration tail. Population is the `_finite_vec` conformance contract
+    in both twins (r8)."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     d = load_table(spark, sf_dir, "documents")
     q = e.filter(F.col("vec_id") < SEARCH_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
@@ -926,6 +986,7 @@ SEMDEDUP_TAU = 0.45  # semantic-duplicate threshold (non-trivial at every sf)
     WITH t AS (
         SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, d.n_chars
         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE {O_VEC_CONFORM}
     ),
     losers AS (
         SELECT DISTINCT CASE WHEN a.n_chars > b.n_chars
@@ -957,10 +1018,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection to the tiny pair set AFTER the cosine cut, so document data
     never rides through the quadratic stage; the drop set broadcasts back
     as a semi-join. The ≥ τ cut is the bit-identical `_dot` fold — no
-    rounding discipline needed anywhere."""
-    e = _embeddings(spark, sf_dir)
+    rounding discipline needed anywhere.
+
+    Population contract (r8, resolving the bigkey/advtext twin ambiguity):
+    SemDeDup's report and pair stage run over CONFORMING embeddings that
+    HAVE a document row — the drop rule needs the document-length quality
+    signal, so an orphan embedding cannot participate; on the driver
+    corpus embeddings ⊆ documents and nothing changes. Spelled in both
+    twins (the oracle's t CTE inner join + conformance WHERE; the Spark
+    side's semi-join + `_finite_vec`) and shared with the clustered path
+    through _semdedup_report."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    t = e.select("vec_id", "label", F.col("embedding").alias("v"))
+    t = e.select("vec_id", "label", F.col("embedding").alias("v")).join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
     right = t.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     pairs = (
         t.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
@@ -998,7 +1070,14 @@ def _semdedup_report(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    t = _embeddings(spark, sf_dir).select("vec_id", "label")
+    # report population = conforming embeddings WITH a document row — the
+    # same contract the pair stage runs under (see q_semdedup docstring)
+    t = (
+        _embeddings(spark, sf_dir)
+        .filter(_finite_vec(F.col("embedding")))
+        .select("vec_id", "label")
+        .join(d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    )
     return (
         t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
         .groupBy("label")
@@ -1061,6 +1140,7 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS v
         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE {O_VEC_CONFORM}
     ),
     pairs AS (
         SELECT LEAST(a.lang, b.lang) AS lang_a,
@@ -1089,8 +1169,10 @@ def q_cross_lingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage at 100 TB; language hydration joins the narrow (doc_id,
     lang) projection AFTER the cosine cut (shared tail — the two paths
     cannot drift); MAX over bit-identical dots needs no rounding discipline
-    (rounded for display only)."""
-    e = _embeddings(spark, sf_dir)
+    (rounded for display only). Pair population is the `_finite_vec`
+    conformance contract in both twins (r8); doc presence is enforced by
+    the language-hydration inner join on both sides."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     t = e.select("vec_id", F.col("embedding").alias("v"))
     right = t.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))

@@ -211,6 +211,27 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_window_running": 7,
     "q_sql_recursive_spine": 7,
     "q_try_funcs": 7,
+    # --- r8 vector-conformance wave (VERDICT r7 "missing" #1; SURVEY r8
+    # kickoff rows 3+6): the _finite_vec population contract (size 64,
+    # every element present and finite) mirrored into the Spark side AND
+    # the oracle of every similarity/stat consumer — DuckDB's
+    # list_inner_product throws on ragged/element-NULL vectors the Spark
+    # side silently folds to NULL/NaN. Identical output on conforming
+    # corpora (the driver's); _ORACLE_INFEASIBLE_ON_DEGRADED is now empty.
+    "q_ann_topk": 7,
+    "q_knn_classify": 7,
+    "q_embedding_norms": 7,        # + n_malformed column: the sanity report
+                                   # now SURFACES excluded rows per label
+    "q_decontaminate_semantic": 7,
+    "q_semantic_search": 7,
+    "q_hybrid_search_rrf": 7,
+    "q_cross_lingual_neardup": 7,
+    "q_semdedup": 7,               # + population contract resolved: report
+                                   # = conforming embeddings WITH a doc row
+                                   # (the drop rule needs the quality
+                                   # signal), both twins
+    "q_pandas_udf_dot": 7,         # + element-NULL exclusion (numpy None->
+    "q_pandas_udaf_centroid": 7,   #   NaN vs DuckDB throw/skip), both twins
     # NOT re-entered: q_subq_in_agg / q_subq_scalar_corr_avg /
     # q_sql_value_concentration / q_cast / q_bitwise_aggs — pure helper
     # migrations (o_guarded_bigint/o_dec emit the same SQL modulo

@@ -1717,18 +1717,13 @@ def test_twin_gate_fixed_contracts(spark, duck, request, name, fixture):
     run_compare(spark, duck, name, QS[name], engine.all_oracles()[name], sf)
 
 
-# DuckDB's list_inner_product THROWS on ragged/empty/NULL-element vectors
-# (no try_ variant), while the Spark side's conformance filters drop such
-# rows before any dot product — these 8 oracles cannot RUN on a degraded
-# corpus. Loud (the oracle errors out), never silently wrong; the Spark
-# side is still covered by the crash sweeps above. Mirroring the
-# conformance WHERE into each oracle is scheduled r8 work (each oracle
-# edit costs a driver recheck slot — r7's budget went to burn-in).
-_ORACLE_INFEASIBLE_ON_DEGRADED: frozenset[str] = frozenset({
-    "q_ann_topk", "q_cross_lingual_neardup", "q_decontaminate_semantic",
-    "q_embedding_norms", "q_hybrid_search_rrf", "q_knn_classify",
-    "q_semantic_search", "q_semdedup",
-})
+# CLEARED in r8 (VERDICT r7 item 2): every similarity/stat oracle now
+# carries the O_VEC_CONFORM mirror of the Spark side's _finite_vec
+# population contract (DuckDB's list_inner_product throws on ragged/
+# element-NULL vectors the Spark fold silently NULLs), so all 8 former
+# members run the degraded gates. Kept as an (empty) set so the gate
+# math below reads unchanged and any future regression is declared here.
+_ORACLE_INFEASIBLE_ON_DEGRADED: frozenset[str] = frozenset()
 
 _FULL_GATE = sorted(set(engine.all_oracles()) - _ORACLE_INFEASIBLE_ON_DEGRADED)
 
@@ -1777,16 +1772,11 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
     # spine/TRY_CAST) all carry the MONEY_MAX/QTY_MAX conformance mirror
     # in both twins now — the full money family runs this gate.
     "degmoney_sf": frozenset(),
-    "bigkey_sf": frozenset({
-        # report-POPULATION ambiguity, visible only when vec_id and doc_id
-        # diverge (never on the driver corpus): the oracle counts only
-        # embeddings with a document row (INNER join in its t CTE), the
-        # Spark side reports every embedding and uses documents only for
-        # the quality signal. Pick one contract in the r8 oracle batch —
-        # q_semdedup's oracle is already queued there for the element-NULL
-        # conformance mirror.
-        "q_semdedup",
-    }),
+    # CLEARED in r8: q_semdedup's population contract is now declared and
+    # spelled in both twins (conforming embeddings WITH a document row —
+    # the drop rule needs the quality signal), so the bigkey ambiguity is
+    # gone.
+    "bigkey_sf": frozenset(),
     "advkeys_sf": frozenset(),
     "advdimstr_sf": frozenset({
         # engine-semantic divergences on non-ASCII/quoted strings, exact on
@@ -1797,17 +1787,13 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
         # CTE or Spark-semantics reimplementation in the oracle.
         "q_str_funcs",
     }),
-    # DuckDB list_inner_product refuses NULL ELEMENTS (no try_ variant),
-    # and numpy NaN-poisons a group mean where DuckDB AVG skips NULLs —
-    # the element-conformance mirror is SURVEY r8 item c, verbatim.
-    "elemnullvec_sf": _ORACLE_INFEASIBLE_ON_DEGRADED | frozenset({
-        "q_pandas_udf_dot", "q_pandas_udaf_centroid",
-    }),
-    # the report-population ambiguity measured on bigkey_sf (above) — on
-    # this corpus doc_ids 0..49 only partially overlap the symlinked
-    # embeddings' vec_ids, so the oracle's INNER-join population diverges
-    # from the Spark side's all-embeddings report the same way
-    "advtext_sf": frozenset({"q_semdedup"}),
+    # CLEARED in r8: the _finite_vec/O_VEC_CONFORM population mirror landed
+    # in all 8 former _ORACLE_INFEASIBLE members, and the two pandas twins
+    # exclude element-NULL vectors in both twins (numpy None->NaN vs
+    # DuckDB throw/skip).
+    "elemnullvec_sf": frozenset(),
+    # CLEARED in r8 with the q_semdedup population contract (see bigkey_sf)
+    "advtext_sf": frozenset(),
     "alldup_sf": frozenset(),
     "tiny_sf": frozenset(),
     # empty-corpus engine divergences (a stray all-filtered partition on a
