@@ -42,10 +42,14 @@ from ..sources.io import load_table
            string_split(p_name, ' ')[1] AS first_word,
            regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS lev,
+           CASE WHEN length(p_name) = strlen(p_name)
+                THEN CAST(levenshtein(p_name, 'red widget') AS INTEGER)
+           END AS lev,
            CAST(instr(p_name, 'a') AS INTEGER) AS a_pos,
            translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
-           upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS type_cap,
+           CASE WHEN regexp_matches(p_type, '^[A-Za-z]*$')
+                THEN upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2))
+           END AS type_cap,
            reverse(p_brand) AS brand_rev,
            repeat(p_brand, 2) AS brand2
     FROM part
@@ -53,7 +57,17 @@ from ..sources.io import load_table
 )
 def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: string family — concat/case/substr/trim/pad/replace/split/regex/
-    levenshtein/instr/translate/initcap/reverse/repeat."""
+    levenshtein/instr/translate/initcap/reverse/repeat.
+
+    Two engine-semantic divergences carry conformance CASEs in both twins
+    (r8 advdimstr mirror): DuckDB levenshtein counts UTF-8 BYTES where
+    Spark counts CHARACTERS, so ``lev`` is defined only for pure-ASCII
+    names (chars == bytes ⟺ length == strlen/octet_length — where the two
+    metrics coincide) and NULL otherwise; and the engines disagree on
+    word-boundary rules around punctuation for initcap, so ``type_cap``
+    is defined only for single alpha words (where initcap(lower(x)) ≡
+    upper-first + lower-rest in both). Both CASEs are no-ops on the
+    ASCII fixture."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -68,10 +82,16 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("p_name", " ").getItem(0).alias("first_word"),
         F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.levenshtein("p_name", F.lit("red widget")).alias("lev"),
+        F.when(
+            F.length("p_name") == F.octet_length("p_name"),
+            F.levenshtein("p_name", F.lit("red widget")),
+        ).alias("lev"),
         F.instr("p_name", "a").alias("a_pos"),
         F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
-        F.initcap(F.lower("p_type")).alias("type_cap"),
+        F.when(
+            F.col("p_type").rlike(r"^[A-Za-z]*\z"),
+            F.initcap(F.lower("p_type")),
+        ).alias("type_cap"),
         F.reverse("p_brand").alias("brand_rev"),
         F.repeat("p_brand", 2).alias("brand2"),
     )

@@ -207,10 +207,16 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(key))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # coalesce: on an EMPTY table the per-key relation has no rows, so
+        # the SUMs are NULL — but an audit of zero rows must report 0, not
+        # "unknown" (the oracle's COUNTs do; r8 empty-input mirror, no-op
+        # on any non-empty table)
         row = per_key.agg(
-            F.sum("cnt").alias("n_rows"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
             F.count(F.lit(1)).alias("n_keys"),
-            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_dup_keys"),
         ).select(
             F.lit(tbl).alias("tbl"),
             F.col("n_rows").cast("long"),
@@ -309,5 +315,9 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.agg(
         exact_sum(F.col("x"), 6, 3).alias("chi2"),
         ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)).alias("dof"),
-        F.min("n").alias("n_total"),
+        # coalesce: on an EMPTY corpus (a stray all-filtered partition) the
+        # grid has no cells, so min(n) is NULL — but the true corpus count
+        # is 0, which is what the oracle's scalar subquery reports (r8
+        # empty-input mirror; no-op whenever any cell exists)
+        F.coalesce(F.min("n"), F.lit(0)).alias("n_total"),
     )

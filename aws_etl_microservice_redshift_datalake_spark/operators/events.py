@@ -173,7 +173,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ob AS (
         SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
-        FROM orders GROUP BY o_custkey, o_orderdate
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id,
            b.o_orderdate AS asof_date,
@@ -181,6 +182,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     ASOF LEFT JOIN ob b
       ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+    WHERE e.ts IS NOT NULL
     """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,9 +194,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort before probe rows at equal ts, giving DuckDB ASOF's inclusive `>=`
     semantics. Build side is pre-deduped per (key, ts) so ties are
     deterministic. One shuffle + one sort; 100 TB-safe. (SURVEY.md §7.3.)
-    """
-    e = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
+
+    NULL event-time contract (r8, VERDICT r7 #3): rows with a NULL ts on
+    EITHER side are excluded in both twins — "most recent prior" is
+    undefined at a NULL instant, and the engines otherwise disagree on
+    where NULL sorts in the union-tag order (Spark NULLS FIRST vs DuckDB
+    LAST). Matches watermark semantics: a streaming as-of would drop
+    NULL-ts rows at the watermark operator anyway."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     build = (
         o.groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_totalprice").alias("best_price"))
@@ -220,6 +230,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -227,8 +238,15 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 (batch twin): tumbling 10-minute event-time windows per event type.
     The streaming variant (streaming/streams.py) must produce exactly this
     under trigger(availableNow); window starts are epoch-aligned on both
-    engines for minute-granularity buckets."""
-    e = load_table(spark, sf_dir, "events")
+    engines for minute-granularity buckets.
+
+    NULL event-time contract (r8, VERDICT r7 #3): NULL-ts rows are excluded
+    in both twins — Spark's window() emits no group for them anyway (an
+    accident of engine semantics now declared), DuckDB's time_bucket(NULL)
+    would form a NULL group, and a streaming watermark drops them. Spelled
+    as an explicit pre-filter so the batch twin, the stream, and the
+    oracle state the same population."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
@@ -254,6 +272,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                ]) AS window_start,
                value
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
     FROM exploded
@@ -263,8 +282,10 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 (batch twin): sliding windows — 10 minutes long, sliding every 5,
     so each event lands in exactly two windows (Spark models this as an
-    internal explode, mirrored explicitly in the oracle)."""
-    e = load_table(spark, sf_dir, "events")
+    internal explode, mirrored explicitly in the oracle). NULL-ts rows are
+    excluded in both twins (the q_tumbling_window NULL event-time
+    contract, r8)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
@@ -288,6 +309,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS new_session,
                event_id
         FROM events
+        WHERE ts IS NOT NULL
     ), tagged AS (
         SELECT user_id, value, ts_s,
                SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
@@ -306,8 +328,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 (batch twin): gap-based sessionization (30-minute inactivity gap)
     via the classic lag → new-session flag → running-sum idiom. Batch twin of
     F.session_window; seconds derived from date_trunc('second') on both sides
-    (ns/µs parquet split)."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id", "ts")
+    (ns/µs parquet split). NULL-ts rows are excluded in both twins (the
+    q_tumbling_window NULL event-time contract, r8): a NULL instant can
+    neither extend nor break a session, and session_window drops it
+    anyway."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "value", "event_id", "ts")
+    )
     tagged = sessionize(
         e, key="user_id", ts_seconds=F.unix_timestamp("ts"), gap_s=1800,
         order_col="event_id",

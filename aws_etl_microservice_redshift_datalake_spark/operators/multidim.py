@@ -29,11 +29,19 @@ from ..sources.io import load_table, register_all
            ROUND(SUM(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10a: ROLLUP — hierarchical subtotals (flag×status, flag, grand total)
-    with grouping_id distinguishing the levels."""
+    with grouping_id distinguishing the levels.
+
+    Empty-input contract (r8, the whole multi-level family): an empty
+    relation — a stray all-filtered partition on a real lake — produces an
+    EMPTY report (Spark's native semantics), not the SQL-standard 0-count
+    grand-total row DuckDB would emit; the oracle mirrors with
+    HAVING COUNT(*) > 0, a no-op on any non-empty input (every real
+    grouping-set row aggregates ≥ 1 source row)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("int").alias("gid"),
@@ -51,10 +59,12 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2) AS sum_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10b: CUBE — all 2^k grouping combinations in one pass."""
+    """A10b: CUBE — all 2^k grouping combinations in one pass. Empty input
+    → empty report (the q_agg_rollup r8 contract; oracle HAVING mirror)."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("int").alias("gid"),
@@ -71,11 +81,13 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(c_acctbal), 2) AS sum_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10c + E3: GROUPING SETS through the raw SQL parser path over
-    registered temp views (Spectrum/external-table analog)."""
+    registered temp views (Spectrum/external-table analog). Empty input →
+    empty report (the q_agg_rollup r8 contract; oracle HAVING mirror)."""
     register_all(spark, sf_dir)
     return spark.sql(
         """

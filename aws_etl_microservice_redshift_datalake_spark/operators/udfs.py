@@ -28,12 +28,17 @@ from ..sources.io import load_table
 
 def _digitsum_oracle_expr(col: str, digits: int = 19) -> str:
     """Digit-sum as pure integer arithmetic (DuckDB lacks a digit fold).
-    19 terms cover every int64 (max 9223372036854775807 has 19 digits) —
-    the original 8-term spelling was exact on the driver corpus but
-    silently truncated snowflake-scale ids (r7 bigkey axis-gate probe:
-    spark=true digit sum vs duck=low-8-digits sum). High terms are 0 on
-    small keys, so clean-corpus output is unchanged."""
-    return " + ".join(f"(({col} // {10 ** i}) % 10)" for i in range(digits))
+    19 terms cover the magnitude of every int64 above INT64_MIN (max
+    9223372036854775807 has 19 digits) — the original 8-term spelling was
+    exact on the driver corpus but silently truncated snowflake-scale ids
+    (r7 bigkey axis-gate probe: spark=true digit sum vs duck=low-8-digits
+    sum). High terms are 0 on small keys, so clean-corpus output is
+    unchanged. Both twins fold abs(key) so negative ids digit-sum their
+    magnitude identically (ADVICE r7: the Python twin raised on the '-'
+    character while the // arithmetic produced floor-division garbage);
+    INT64_MIN itself is outside the contract — abs() overflows int64 in
+    both engines."""
+    return " + ".join(f"((abs({col}) // {10 ** i}) % 10)" for i in range(digits))
 
 
 @query(
@@ -45,13 +50,16 @@ def _digitsum_oracle_expr(col: str, digits: int = 19) -> str:
     """,
 )
 def q_udf_digitsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1: row-at-a-time Python scalar UDF (digit sum of the order key).
+    """U1: row-at-a-time Python scalar UDF (digit sum of the order key's
+    magnitude — abs in both twins, see _digitsum_oracle_expr).
     Deliberately trivial — the point is the extension surface; anything hot
     belongs in U2's Arrow path."""
 
     @F.udf(returnType=T.IntegerType())
     def digit_sum(x: int) -> int:
-        return sum(int(c) for c in str(x))
+        if x is None:
+            return None
+        return sum(int(c) for c in str(abs(x)))
 
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderkey", digit_sum("o_orderkey").alias("digit_sum"))

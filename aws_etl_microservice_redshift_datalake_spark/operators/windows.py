@@ -29,15 +29,20 @@ from ..sources.io import load_table
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            CAST(year(o_orderdate) AS INTEGER) AS yr,
-           RANK()       OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate)) AS rnk,
-           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate)) AS drnk,
-           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate), o_orderkey) AS rn
+           RANK()       OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate) NULLS FIRST) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate) NULLS FIRST) AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY year(o_orderdate) NULLS FIRST, o_orderkey) AS rn
     FROM orders
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: row_number / rank / dense_rank. rank and dense_rank run on a tied
-    key (order year); row_number gets a unique tiebreaker."""
+    key (order year); row_number gets a unique tiebreaker. The oracle's
+    explicit NULLS FIRST mirrors Spark's ASC default (DuckDB defaults to
+    NULLS LAST), so NULL order dates — a PERMISSIVE-ingest reality — rank
+    identically in both twins (r8 degdates mirror): they form the lowest
+    tied group, the declared contract (rank the undated rows first, where
+    a report reader cannot miss them)."""
     o = load_table(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
     w_tied = Window.partitionBy("o_orderpriority").orderBy(yr)
@@ -204,12 +209,17 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))::BIGINT
                                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_value
     FROM events
+    WHERE ts IS NOT NULL
     """,
 )
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7: RANGE frame over event-time — per-user trailing-1-hour value sum
-    (time-windowed running aggregate on the epoch-seconds axis)."""
-    e = load_table(spark, sf_dir, "events")
+    (time-windowed running aggregate on the epoch-seconds axis). NULL-ts
+    rows are excluded in both twins (the q_tumbling_window NULL event-time
+    contract, r8): a RANGE frame anchored at a NULL instant is undefined,
+    and the engines otherwise disagree on where NULL sorts (Spark NULLS
+    FIRST vs DuckDB LAST on ASC)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))

@@ -232,6 +232,46 @@ _RECHECK_CHANGED: dict[str, int] = {
                                    # signal), both twins
     "q_pandas_udf_dot": 7,         # + element-NULL exclusion (numpy None->
     "q_pandas_udaf_centroid": 7,   #   NaN vs DuckDB throw/skip), both twins
+    # --- r8 NULL-event-time contract (VERDICT r7 #3; SURVEY r8 kickoff
+    # row 5): `ts IS NOT NULL` pre-filter spelled explicitly in BOTH twins
+    # of every event-time window/session/as-of/stateful consumer — Spark's
+    # window()/session_window() silently emit no group for NULL ts where
+    # DuckDB's time_bucket forms a NULL group, and the engines disagree on
+    # NULL ordering in RANGE frames and the as-of union-tag sort. Matches
+    # watermark semantics (a stream drops NULL-ts rows at the watermark);
+    # no-op on the NULL-free driver corpus.
+    "q_join_asof": 7,
+    "q_sessionize": 7,
+    "q_sliding_window": 7,
+    "q_tumbling_window": 7,
+    "q_window_range": 7,
+    "q_stream_sliding": 7,
+    "q_stream_tumbling": 7,
+    "q_stream_stateful": 7,
+    # --- r8 degdates/advdimstr mirrors (SURVEY r8 kickoff rows 4+7):
+    "q_window_rank": 7,       # oracle NULLS FIRST mirrors Spark's ASC
+                              # default — NULL dates rank identically
+    "q_unload_roundtrip": 7,  # oracle NULLIF(o_orderstatus,'') mirrors the
+                              # hive-partition channel's ''/NULL conflation
+    "q_str_funcs": 7,         # lev defined only on pure-ASCII names (DuckDB
+                              # counts UTF-8 bytes, Spark chars); type_cap
+                              # only on single alpha words (word-boundary
+                              # rules differ) — conformance CASEs, both twins
+    # --- r8 empty-input contract (SURVEY r8 kickoff row 8): an empty
+    # relation (a stray all-filtered partition) produces an EMPTY
+    # multi-level report (Spark semantics; oracle HAVING COUNT(*)>0
+    # mirror), and the two scalar-count audits COALESCE their empty-fold
+    # sums to 0 (an audit of zero rows reports 0, not NULL). No-ops on any
+    # non-empty input.
+    "q_agg_rollup": 7,
+    "q_agg_cube": 7,
+    "q_sql_grouping_sets": 7,
+    "q_chi_square": 7,
+    "q_dq_uniqueness": 7,
+    # --- ADVICE r7: both digitsum twins fold abs(key) so negative ids
+    # digit-sum their magnitude instead of the Python twin raising on '-'
+    # while the oracle floor-divides garbage. No-op on non-negative keys.
+    "q_udf_digitsum": 7,
     # NOT re-entered: q_subq_in_agg / q_subq_scalar_corr_avg /
     # q_sql_value_concentration / q_cast / q_bitwise_aggs — pure helper
     # migrations (o_guarded_bigint/o_dec emit the same SQL modulo
@@ -251,6 +291,14 @@ _RECHECK: frozenset[str] = frozenset(
 # sketch, superset guarantee tested in tests/test_quality.py) and already
 # consumed its rows-only driver row in r2 — it must never hold a window slot
 # an oracled query could use.
+# ADJUDICATED r8 (VERDICT r7 #8): rows>0 + the always-on superset-guarantee
+# pytest IS the ceiling for this sketch — the false-positive set is
+# engine/merge-order specific, so no cross-engine value compare can exist;
+# the pytest floor is the same bar the other sketches
+# (approx_distinct/approx_pct/CMS) carry. Likewise q_hash_native stays
+# rows-only PERMANENTLY (not parked — its driver row re-rotates): DuckDB
+# ships none of xxhash64/crc32-as-bigint/murmur3, and its pytest pins the
+# published reference vectors instead (the stronger check).
 _DEFER: frozenset[str] = frozenset({
     "q_freq_items",
 })

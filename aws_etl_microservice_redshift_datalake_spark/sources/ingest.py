@@ -38,19 +38,27 @@ def _tag(sf_dir: str) -> str:
 
 @query(
     "q_unload_roundtrip",
+    # NULLIF models the hive-partition CHANNEL (r8 degdates mirror, same
+    # contract as the CSV channel below): partitionBy writes both '' and
+    # NULL as __HIVE_DEFAULT_PARTITION__ and the re-read surfaces both as
+    # NULL (pinned in tests/test_ingest.py), so the oracle reads the
+    # parquet truth through the same conflation. A no-op on corpora with
+    # no empty-string status.
     oracle="""
-    SELECT o_orderstatus,
+    SELECT NULLIF(o_orderstatus, '') AS o_orderstatus,
            COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS total_price
     FROM orders
-    GROUP BY o_orderstatus
+    GROUP BY 1
     """,
 )
 def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: UNLOAD ... PARTITION BY analog — orders written as hive-partitioned
     parquet (partitioned by status, file size bounded), re-read, aggregated.
-    The hash match against the *original* table proves losslessness; the
-    status filter below proves partition pruning works on the layout."""
+    The hash match against the *original* table proves losslessness (modulo
+    the partition channel's documented ''/NULL conflation — see the oracle
+    note); the status filter below proves partition pruning works on the
+    layout."""
     path = f"{process_scratch()}/unload-orders-{_tag(sf_dir)}"
     src = load_table(spark, sf_dir, "orders")
     unload(src, path, partition_cols=["o_orderstatus"], max_records_per_file=100_000)

@@ -244,15 +244,20 @@ def stream_foreach_batch(sdf: DataFrame, fn, checkpoint: str) -> None:
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: streaming tumbling 10-minute windows per event type, complete
     mode — over a finite stream this equals the batch twin
-    (operators/events.q_tumbling_window) row for row."""
+    (operators/events.q_tumbling_window) row for row. NULL-ts rows are
+    excluded by the same explicit pre-filter as the batch twin (r8 NULL
+    event-time contract): window() emits no group for them anyway, the
+    oracle's time_bucket(NULL) would form a NULL group."""
     agg = (
         stream_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value"))
     )
@@ -272,6 +277,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                ]) AS window_start,
                value
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
     FROM exploded
@@ -280,9 +286,11 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: streaming sliding windows (10 min length, 5 min slide), complete
-    mode; each event lands in exactly two windows."""
+    mode; each event lands in exactly two windows. NULL-ts rows are
+    excluded in both twins (the r8 NULL event-time contract)."""
     agg = (
         stream_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value"))
     )
@@ -579,6 +587,7 @@ def _t8_fn(key, pdf_iter, state: GroupState):
     WITH e AS (
         SELECT user_id, value, epoch(date_trunc('second', ts))::BIGINT AS ts_s
         FROM events
+        WHERE ts IS NOT NULL
     ), gaps AS (
         SELECT user_id, value, ts_s,
                ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS gap
@@ -601,9 +610,17 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup to the final state per user below covers the multi-batch case.
     Non-finite (NULL/NaN/±Inf) measurements are missing by contract (see
     the oracle note — Arrow erases the SQL NULL-vs-NaN distinction before
-    the kernel runs, and infinities would de-finite the running sum)."""
-    out = stream_events(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
-        _t8_fn, _T8_OUT, _T8_STATE, "append", GroupStateTimeout.NoTimeout
+    the kernel runs, and infinities would de-finite the running sum).
+    NULL-ts rows are excluded in both twins (the r8 NULL event-time
+    contract): a gap against a NULL instant is undefined, and the Arrow
+    boundary would otherwise hand the kernel a NaT the SQL twin groups."""
+    out = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _t8_fn, _T8_OUT, _T8_STATE, "append", GroupStateTimeout.NoTimeout
+        )
     )
     res = run_stream(out, "append")
     # one emission per key per micro-batch → keep the final (max n_events) row

@@ -812,22 +812,16 @@ def test_query_survives_degraded_event_keys(spark, degeventkeys_sf, name):
     assert time.time() - t0 < 30, f"{name} stalled on adversarial event keys"
 
 
-# NULL event-time twin divergences, measured on degeventkeys_sf (r7 probe):
-# Spark's window()/session_window() emit NO window for a NULL ts while
-# DuckDB's time_bucket(NULL) forms a NULL group (tumbling: spark=911 vs
-# duck=922 rows), RANGE frames and the ASOF union-tag spelling order NULL
-# ts NULLS FIRST in Spark vs LAST in DuckDB, and the stateful kernel's
-# Arrow boundary erases a NULL ts differently from SQL GROUP BY. Each fix
-# is a `ts IS NOT NULL` (or ordering) contract mirrored in BOTH twins of an
-# oracled query NOT in this round's recheck set — r8-queue work by the
-# dirty-DATE convention (every edit costs a driver burn-in slot). The
-# crash sweep above still covers their Spark side; the twin pin below
-# covers everything that ALREADY agrees, so the r8 batch shrinks to these.
-_EVENTKEYS_TWIN_DEFERRED: frozenset[str] = frozenset({
-    "q_join_asof", "q_sessionize", "q_sliding_window", "q_stream_sliding",
-    "q_stream_stateful", "q_stream_tumbling", "q_tumbling_window",
-    "q_window_range",
-})
+# CLEARED in r8 (VERDICT r7 #3): every event-time consumer now spells the
+# `ts IS NOT NULL` contract explicitly in BOTH twins (window()/
+# session_window() dropped NULL ts by engine accident, DuckDB's
+# time_bucket formed a NULL group, RANGE/as-of orderings disagreed on
+# where NULL sorts, and the stateful kernel's Arrow boundary erased a
+# NULL ts differently from SQL GROUP BY — all moot once the population
+# excludes them, which is what a streaming watermark does anyway). Kept
+# as an (empty) set so the gate math reads unchanged and any future
+# regression is declared here.
+_EVENTKEYS_TWIN_DEFERRED: frozenset[str] = frozenset()
 
 _EVENTKEYS_TWIN_OK = sorted(
     {n for n, s in engine.all_oracles().items() if "events" in s}
@@ -1608,36 +1602,118 @@ def test_query_survives_snowflake_keys(spark, bigkey_sf, name):
     assert len(df.schema.fields) > 0
 
 
+def _shift_keys(df, cols):
+    """The bigkey recipe as a composable step: shift id columns up near
+    2^62 (CONSISTENTLY across FK pairs — the caller's column map keeps
+    pairs together, so joins still match). Must run LAST in any composed
+    chain: the value-degradation recipes plant by key-MOD (safe at any
+    magnitude) but _extreme_money's plant key uses a multiply
+    (l_orderkey*8) that would itself overflow on shifted keys."""
+    from pyspark.sql import functions as F
+
+    BIG = 4611686018427387904
+    return df.select(
+        *[(F.col(c) + BIG).alias(c) if c in cols else F.col(c) for c in df.columns]
+    )
+
+
 @pytest.fixture(scope="module")
 def degmixed_sf(spark) -> str:
-    """The pre-r7 degraded axes at once — null/ragged payloads, zero money,
-    instrumentation-garbage events, broken dimensions — built from the SAME
-    shared recipes as the single-axis fixtures, so it can never drift from
-    them. The point is guard INTERACTIONS: a fix that quietly assumes
-    'only text is null' or 'vectors are clean when money is zero' passes
-    every single-axis sweep and fails only here.
+    """EVERY degraded axis at once, built from the SAME shared recipes as
+    the single-axis fixtures so it can never drift from them. The point is
+    guard INTERACTIONS: a fix that quietly assumes 'only text is null' or
+    'vectors are clean when money is zero' passes every single-axis sweep
+    and fails only here.
 
-    The five r7 axes (dirty dates, element-NULL vectors, garbage stats,
-    snowflake keys, extreme money) are deliberately NOT composed yet:
-    this fixture feeds the 170-query FULL twin gate, and composing them
-    requires the queued r8 oracle batches first — the
-    _EXTREME_MONEY_DEFERRED inline spellings would crash the gate, the
-    NULL-date ordering needs NULLS FIRST/LAST contract mirrors, and the
-    element-NULL vectors need the _ORACLE_INFEASIBLE conformance mirrors.
-    Compose them HERE in the same r8 change that lands those batches (r7
-    full-round review, finding 1)."""
+    r8 composition (the r7 full-round review's finding 1, landed in the
+    same round as the oracle batches it required): the five r7 axes —
+    dirty dates, element-NULL vectors, garbage doc stats, extreme money,
+    and snowflake keys — now compose onto the pre-r7 axes (null/ragged
+    payloads, zero money, instrumentation-garbage events + keys, broken
+    dimensions). Order matters twice: value recipes chain on ORIGINAL
+    keys and the bigkey shift runs LAST (see _shift_keys), and zero-money
+    runs BEFORE extreme-money so the corpus carries both all-zero and
+    finite-absurd/NaN/±Inf money in one table. vec_id shifts WITH doc_id
+    (unlike the standalone bigkey_sf, which leaves vec_ids small to probe
+    the legally-empty join): the mixed gate must keep the doc↔embedding
+    joins populated or the whole vector/text family would degrade to the
+    empty-join path the tiny/empty axes already cover."""
     d = os.path.join(process_scratch(), "sf-degmixed")
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
+
+        def chain(*fns):
+            def run(df):
+                for fn in fns:
+                    df = fn(df)
+                return df
+
+            return run
+
         builders = {
-            "documents": lambda df: _null_payload_documents(df),
-            "embeddings": lambda df: _degrade_embeddings(df),
-            "events": lambda df: _null_props_events(_degrade_events(df)),
-            "lineitem": lambda df: _zero_money_lineitem(df),
-            "orders": lambda df: _zero_money_orders(df),
-            **_DIM_DEGRADERS,
+            "documents": chain(
+                _null_payload_documents,
+                _degrade_doc_stats,
+                lambda df: _shift_keys(df, {"doc_id"}),
+            ),
+            "embeddings": chain(
+                _degrade_embeddings,
+                _elemnull_embeddings,
+                lambda df: _shift_keys(df, {"vec_id"}),
+            ),
+            "events": chain(
+                _degrade_events,
+                _degrade_event_keys,
+                _null_props_events,
+                lambda df: _extreme_money(
+                    df, ("value",), F.col("event_id") + 13
+                ),
+                lambda df: _shift_keys(df, {"event_id", "user_id"}),
+            ),
+            "lineitem": chain(
+                _zero_money_lineitem,
+                lambda df: _extreme_money(
+                    df,
+                    ("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+                    F.col("l_orderkey") * 8
+                    + F.col("l_linenumber"),
+                ),
+                _degrade_lineitem_dates,
+                lambda df: _shift_keys(df, {"l_orderkey"}),
+            ),
+            "orders": chain(
+                _zero_money_orders,
+                lambda df: _extreme_money(
+                    df, ("o_totalprice",), F.col("o_orderkey") + 11
+                ),
+                _degrade_order_dates,
+                lambda df: _shift_keys(df, {"o_orderkey", "o_custkey"}),
+            ),
+            "customer": chain(
+                _DIM_DEGRADERS["customer"],
+                lambda df: _extreme_money(
+                    df, ("c_acctbal",), F.col("c_custkey")
+                ),
+                lambda df: _shift_keys(df, {"c_custkey"}),
+            ),
+            "supplier": chain(
+                _DIM_DEGRADERS["supplier"],
+                lambda df: _extreme_money(
+                    df, ("s_acctbal",), F.col("s_suppkey") + 3
+                ),
+            ),
+            "part": chain(
+                _DIM_DEGRADERS["part"],
+                lambda df: _extreme_money(
+                    df, ("p_retailprice",), F.col("p_partkey") + 7
+                ),
+            ),
+            "nation": _DIM_DEGRADERS["nation"],
+            "region": _DIM_DEGRADERS["region"],
         }
         for t in TABLES:
             fn = builders.get(t)
@@ -1756,16 +1832,10 @@ def test_twin_gate_mixed_corpus(spark, duck, degmixed_sf, name):
 # ---------------------------------------------------------------------------
 
 _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
-    "degdates_sf": frozenset({
-        # Spark window ORDER BY puts NULL dates NULLS FIRST on ASC,
-        # DuckDB NULLS LAST — rank values shift (the queued ordering
-        # mirror, SURVEY r8 item d)
-        "q_window_rank",
-        # NULL o_orderstatus rides the hive-partition channel as
-        # __HIVE_DEFAULT_PARTITION__; the oracle needs the pinned
-        # NULLIF(o_orderstatus, '') mirror (SURVEY r8 item d, verbatim)
-        "q_unload_roundtrip",
-    }),
+    # CLEARED in r8: q_window_rank's oracle carries the NULLS FIRST
+    # ordering mirror and q_unload_roundtrip's oracle the
+    # NULLIF(o_orderstatus, '') hive-partition-channel mirror.
+    "degdates_sf": frozenset(),
     "degstats_sf": frozenset(),
     # CLEARED in r8: the nine inline exact-sum twins (crash class) and the
     # five non-finite divergence stragglers (quantile/STDDEV/running-fold/
@@ -1778,15 +1848,11 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
     # gone.
     "bigkey_sf": frozenset(),
     "advkeys_sf": frozenset(),
-    "advdimstr_sf": frozenset({
-        # engine-semantic divergences on non-ASCII/quoted strings, exact on
-        # ASCII: DuckDB levenshtein counts UTF-8 BYTES ('零件\n名字' vs
-        # 'red widget' = 13) where Spark counts CHARACTERS (= 10), and
-        # DuckDB initcap treats an apostrophe as word-internal ("' or")
-        # where Spark starts a new word ("' Or"). r8 mirror: conformance
-        # CTE or Spark-semantics reimplementation in the oracle.
-        "q_str_funcs",
-    }),
+    # CLEARED in r8: q_str_funcs' lev is defined only on pure-ASCII names
+    # (length == strlen/octet_length — where byte- and char-levenshtein
+    # coincide) and type_cap only on single alpha words, conformance CASEs
+    # spelled in both twins.
+    "advdimstr_sf": frozenset(),
     # CLEARED in r8: the _finite_vec/O_VEC_CONFORM population mirror landed
     # in all 8 former _ORACLE_INFEASIBLE members, and the two pandas twins
     # exclude element-NULL vectors in both twins (numpy None->NaN vs
@@ -1796,19 +1862,11 @@ _AXIS_TWIN_DEFERRED: dict[str, frozenset[str]] = {
     "advtext_sf": frozenset(),
     "alldup_sf": frozenset(),
     "tiny_sf": frozenset(),
-    # empty-corpus engine divergences (a stray all-filtered partition on a
-    # real lake): Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows on empty
-    # input where DuckDB emits the SQL-standard grand-total row (one row,
-    # NULL aggregates), and the two scalar-count reports render their
-    # zero-denominator shapes with NULL counts on one side only (pandas
-    # int64 -> float64 dtype drift through the Arrow boundary). Mirroring
-    # means either a UNION-the-empty-total contract or an
-    # emit-nothing-when-empty contract spelled in BOTH twins of five
-    # r6-green queries — r8 batch material, not worth five burn-in slots.
-    "empty_sf": frozenset({
-        "q_agg_cube", "q_agg_rollup", "q_sql_grouping_sets",
-        "q_chi_square", "q_dq_uniqueness",
-    }),
+    # CLEARED in r8: empty input → empty multi-level report (Spark
+    # semantics, oracle HAVING COUNT(*)>0 mirror) and the two scalar-count
+    # audits coalesce their empty-fold sums to 0 in the Spark side — all
+    # five spelled in both twins.
+    "empty_sf": frozenset(),
 }
 
 _AXIS_FAMILIES: dict[str, list] = {

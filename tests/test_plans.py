@@ -5,6 +5,8 @@ Python into a hot path."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -589,9 +591,15 @@ def test_fuzzy_join_blocked_equi_not_pairwise(spark):
     df = QS["q_fuzzy_join"](spark, SF_MED)
     p = audit.plan_str(df)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    # the threshold form renders its third argument as Some(2) in the plan
-    # expression; a regression to plain levenshtein(a, b) would drop it
-    assert "levenshtein" in p and "Some(2))" in p
+    # the threshold form carries a third argument (the bound) — rendered as
+    # Some(2) by Spark 4.1's Scala Option toString, but match any
+    # three-argument rendering so a Spark upgrade that changes the plan
+    # string doesn't false-fail (ADVICE r7): a regression to plain
+    # levenshtein(a, b) drops the argument entirely
+    assert "levenshtein" in p
+    assert re.search(r"levenshtein\([^()]*(Some\(2\)|,\s*2)\)", p), (
+        "threshold argument missing from levenshtein in plan"
+    )
     audit.assert_scan_pruned(df, ["c_acctbal", "c_mktsegment", "c_nationkey"])
 
 

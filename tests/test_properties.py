@@ -856,6 +856,17 @@ def _duck_from(vals) -> str:
     return f"FROM (VALUES {rows}) t(x)"
 
 
+def _duck_from_indexed(vals) -> str:
+    """VALUES rows carrying an EXPLICIT index column — per-row twin
+    compares must select this, never ROW_NUMBER() OVER () (SQL guarantees
+    no scan order for an unordered OVER (); a DuckDB upgrade or parallel
+    VALUES scan could silently pair the wrong rows — ADVICE r7)."""
+    if not vals:
+        return "FROM (VALUES (0, CAST(0 AS DOUBLE))) t(i, x) WHERE FALSE"
+    rows = ", ".join(f"({i}, {_duck_literal(v)})" for i, v in enumerate(vals))
+    return f"FROM (VALUES {rows}) t(i, x)"
+
+
 @given(case=_sum_cases)
 @settings(**_SETTINGS)
 def test_exact_sum_twin_property(spark, duck, case):
@@ -888,13 +899,8 @@ def test_dec_twin_property(spark, duck, vals):
     got = {
         r.i: r.d for r in df.select("i", dec(F.col("x")).alias("d")).collect()
     }
-    sql = (
-        f"SELECT ROW_NUMBER() OVER () - 1 AS i, {o_dec('x')} AS d "
-        f"{_duck_from(vals)}"
-    )
+    sql = f"SELECT i, {o_dec('x')} AS d {_duck_from_indexed(vals)}"
     want = {int(i): d for i, d in duck.execute(sql).fetchall()}
-    # VALUES preserves order under ROW_NUMBER() OVER () in DuckDB; map by
-    # index and compare each pair
     assert len(got) == len(want) == len(vals)
     for i, v in enumerate(vals):
         g, w = got[i], want[i]
@@ -952,10 +958,7 @@ def test_rnd_twin_property(spark, duck, cents, ulps, scale):
         r.i: r.v
         for r in df.select("i", rnd(F.col("x"), scale).alias("v")).collect()
     }
-    sql = (
-        f"SELECT ROW_NUMBER() OVER () - 1 AS i, ROUND(x, {scale}) AS v "
-        f"{_duck_from(vals)}"
-    )
+    sql = f"SELECT i, ROUND(x, {scale}) AS v {_duck_from_indexed(vals)}"
     want = {int(i): v for i, v in duck.execute(sql).fetchall()}
     assert len(got) == len(want)
     for i in got:

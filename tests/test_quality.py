@@ -376,15 +376,25 @@ def test_count_min_sketch_bounds(spark):
 
 
 def test_hash_native_deterministic_across_runs(spark):
-    """q_hash_native (rows-only contract: xxhash64/crc32/murmur3 have no
-    DuckDB twin) must be deterministic: two independent runs produce
-    identical hash values for every doc, and the hashes are seed-stable
-    Spark builtins (not RNG-dependent)."""
+    """q_hash_native (rows-only contract PERMANENTLY, adjudicated r8:
+    xxhash64/crc32/murmur3 have no DuckDB twin) must be deterministic: two
+    independent runs produce identical hash values for every doc, and the
+    hashes are seed-stable Spark builtins (not RNG-dependent). The crc32
+    column additionally has a fully INDEPENDENT oracle — CRC-32 is one
+    published algorithm with one answer, so Python's zlib re-computes every
+    value from the raw text (the stronger-than-rows check standing in for
+    the impossible DuckDB twin)."""
+    import zlib
+
     a = {r.doc_id: (r.text_xxh64, r.text_crc32, r.text_murmur3)
          for r in QS["q_hash_native"](spark, SF_MED).collect()}
     b = {r.doc_id: (r.text_xxh64, r.text_crc32, r.text_murmur3)
          for r in QS["q_hash_native"](spark, SF_MED).collect()}
     assert a == b and len(a) == 500
+    docs = load_table(spark, SF_MED, "documents")
+    for row in docs.select("doc_id", "text").collect():
+        want = zlib.crc32(row.text.encode("utf-8")) & 0xFFFFFFFF
+        assert a[row.doc_id][1] == want, (row.doc_id, a[row.doc_id][1], want)
 
 
 def test_semdedup_clustered_subset_and_recall(spark):
