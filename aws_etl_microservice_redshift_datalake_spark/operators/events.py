@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import money_col, o_money_col, query, rnd
 from ..sources.io import load_table
 
 _RANGE_DAYS = 60
@@ -224,11 +224,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM({o_money_col("value")}), 2) AS sum_value
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
@@ -251,7 +251,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum("value")).alias("sum_value"),
+            rnd(F.sum(money_col(F.col("value")))).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -264,7 +264,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sliding_window",
-    oracle="""
+    oracle=f"""
     WITH exploded AS (
         SELECT unnest([
                  CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP),
@@ -274,7 +274,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE ts IS NOT NULL
     )
-    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM({o_money_col("value")}), 2) AS sum_value
     FROM exploded
     GROUP BY window_start
     """,
@@ -290,7 +290,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum("value")).alias("sum_value"),
+            rnd(F.sum(money_col(F.col("value")))).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -298,7 +298,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sessionize",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
         SELECT user_id, value,
                epoch(date_trunc('second', ts))::BIGINT AS ts_s,
@@ -319,7 +319,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
            MAX(ts_s) - MIN(ts_s) AS duration_s,
-           ROUND(SUM(value), 2) AS session_value
+           ROUND(SUM({o_money_col("value")}), 2) AS session_value
     FROM tagged
     GROUP BY user_id, session_id
     """,
@@ -344,7 +344,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("__ts_s") - F.min("__ts_s")).alias("duration_s"),
-        rnd(F.sum("value")).alias("session_value"),
+        rnd(F.sum(money_col(F.col("value")))).alias("session_value"),
     )
 
 

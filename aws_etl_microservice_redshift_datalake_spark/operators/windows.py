@@ -178,10 +178,10 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_moving",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER w3, 2) AS moving_sum,
-           ROUND(SUM(value) OVER w3, 2) / (COUNT(*) OVER w3) AS moving_avg
+           ROUND(SUM({o_money_col("value")}) OVER w3, 2) AS moving_sum,
+           ROUND(SUM({o_money_col("value")}) OVER w3, 2) / (COUNT(*) OVER w3) AS moving_avg
     FROM events
     WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -193,7 +193,7 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     float discipline."""
     e = load_table(spark, sf_dir, "events")
     w3 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, Window.currentRow)
-    msum = rnd(F.sum("value").over(w3))
+    msum = rnd(F.sum(money_col(F.col("value"))).over(w3))
     return e.select(
         "event_id",
         "user_id",
@@ -204,9 +204,9 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_range",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))::BIGINT
+           ROUND(SUM({o_money_col("value")}) OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))::BIGINT
                                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_value
     FROM events
     WHERE ts IS NOT NULL
@@ -228,7 +228,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        rnd(F.sum("value").over(w)).alias("hour_value"),
+        rnd(F.sum(money_col(F.col("value"))).over(w)).alias("hour_value"),
     )
 
 

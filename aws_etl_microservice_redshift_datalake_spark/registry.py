@@ -268,6 +268,20 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_sql_grouping_sets": 7,
     "q_chi_square": 7,
     "q_dq_uniqueness": 7,
+    # --- r8 mixed-gate find (the composed corpus's first real catch): a
+    # FINITE-absurd ±1e308 events.value passes any isfinite contract, then
+    # absorbs every real measurement and cancels order-dependently against
+    # its opposite (q_stream_stateful measured 751.52 in the kernel's
+    # arrival-order fold vs 0.0 in DuckDB's scan-order SUM), and two
+    # same-sign sentinels overflow to ±Inf — agreeing garbage. Every
+    # aggregate over events.value now carries the engine-wide MONEY_MAX
+    # conformance guard in both twins (the window/session/stream family's
+    # recheck entries above already cover six of them; these four are the
+    # remaining consumers). No-op on conforming data.
+    "q_ingest_json_roundtrip": 7,
+    "q_stream_session": 7,
+    "q_stream_static_join": 7,
+    "q_window_moving": 7,
     # --- ADVICE r7: both digitsum twins fold abs(key) so negative ids
     # digit-sum their magnitude instead of the Python twin raising on '-'
     # while the oracle floor-divides garbage. No-op on non-negative keys.

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import money_col, o_money_col, query, rnd
 from ..schemas import SCHEMAS
 from .io import ingest_csv, ingest_json, load_table, unload, unload_csv
 
@@ -109,11 +109,11 @@ def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ingest_json_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM({o_money_col("value")}), 2) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -134,7 +134,7 @@ def q_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        rnd(F.sum("value")).alias("sum_value"),
+        rnd(F.sum(money_col(F.col("value")))).alias("sum_value"),
     )
 
 

@@ -49,7 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..registry import query, rnd
+from ..registry import MONEY_MAX as _MONEY_MAX
+from ..registry import money_col, o_money_col, query, rnd
 
 from ..scratch import process_scratch
 
@@ -238,11 +239,11 @@ def stream_foreach_batch(sdf: DataFrame, fn, checkpoint: str) -> None:
 
 @query(
     "q_stream_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM({o_money_col("value")}), 2) AS sum_value
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
@@ -259,7 +260,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, sf_dir)
         .filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum(money_col(F.col("value")))).alias("sum_value"))
     )
     out = run_stream(agg, "complete")
     return out.select(
@@ -269,7 +270,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_sliding",
-    oracle="""
+    oracle=f"""
     WITH exploded AS (
         SELECT unnest([
                  CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP),
@@ -279,7 +280,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE ts IS NOT NULL
     )
-    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM({o_money_col("value")}), 2) AS sum_value
     FROM exploded
     GROUP BY window_start
     """,
@@ -292,7 +293,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, sf_dir)
         .filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum(money_col(F.col("value")))).alias("sum_value"))
     )
     out = run_stream(agg, "complete")
     return out.select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
@@ -305,10 +306,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_session",
-    oracle="""
+    oracle=f"""
     WITH e AS (
         SELECT user_id, value, date_trunc('microseconds', ts) AS ts
         FROM events
+        WHERE ts IS NOT NULL
     ), seq AS (
         SELECT user_id, value, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -324,7 +326,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value
+           ROUND(SUM({o_money_col("value")}), 2) AS session_value
     FROM tagged
     GROUP BY user_id, sid
     HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT date_trunc('microseconds', MAX(ts)) FROM events)
@@ -340,13 +342,23 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute gap duration, matching Spark's merge rule (an event merges
     only while strictly inside the open session window) — and keeps
     exactly the watermark-closed sessions via the HAVING clause.
+
+    NULL-ts rows are excluded in both twins (the r8 NULL event-time
+    contract, extended here by the composed-corpus twin gate:
+    session_window silently drops a NULL instant while the oracle's
+    lag-gap sessionizer formed a session from it — 689 vs 691 sessions
+    measured).
     """
-    s = stream_events_watermarkable(spark, sf_dir).withWatermark("ts", "0 seconds")
+    s = (
+        stream_events_watermarkable(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "0 seconds")
+    )
     agg = (
         s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum("value")).alias("session_value"),
+            rnd(F.sum(money_col(F.col("value")))).alias("session_value"),
         )
         # NTZ cast in-stream (pinned-UTC execution tz) — see q_stream_watermark
         .select(
@@ -428,10 +440,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_static_join",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
            COUNT(*) AS n_events,
-           ROUND(SUM(e.value), 2) AS sum_value
+           ROUND(SUM({o_money_col("e.value")}), 2) AS sum_value
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -453,7 +465,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream_events(spark, sf_dir).join(F.broadcast(dim), "user_id")
     agg = joined.groupBy("nation").agg(
-        F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sum_value")
+        F.count(F.lit(1)).alias("n_events"), rnd(F.sum(money_col(F.col("value")))).alias("sum_value")
     )
     return run_stream(agg, "complete")
 
@@ -542,15 +554,18 @@ def _t8_fn(key, pdf_iter, state: GroupState):
     secs = []
     for pdf in pdf_iter:
         n += len(pdf)
-        # non-finite measurements are MISSING by contract: Arrow erases the
-        # SQL NULL/NaN distinction on the way in, and ±Inf would make the
-        # running sum NaN (inf + -inf) which pyarrow's from_pandas then
-        # renders back as SQL NULL on the way out while the SQL oracle's
-        # SUM renders it NaN — skipping all non-finite keeps the sum finite
-        # and the two engines byte-identical (r7 review find, caught by the
-        # run_compare Arrow NaN-profile gate)
+        # non-CONFORMING measurements are MISSING by contract — the same
+        # MONEY_MAX bound every money aggregate carries, not merely
+        # isfinite (r8 mixed twin gate find): a FINITE-absurd ±1e308
+        # sentinel passes isfinite, then absorbs every real value and
+        # cancels order-dependently against its opposite (one group
+        # measured 751.52 in arrival order vs 0.0 in scan order), and two
+        # same-sign sentinels overflow the sum to ±Inf — agreeing garbage.
+        # The bound also subsumes the r7 non-finite class: Arrow erases
+        # the SQL NULL/NaN distinction on the way in, and |NaN/±Inf| is
+        # never <= MONEY_MAX, so they skip identically in both twins.
         v = pdf["value"]
-        s += float(v[np.isfinite(v)].sum())
+        s += float(v[np.abs(v) <= _MONEY_MAX].sum())
         # Arrow may hand us datetime64[us] or [ns] — normalize before flooring
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
         secs.append(ts_ns // 1_000_000_000)
@@ -576,14 +591,19 @@ def _t8_fn(key, pdf_iter, state: GroupState):
 @query(
     "q_stream_stateful",
     # sum_value's CASE/COALESCE is the oracle twin of the pandas kernel's
-    # missing-value semantics (r7 degraded-twin gate + review): Arrow hands
-    # the kernel BOTH SQL NULL and NaN as np.nan, and ±Inf would turn the
+    # missing-value semantics (r7 degraded-twin gate + review; tightened to
+    # the MONEY_MAX conformance bound by the r8 mixed gate): Arrow hands
+    # the kernel BOTH SQL NULL and NaN as np.nan, ±Inf would turn the
     # running sum into NaN (inf + -inf) that pyarrow renders back as SQL
-    # NULL while SQL SUM renders it NaN — so the contract is "non-finite
-    # measurements are missing", an all-missing user sums to 0.0 (the
-    # kernel's initial state), and the sum is always finite in both
-    # engines. Identical on any corpus with finite non-null values.
-    oracle="""
+    # NULL while SQL SUM renders it NaN — and a FINITE-absurd ±1e308
+    # sentinel passes any isfinite test, then absorbs/cancels real values
+    # fold-order-dependently (measured 751.52 vs 0.0 on the composed
+    # corpus). So the contract is "non-CONFORMING measurements are
+    # missing" (the engine-wide money bound), an all-missing user sums to
+    # 0.0 (the kernel's initial state), and the sum is always finite and
+    # order-stable in both engines. Identical on any corpus with
+    # conforming values.
+    oracle=f"""
     WITH e AS (
         SELECT user_id, value, epoch(date_trunc('second', ts))::BIGINT AS ts_s
         FROM events
@@ -595,7 +615,7 @@ def _t8_fn(key, pdf_iter, state: GroupState):
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           COALESCE(ROUND(SUM(CASE WHEN isfinite(value) THEN value END), 2),
+           COALESCE(ROUND(SUM({o_money_col("value")}), 2),
                     0.0) AS sum_value,
            COALESCE(MAX(gap), 0) AS max_gap_s
     FROM gaps
