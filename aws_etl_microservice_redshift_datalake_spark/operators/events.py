@@ -391,7 +391,9 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     degraded corpora; r7 review: non-finite is excluded too — one NaN'd
     or ±Inf'd sensor reading must not poison the carried-forward chain
     for every subsequent gap day, matching q_stream_stateful's
-    isfinite-missing-by-contract treatment of the same column).
+    missing-by-contract treatment of the same column — which r8 tightened
+    to the MONEY_MAX conformance bound for SUM consumers; LOCF carries a
+    single value, so the non-finite exclusion suffices here).
 
     Scale notes: the spine is |users|×|days| rows generated row-locally from
     a sequence (no scan); the fill is ONE window pass over the spine

@@ -1268,11 +1268,9 @@ def test_query_survives_degraded_dates(spark, degdates_sf, name):
     """No date/status consumer may crash on sentinel or NULL dates — the
     contract is NULL-flows-through (ANSI date arithmetic on NULL is NULL),
     filters drop non-matching NULLs, and window/rank order puts NULLs in a
-    deterministic position; never an exception. NOTE (r8): folding this
-    axis into degmixed_sf drags NULL-date ordering divergences (Spark
-    NULLS FIRST vs DuckDB NULLS LAST on ASC) into the mixed twin gate —
-    schedule the ordering-contract mirrors together with the
-    _ORACLE_INFEASIBLE_ON_DEGRADED batch, then compose the recipes."""
+    deterministic position; never an exception. (r8: the ordering-contract
+    mirrors landed and this axis IS composed into degmixed_sf — the mixed
+    twin gate runs it together with every other axis.)"""
     df = QS[name](spark, degdates_sf)
     rows = df.collect()  # FULL materialization (see the sweeps above)
     assert len(rows) >= 0
