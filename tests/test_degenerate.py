@@ -1780,6 +1780,15 @@ _TWIN_GATE: list[tuple[str, str]] = [
     # r7 dimension-strings contract: name-length conformance + threshold
     # levenshtein (the manual 5 s twin compare from the fix commit, pinned)
     ("q_fuzzy_join", "advdimstr_sf"),              # kilobyte names unselectable
+    # r8 composed-corpus finds, pinned on the corpus that found them (the
+    # single-axis fixtures never arrange a cancel-sensitive sentinel mix):
+    # the MONEY_MAX missing-measurement bound in the stateful kernel (a
+    # finite-absurd ±1e308 cancels fold-order-dependently past isfinite)
+    # and the NULL-event-time contract in the session stream (the oracle's
+    # lag-gap sessionizer formed sessions from NULL instants that
+    # session_window drops)
+    ("q_stream_stateful", "degmixed_sf"),
+    ("q_stream_session", "degmixed_sf"),
 ]
 
 

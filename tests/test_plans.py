@@ -614,3 +614,29 @@ def test_flagship_runs_in_whole_stage_codegen(spark):
     assert audit.codegen_stage_count(df) == 0  # lazy: AQE not yet finalized
     df.collect()
     assert audit.codegen_stage_count(df) >= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_tumbling_window", "q_sliding_window", "q_sessionize", "q_window_range"],
+)
+def test_null_ts_contract_pushes_to_scan(spark, name):
+    """The r8 NULL-event-time contract must cost NEGATIVE time at scale:
+    the explicit `ts IS NOT NULL` pre-filter has to reach the parquet
+    reader as a pushed filter (row-group min/max skipping on a lake whose
+    dirty partitions concentrate NULL ts), not run as a post-scan Filter
+    only. A contract that sits above the scan would re-read every byte."""
+    df = QS[name](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(ts\)", p), (
+        f"{name}: IsNotNull(ts) not pushed to the events scan"
+    )
+
+
+def test_asof_null_contract_pushes_both_sides(spark):
+    """q_join_asof's NULL-instant exclusion must push into BOTH scans —
+    events (probe ts) and orders (build date)."""
+    df = QS["q_join_asof"](spark, SF_MED)
+    p = audit.plan_str(df)
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(ts\)", p)
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(o_orderdate\)", p)
