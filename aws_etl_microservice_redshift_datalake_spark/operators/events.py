@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import money_col, o_money_col, query, rnd
+from ..registry import QTY_MAX, money_col, o_money_col, query, rnd
 from ..sources.io import load_table
 
 _RANGE_DAYS = 60
@@ -119,7 +119,7 @@ def sessionize(
     oracle=f"""
     SELECT o.o_orderkey,
            COUNT(*) AS n_shipments,
-           ROUND(SUM(l.l_quantity), 2) AS qty_in_window
+           ROUND(SUM({o_money_col("l.l_quantity", QTY_MAX)}), 2) AS qty_in_window
     FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0) o
     JOIN lineitem l
       ON l.l_shipdate >= o.o_orderdate
@@ -164,7 +164,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_shipments"),
-        rnd(F.sum("l_quantity")).alias("qty_in_window"),
+        rnd(F.sum(money_col(F.col("l_quantity"), QTY_MAX))).alias("qty_in_window"),
     )
 
 

@@ -16,17 +16,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import o_exact_sum, query, rnd, s_exact_sum
+from ..registry import (
+    QTY_MAX,
+    money_col,
+    o_exact_sum,
+    o_money_col,
+    query,
+    rnd,
+    s_exact_sum,
+)
 from ..sources.io import load_table, register_all
 
 
 @query(
     "q_agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
            COUNT(*) AS n,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           ROUND(SUM({o_money_col("l_quantity", QTY_MAX)}), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     HAVING COUNT(*) > 0
@@ -46,17 +54,17 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("int").alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        rnd(F.sum("l_quantity")).alias("sum_qty"),
+        rnd(F.sum(money_col(F.col("l_quantity"), QTY_MAX))).alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
 
 
 @query(
     "q_agg_cube",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) AS sum_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     HAVING COUNT(*) > 0
@@ -69,16 +77,16 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("int").alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        rnd(F.sum("o_totalprice")).alias("sum_price"),
+        rnd(F.sum(money_col(F.col("o_totalprice")))).alias("sum_price"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
 
 
 @query(
     "q_sql_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, c_nationkey,
            COUNT(*) AS n,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           ROUND(SUM({o_money_col("c_acctbal")}), 2) AS sum_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     HAVING COUNT(*) > 0
@@ -90,10 +98,10 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty report (the q_agg_rollup r8 contract; oracle HAVING mirror)."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment, c_nationkey,
                COUNT(*) AS n,
-               ROUND(SUM(c_acctbal), 2) AS sum_bal
+               ROUND(SUM({o_money_col("c_acctbal")}), 2) AS sum_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """

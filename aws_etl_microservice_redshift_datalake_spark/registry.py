@@ -282,6 +282,15 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_stream_session": 7,
     "q_stream_static_join": 7,
     "q_window_moving": 7,
+    # --- r8 noshift composed-gate find (same finite-absurd class as the
+    # events.value wave, this time on a raw SUM(l_quantity): one group
+    # measured -1e308 in Spark's fold order vs -Inf in DuckDB's). The
+    # QTY_MAX guard landed in both twins; the four multi-level/unload
+    # money sums took the same mirror for free (already in recheck above).
+    # The 13 remaining raw money sums (q_pricing_summary etc. — see
+    # tests/test_degenerate.py::_RAW_SUM_R9_BATCH) are measured AGREEING
+    # on every gate and are batched for r9 by the dirty-DATE convention.
+    "q_join_range": 7,
     # --- ADVICE r7: both digitsum twins fold abs(key) so negative ids
     # digit-sum their magnitude instead of the Python twin raising on '-'
     # while the oracle floor-divides garbage. No-op on non-negative keys.

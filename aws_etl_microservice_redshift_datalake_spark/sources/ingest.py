@@ -44,10 +44,10 @@ def _tag(sf_dir: str) -> str:
     # NULL (pinned in tests/test_ingest.py), so the oracle reads the
     # parquet truth through the same conflation. A no-op on corpora with
     # no empty-string status.
-    oracle="""
+    oracle=f"""
     SELECT NULLIF(o_orderstatus, '') AS o_orderstatus,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) AS total_price
     FROM orders
     GROUP BY 1
     """,
@@ -70,7 +70,7 @@ def q_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(src.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        rnd(F.sum("o_totalprice")).alias("total_price"),
+        rnd(F.sum(money_col(F.col("o_totalprice")))).alias("total_price"),
     )
 
 
