@@ -965,3 +965,64 @@ def test_rnd_twin_property(spark, duck, cents, ulps, scale):
         g, w = got[i], want[i]
         same = g == w or (g != g and w != w)  # NaN == NaN for this check
         assert same, (i, vals[i], g, w)
+
+
+@given(vals=_money_vals(2))
+@settings(**_SETTINGS)
+def test_money_col_sum_twin_property(spark, duck, vals):
+    """The r8 conformance-guard pair: ROUND(SUM(money_col(x)), 2) on Spark
+    must equal ROUND(SUM(o_money_col('x')), 2) on DuckDB for ANY mix of
+    on-grid money and the non-conforming spectrum (NaN/±Inf/±1e308/NULL) —
+    equal double, or both NULL when nothing conforms. This is the guard the
+    r8 composed-corpus gate forced onto every raw money/value SUM: without
+    it a finite-absurd sentinel cancels fold-order-dependently (the class
+    no single-axis corpus arranged)."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import (
+        money_col, o_money_col,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_row = df.agg(
+        F.round(F.sum(money_col(F.col("x"))), 2).alias("s")
+    ).collect()[0]
+    want = duck.execute(
+        f"SELECT ROUND(SUM({o_money_col('x')}), 2) AS s {_duck_from(vals)}"
+    ).fetchone()[0]
+    got = got_row.s
+    assert got == want or (got is None and want is None), (vals, got, want)
+
+
+@given(
+    qtys=st.lists(
+        st.one_of(
+            st.integers(-10**9, 10**9).map(float),  # integral (the contract)
+            st.sampled_from(_money_extremes),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_guarded_bigint_twin_property(spark, duck, qtys):
+    """guarded_bigint(x) per row must equal o_guarded_bigint('x') on DuckDB
+    for INTEGRAL-valued doubles (the FIXTURES quantity contract — Spark's
+    double→bigint cast truncates where DuckDB's rounds, so fractional
+    inputs are out of contract BY DESIGN) plus the non-conforming spectrum,
+    which must null identically instead of an ANSI CAST_OVERFLOW throw."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import (
+        guarded_bigint, o_guarded_bigint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qtys)], "i long, x double"
+    )
+    got = {
+        r.i: r.q
+        for r in df.select("i", guarded_bigint(F.col("x")).alias("q")).collect()
+    }
+    sql = f"SELECT i, {o_guarded_bigint('x')} AS q {_duck_from_indexed(qtys)}"
+    want = {int(i): q for i, q in duck.execute(sql).fetchall()}
+    assert len(got) == len(want) == len(qtys)
+    for i in got:
+        g, w = got[i], want[i]
+        assert g == w or (g is None and w is None), (i, qtys[i], g, w)
