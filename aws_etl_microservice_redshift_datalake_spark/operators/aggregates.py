@@ -40,18 +40,21 @@ from ..sources.io import load_table
     "q_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM({qty}), 2)   AS sum_qty,
+           ROUND(SUM({price}), 2) AS sum_base_price,
            {disc} AS sum_disc_price,
            {charge} AS sum_charge,
-           ROUND(SUM(l_quantity), 2) / COUNT(*)      AS avg_qty,
-           ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
-           ROUND(SUM(l_discount), 2) / COUNT(*)      AS avg_disc,
+           ROUND(SUM({qty}), 2) / COUNT(*)   AS avg_qty,
+           ROUND(SUM({price}), 2) / COUNT(*) AS avg_price,
+           ROUND(SUM({discount}), 2) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """.format(
+        qty=o_money_col("l_quantity", QTY_MAX),
+        price=o_money_col("l_extendedprice"),
+        discount=o_money_col("l_discount"),
         disc=o_exact_sum("l_extendedprice * (1.0::DOUBLE - l_discount)", 4),
         charge=o_exact_sum("l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax)", 6),
     ),
@@ -61,23 +64,29 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The canonical warehouse aggregate: one scan, map-side partial agg, tiny
     shuffle (6 groups), final agg. At 100 TB this is scan-bound — exactly
-    what you want.
+    what you want. Every raw double SUM folds the MONEY_MAX/QTY_MAX
+    conformance guard (r9 raw-sum wave — a finite-absurd ±1e308 otherwise
+    absorbs or order-dependently cancels the whole group's sum past any
+    isfinite check); the averages divide the guarded sums by the UNGUARDED
+    COUNT(*), spelled identically in the oracle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    qty = money_col(F.col("l_quantity"), QTY_MAX)
+    price = money_col(F.col("l_extendedprice"))
     cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            rnd(F.sum("l_quantity")).alias("sum_qty"),
-            rnd(F.sum("l_extendedprice")).alias("sum_base_price"),
+            rnd(F.sum(qty)).alias("sum_qty"),
+            rnd(F.sum(price)).alias("sum_base_price"),
             exact_sum(disc_price, 4).alias("sum_disc_price"),
             exact_sum(charge, 6).alias("sum_charge"),
-            (rnd(F.sum("l_quantity")) / cnt).alias("avg_qty"),
-            (rnd(F.sum("l_extendedprice")) / cnt).alias("avg_price"),
-            (rnd(F.sum("l_discount")) / cnt).alias("avg_disc"),
+            (rnd(F.sum(qty)) / cnt).alias("avg_qty"),
+            (rnd(F.sum(price)) / cnt).alias("avg_price"),
+            (rnd(F.sum(money_col(F.col("l_discount")))) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -85,12 +94,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_global",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n_rows,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
-           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price,
-           MIN(o_totalprice) AS min_price,
-           MAX(o_totalprice) AS max_price,
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) AS sum_price,
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) / COUNT(*) AS avg_price,
+           MIN({o_money_col("o_totalprice")}) AS min_price,
+           MAX({o_money_col("o_totalprice")}) AS max_price,
            MIN(o_orderdate) AS first_date,
            MAX(o_orderdate) AS last_date
     FROM orders
@@ -98,15 +107,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: global (no-key) aggregate. min/max are order-insensitive exact, so
-    they pass through unrounded."""
+    they pass through unrounded; the whole money report (sum AND min/max)
+    describes the MONEY_MAX-conforming population (r9 raw-sum wave) so a
+    single ±1e308/NaN sentinel can neither poison the sum nor masquerade as
+    the corpus extremum. COUNT(*) stays unguarded — it audits arrivals, not
+    conforming values — mirrored in the oracle."""
     o = load_table(spark, sf_dir, "orders")
+    price = money_col(F.col("o_totalprice"))
     cnt = F.count(F.lit(1))
     return o.agg(
         cnt.alias("n_rows"),
-        rnd(F.sum("o_totalprice")).alias("sum_price"),
-        (rnd(F.sum("o_totalprice")) / cnt).alias("avg_price"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+        rnd(F.sum(price)).alias("sum_price"),
+        (rnd(F.sum(price)) / cnt).alias("avg_price"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
@@ -268,10 +282,10 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_having",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
            COUNT(*) AS n_cust,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           ROUND(SUM({o_money_col("c_acctbal")}), 2) AS sum_bal
     FROM customer
     GROUP BY c_nationkey
     HAVING COUNT(*) >= 40
@@ -279,13 +293,14 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: HAVING — post-aggregation filter (on the exact integer count, so no
-    float-boundary risk in the predicate)."""
+    float-boundary risk in the predicate). The balance sum folds the
+    MONEY_MAX conformance guard in both twins (r9 raw-sum wave)."""
     c = load_table(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            rnd(F.sum("c_acctbal")).alias("sum_bal"),
+            rnd(F.sum(money_col(F.col("c_acctbal")))).alias("sum_bal"),
         )
         .filter(F.col("n_cust") >= 40)
     )
@@ -450,10 +465,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_salted",
-    oracle="""
+    oracle=f"""
     SELECT l_suppkey,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           ROUND(SUM({o_money_col("l_extendedprice")}), 2) AS sum_price
     FROM lineitem
     GROUP BY l_suppkey
     """,
@@ -465,7 +480,10 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducers; phase 2 merges the partials. Result is identical to a plain
     group-by (the oracle) — the point is the plan shape at 100 TB with a
     skewed key. Counts re-aggregate with SUM; sums with SUM; avg would carry
-    (sum, count) pairs.
+    (sum, count) pairs. The MONEY_MAX conformance guard sits on the RAW
+    input at phase 1 (r9 raw-sum wave); phase 2 sums the already-conforming
+    partials unguarded — a partial of conforming rows can legitimately
+    exceed any per-row bound, and guarding it would null real data.
     """
     n_salt = 8
     li = load_table(spark, sf_dir, "lineitem")
@@ -474,7 +492,7 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "_salt")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.sum("l_extendedprice").alias("_s"),
+            F.sum(money_col(F.col("l_extendedprice"))).alias("_s"),
         )
     )
     return partial.groupBy("l_suppkey").agg(

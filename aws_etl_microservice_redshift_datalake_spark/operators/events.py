@@ -693,14 +693,14 @@ RFM_ASOF = "2001-09-01 00:00:00"  # analysis date just past the order range
                CAST(date_diff('day', MAX(o_orderdate),
                               TIMESTAMP '{RFM_ASOF}') AS BIGINT) AS recency_days,
                COUNT(*) AS frequency,
-               ROUND(SUM(o_totalprice), 2) AS monetary
+               ROUND(SUM({o_money_col("o_totalprice")}), 2) AS monetary
         FROM orders
         GROUP BY o_custkey
     )
     SELECT custkey, recency_days, frequency, monetary,
            CAST(NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS INTEGER) AS r_quartile,
            CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS INTEGER) AS f_quartile,
-           CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS INTEGER) AS m_quartile
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC NULLS LAST, custkey ASC) AS INTEGER) AS m_quartile
     FROM base
     """,
 )
@@ -710,9 +710,13 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order count), monetary (total spend), each quartiled with NTILE.
 
     Determinism: every NTILE ordering carries a custkey tie-break, so the
-    quartile boundaries are exact cross-engine; monetary is a raw
-    2-decimal money sum (plain ROUND is exact per the registry rnd
-    contract) and the ORDER is on the rounded value. Scale shape: one
+    quartile boundaries are exact cross-engine; monetary is a 2-decimal
+    money sum (plain ROUND is exact per the registry rnd contract) folding
+    the MONEY_MAX conformance guard in both twins (r9 raw-sum wave), and
+    the ORDER is on the rounded value with the NULL position spelled
+    explicitly (a customer whose every order is non-conforming has NULL
+    monetary — NULLS LAST in both engines, then the custkey tie-break
+    quartiles them deterministically). Scale shape: one
     per-customer aggregate (map-combinable), then three rank windows over
     the aggregated relation — |customers| rows, not |orders|; at true
     scale NTILE's single global ordering becomes the documented
@@ -723,11 +727,11 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
         ).cast("bigint").alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        rnd(F.sum("o_totalprice")).alias("monetary"),
+        rnd(F.sum(money_col(F.col("o_totalprice")))).alias("monetary"),
     )
     wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
     wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc_nulls_last("monetary"), F.asc("custkey"))
     return base.select(
         "custkey",
         "recency_days",

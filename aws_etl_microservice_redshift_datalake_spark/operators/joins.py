@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import exact_sum, o_exact_sum, query, rnd
+from ..registry import exact_sum, money_col, o_exact_sum, o_money_col, query, rnd
 from ..sources.io import load_table
 
 
@@ -240,10 +240,10 @@ SALT_BUCKETS = 8
 
 @query(
     "q_join_salted",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           ROUND(SUM({o_money_col("l_extendedprice")}), 2) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -284,5 +284,5 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        rnd(F.sum("l_extendedprice")).alias("sum_price"),
+        rnd(F.sum(money_col(F.col("l_extendedprice")))).alias("sum_price"),
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import o_money_col, query, s_money_col
 from ..sources.io import register_all
 
 _MV_REGISTRY: dict[str, str] = {}
@@ -55,9 +55,9 @@ def refresh_materialized_view(spark: SparkSession, name: str) -> DataFrame:
 
 @query(
     "q_sql_parameterized",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) AS total_price
     FROM orders
     WHERE o_orderstatus = 'F'
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -70,12 +70,14 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     The status and date arrive as BOUND PARAMETERS (typed literals injected
     by the parser), not string concatenation; Catalyst then constant-folds
     and pushes them down exactly like hand-written literals (the oracle is
-    the literal form — the hash match proves equivalence)."""
+    the literal form — the hash match proves equivalence). The price sum
+    folds the MONEY_MAX conformance guard in both twins (r9 raw-sum wave;
+    registry.s_money_col declares the Spark-dialect body)."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               ROUND(SUM({s_money_col("o_totalprice")}), 2) AS total_price
         FROM orders
         WHERE o_orderstatus = :status
           AND o_orderdate >= :cutoff

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import money_col, o_money_col, query, rnd
 from ..sources.io import load_table
 
 # Deterministic change-set predicates (see module docstring): every 10th
@@ -72,7 +72,7 @@ _CHANGES_SQL = f"""
         FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
     )
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price,
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) AS total_price,
            COUNT(DISTINCT o_orderkey) AS n_keys
     FROM merged
     GROUP BY o_orderstatus
@@ -85,7 +85,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     price totals + key cardinality), which pins both the update application
     (+100.00 on every 10th key changes the sum) and the insert arrival
     (row/key counts grow). Prices stay on the 2-decimal grid so the rounded
-    sum is deterministic (registry ``rnd`` contract)."""
+    sum is deterministic (registry ``rnd`` contract); the post-merge price
+    sum folds the MONEY_MAX conformance guard in both twins (r9 raw-sum
+    wave — guarding AFTER the merge also covers a corrupted price arriving
+    through the update channel)."""
     t = load_table(spark, sf_dir, "orders").alias("t")
     s = merge_changes(load_table(spark, sf_dir, "orders")).alias("s")
     merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer").select(
@@ -95,7 +98,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        rnd(F.sum("o_totalprice")).alias("total_price"),
+        rnd(F.sum(money_col(F.col("o_totalprice")))).alias("total_price"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
 

@@ -24,6 +24,7 @@ from ..registry import (
     query,
     rnd,
     s_exact_sum,
+    s_money_col,
 )
 from ..sources.io import load_table, register_all
 
@@ -101,7 +102,7 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT c_mktsegment, c_nationkey,
                COUNT(*) AS n,
-               ROUND(SUM({o_money_col("c_acctbal")}), 2) AS sum_bal
+               ROUND(SUM({s_money_col("c_acctbal")}), 2) AS sum_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
@@ -194,11 +195,11 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_priority_class",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
-           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
+           ROUND(SUM({o_money_col("o_totalprice")}), 2) / COUNT(*) AS avg_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -208,14 +209,16 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 end-to-end (TPC-H Q12/Q4 flavor): order-priority service-class
     report — finished vs open order counts per priority over a year, via
-    conditional aggregation in raw SQL."""
+    conditional aggregation in raw SQL. The price sum inside avg_price
+    folds the MONEY_MAX conformance guard in both twins (r9 raw-sum wave;
+    registry.s_money_col declares the Spark-dialect body)."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority,
                SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
                SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_open,
-               ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
+               ROUND(SUM({s_money_col("o_totalprice")}), 2) / COUNT(*) AS avg_price
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import (
+    QTY_MAX,
     dec,
     exact_sum,
     guarded_bigint,
@@ -49,6 +50,7 @@ from ..registry import (
     o_money_col,
     query,
     s_exact_sum,
+    s_money_col,
 )
 from ..sources.io import load_table, register_all
 
@@ -957,11 +959,12 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sql_modern_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           ROUND(SUM(l_quantity) FILTER (WHERE l_tax > 0.04), 2) AS qty_taxed
+           ROUND(SUM({o_money_col("l_quantity", QTY_MAX)})
+                 FILTER (WHERE l_tax > 0.04), 2) AS qty_taxed
     FROM lineitem
     GROUP BY ALL
     """,
@@ -971,17 +974,21 @@ def q_sql_modern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the non-aggregate select list) + the FILTER clause on aggregates
     (the standard's form of conditional aggregation — q_agg_conditional is
     the CASE-WHEN spelling). Both parse natively on Spark 4 and DuckDB, so
-    the oracle is the IDENTICAL string. Plans to the same partial/final
-    hash aggregate as an explicit GROUP BY — the sugar is analyzer-only.
-    l_quantity is integral-valued (FIXTURES.md) so its filtered SUM is
-    exact in doubles; ROUND is belt-and-braces on both sides."""
+    the oracle is the IDENTICAL string (registry.s_money_col declares the
+    Spark-dialect body). Plans to the same partial/final hash aggregate as
+    an explicit GROUP BY — the sugar is analyzer-only. l_quantity is
+    integral-valued (FIXTURES.md) so its filtered SUM is exact in doubles;
+    ROUND is belt-and-braces on both sides, and the QTY_MAX conformance
+    guard inside the SUM (r9 raw-sum wave) nulls finite-absurd sentinels
+    identically in both twins."""
     register_all(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_rows,
                COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-               ROUND(SUM(l_quantity) FILTER (WHERE l_tax > 0.04), 2) AS qty_taxed
+               ROUND(SUM({s_money_col("l_quantity", QTY_MAX)})
+                     FILTER (WHERE l_tax > 0.04), 2) AS qty_taxed
         FROM lineitem
         GROUP BY ALL
         """

@@ -258,12 +258,14 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_ratio_to_report",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_orderstatus,
-           CASE WHEN den <> 0 THEN o_totalprice / den END AS price_share
+           CASE WHEN den <> 0 THEN price / den END AS price_share
     FROM (
-        SELECT o_orderkey, o_orderstatus, o_totalprice,
-               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) AS den
+        SELECT o_orderkey, o_orderstatus,
+               {o_money_col("o_totalprice")} AS price,
+               ROUND(SUM({o_money_col("o_totalprice")})
+                     OVER (PARTITION BY o_orderstatus), 2) AS den
         FROM orders
     )
     """,
@@ -279,14 +281,18 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 4 default) x/0 throws DIVIDE_BY_ZERO for every numeric type, and
     an all-zero-priced partition is a legal slice of a real lake (r6
     zero-money degenerate sweep); the guard is spelled identically in the
-    oracle twin."""
+    oracle twin. Both the window-sum input AND the numerator fold the
+    MONEY_MAX conformance guard (r9 raw-sum wave): a ±1e308 sentinel must
+    neither poison the group denominator nor report its own absurd share —
+    a non-conforming row's share is NULL, identically in both twins."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus")
-    den = rnd(F.sum("o_totalprice").over(w))
+    price = money_col(F.col("o_totalprice"))
+    den = rnd(F.sum(price).over(w))
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.when(den != 0, F.col("o_totalprice") / den).alias("price_share"),
+        F.when(den != 0, price / den).alias("price_share"),
     )
 
 

@@ -179,129 +179,36 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 # green in CORRECTNESS_r06 on the changed code (VERDICT r6 §3), so their
 # entries expired and are pruned.
 _RECHECK_CHANGED: dict[str, int] = {
-    # r8 changes land before the r8 driver run, so they are recorded at 7
-    # (a round-8 green verifies them). All r7 entries (recorded at 6) were
-    # verified green in CORRECTNESS_r07 on the changed code, so they
-    # expired and are pruned.
+    # r9 changes land before the r9 driver run, so they are recorded at 8
+    # (a round-9 green verifies them). All r8 entries (recorded at 7) were
+    # verified green in CORRECTNESS_r08 on the changed code (VERDICT r8 §1:
+    # every _RECHECK_CHANGED query got a green r8 row), so they expired and
+    # are pruned.
     #
-    # --- r8 degmoney wave (VERDICT r7 #1/#2; SURVEY r8 kickoff rows 1-2):
-    # the q_sql_* Spark-side bodies spelled the exact-sum decimal hop
-    # inline WITHOUT the MONEY_MAX guard (the oracles were already
-    # hardened in r7) — migrated to registry.s_exact_sum; identical
-    # output on clean money (the guard is a no-op when every row
-    # conforms), crash-proof on a degraded lake.
-    "q_sql_top_supplier": 7,
-    "q_sql_promo_revenue": 7,
-    "q_sql_disjunctive_pred": 7,
-    "q_sql_discount_revenue": 7,   # oracle side migrated to o_exact_sum too
-    "q_sql_volume_shipping": 7,
-    "q_sql_market_share": 7,       # not in the deferred set (its filters
-                                   # happened to exclude every degraded row
-                                   # at test SF) but the same latent crash
-    "q_sql_product_profit": 7,
-    "q_sql_regional_revenue": 7,
-    "q_sql_shipping_priority": 7,  # oracle side migrated too
-    "q_sql_returned_items": 7,     # oracle side migrated too
-    "q_supplier_pareto": 7,        # both twins -> registry.dec/o_dec(4,27)
-    # --- degmoney stragglers (the non-finite DIVERGENCE class, not
-    # crashes): MONEY_MAX/QTY_MAX conformance mirrors in BOTH twins so
-    # moment/rank/fold aggregates see the same multiset on a dirty lake.
-    "q_agg_stats": 7,
-    "q_agg_percentile": 7,
-    "q_window_running": 7,
-    "q_sql_recursive_spine": 7,
-    "q_try_funcs": 7,
-    # --- r8 vector-conformance wave (VERDICT r7 "missing" #1; SURVEY r8
-    # kickoff rows 3+6): the _finite_vec population contract (size 64,
-    # every element present and finite) mirrored into the Spark side AND
-    # the oracle of every similarity/stat consumer — DuckDB's
-    # list_inner_product throws on ragged/element-NULL vectors the Spark
-    # side silently folds to NULL/NaN. Identical output on conforming
-    # corpora (the driver's); _ORACLE_INFEASIBLE_ON_DEGRADED is now empty.
-    "q_ann_topk": 7,
-    "q_knn_classify": 7,
-    "q_embedding_norms": 7,        # + n_malformed column: the sanity report
-                                   # now SURFACES excluded rows per label
-    "q_decontaminate_semantic": 7,
-    "q_semantic_search": 7,
-    "q_hybrid_search_rrf": 7,
-    "q_cross_lingual_neardup": 7,
-    "q_semdedup": 7,               # + population contract resolved: report
-                                   # = conforming embeddings WITH a doc row
-                                   # (the drop rule needs the quality
-                                   # signal), both twins
-    "q_pandas_udf_dot": 7,         # + element-NULL exclusion (numpy None->
-    "q_pandas_udaf_centroid": 7,   #   NaN vs DuckDB throw/skip), both twins
-    # --- r8 NULL-event-time contract (VERDICT r7 #3; SURVEY r8 kickoff
-    # row 5): `ts IS NOT NULL` pre-filter spelled explicitly in BOTH twins
-    # of every event-time window/session/as-of/stateful consumer — Spark's
-    # window()/session_window() silently emit no group for NULL ts where
-    # DuckDB's time_bucket forms a NULL group, and the engines disagree on
-    # NULL ordering in RANGE frames and the as-of union-tag sort. Matches
-    # watermark semantics (a stream drops NULL-ts rows at the watermark);
-    # no-op on the NULL-free driver corpus.
-    "q_join_asof": 7,
-    "q_sessionize": 7,
-    "q_sliding_window": 7,
-    "q_tumbling_window": 7,
-    "q_window_range": 7,
-    "q_stream_sliding": 7,
-    "q_stream_tumbling": 7,
-    "q_stream_stateful": 7,
-    # --- r8 degdates/advdimstr mirrors (SURVEY r8 kickoff rows 4+7):
-    "q_window_rank": 7,       # oracle NULLS FIRST mirrors Spark's ASC
-                              # default — NULL dates rank identically
-    "q_unload_roundtrip": 7,  # oracle NULLIF(o_orderstatus,'') mirrors the
-                              # hive-partition channel's ''/NULL conflation
-    "q_str_funcs": 7,         # lev defined only on pure-ASCII names (DuckDB
-                              # counts UTF-8 bytes, Spark chars); type_cap
-                              # only on single alpha words (word-boundary
-                              # rules differ) — conformance CASEs, both twins
-    # --- r8 empty-input contract (SURVEY r8 kickoff row 8): an empty
-    # relation (a stray all-filtered partition) produces an EMPTY
-    # multi-level report (Spark semantics; oracle HAVING COUNT(*)>0
-    # mirror), and the two scalar-count audits COALESCE their empty-fold
-    # sums to 0 (an audit of zero rows reports 0, not NULL). No-ops on any
-    # non-empty input.
-    "q_agg_rollup": 7,
-    "q_agg_cube": 7,
-    "q_sql_grouping_sets": 7,
-    "q_chi_square": 7,
-    "q_dq_uniqueness": 7,
-    # --- r8 mixed-gate find (the composed corpus's first real catch): a
-    # FINITE-absurd ±1e308 events.value passes any isfinite contract, then
-    # absorbs every real measurement and cancels order-dependently against
-    # its opposite (q_stream_stateful measured 751.52 in the kernel's
-    # arrival-order fold vs 0.0 in DuckDB's scan-order SUM), and two
-    # same-sign sentinels overflow to ±Inf — agreeing garbage. Every
-    # aggregate over events.value now carries the engine-wide MONEY_MAX
-    # conformance guard in both twins (the window/session/stream family's
-    # recheck entries above already cover six of them; these four are the
-    # remaining consumers). No-op on conforming data.
-    "q_ingest_json_roundtrip": 7,
-    "q_stream_session": 7,
-    "q_stream_static_join": 7,
-    "q_window_moving": 7,
-    # --- r8 noshift composed-gate find (same finite-absurd class as the
-    # events.value wave, this time on a raw SUM(l_quantity): one group
-    # measured -1e308 in Spark's fold order vs -Inf in DuckDB's). The
-    # QTY_MAX guard landed in both twins; the four multi-level/unload
-    # money sums took the same mirror for free (already in recheck above).
-    # The 13 remaining raw money sums (q_pricing_summary etc. — see
-    # tests/test_degenerate.py::_RAW_SUM_R9_BATCH) are measured AGREEING
-    # on every gate and are batched for r9 by the dirty-DATE convention.
-    "q_join_range": 7,
-    # --- ADVICE r7: both digitsum twins fold abs(key) so negative ids
-    # digit-sum their magnitude instead of the Python twin raising on '-'
-    # while the oracle floor-divides garbage. No-op on non-negative keys.
-    "q_udf_digitsum": 7,
-    # NOT re-entered: q_subq_in_agg / q_subq_scalar_corr_avg /
-    # q_sql_value_concentration / q_cast / q_bitwise_aggs — pure helper
-    # migrations (o_guarded_bigint/o_dec emit the same SQL modulo
-    # whitespace; guarded_bigint builds the same Column). The money-wave
-    # entries above are the rank-0 consumers that verify the helpers
-    # (r6/r7 shared-builder precedent); all five were additionally driven
-    # through run_compare at sf0.01 in-session.
+    # --- r9 raw-sum conformance wave (VERDICT r8 #1 — the last known
+    # 100 TB crash/poison class): the 13 raw money/quantity SUMs whose
+    # twins still folded unguarded doubles migrated to
+    # money_col/o_money_col (QTY_MAX where the column is an integral
+    # quantity) in BOTH twins. Same finite-absurd class the r8 composed
+    # gate caught on events.value: a ±1e308 passes every isfinite
+    # contract, absorbs all real values in a running sum, cancels
+    # order-dependently against its opposite sign, and two same-sign
+    # sentinels overflow to ±Inf on BOTH engines — agreeing garbage no
+    # twin compare flags. No-op on conforming data (the driver corpus;
+    # FIXTURES.md money is 2-decimal rationals far below MONEY_MAX).
+    "q_agg_global": 8,       # min/max take the same conformance population
+    "q_agg_having": 8,
+    "q_agg_salted": 8,       # guard on the phase-1 partial-sum input
+    "q_compact_roundtrip": 8,
+    "q_customer_rfm": 8,     # + explicit NULLS LAST on the monetary NTILE
+    "q_ingest_orc_roundtrip": 8,
+    "q_join_salted": 8,
+    "q_merge_upsert": 8,
+    "q_pricing_summary": 8,
+    "q_sql_modern_agg": 8,       # s_money_col in the Spark-SQL body
+    "q_sql_parameterized": 8,    # s_money_col in the Spark-SQL body
+    "q_sql_priority_class": 8,   # s_money_col in the Spark-SQL body
+    "q_window_ratio_to_report": 8,  # numerator + window-sum denominator
 }
 
 _RECHECK: frozenset[str] = frozenset(
@@ -509,6 +416,18 @@ def o_money_col(expr: str, bound: float = MONEY_MAX) -> str:
         f"CASE WHEN {expr} BETWEEN -{bound:.0f} AND {bound:.0f}"
         f" THEN {expr} END"
     )
+
+
+def s_money_col(expr: str, bound: float = MONEY_MAX) -> str:
+    """Spark-SQL-string twin of :func:`money_col` for raw-SQL query bodies
+    (``q_sql_*`` through ``spark.sql``). The guard spelling is dialect-
+    portable — ``CASE WHEN … BETWEEN`` parses and evaluates identically in
+    Spark SQL and DuckDB — so this is textually :func:`o_money_col`; the
+    distinct name exists so call sites declare which engine's dialect the
+    inner ``expr`` uses, the same convention as :func:`s_exact_sum`
+    (ADVICE r8: interpolating the oracle-named helper into a Spark body
+    left the portability contract undeclared at the call site)."""
+    return o_money_col(expr, bound)
 
 
 def guarded_bigint(col: Column, bound: float = QTY_MAX) -> Column:

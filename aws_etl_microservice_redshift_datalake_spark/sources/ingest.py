@@ -140,10 +140,10 @@ def q_ingest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ingest_orc_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_cust,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           ROUND(SUM({o_money_col("c_acctbal")}), 2) AS sum_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -160,5 +160,5 @@ def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(SCHEMAS["customer"]).orc(path)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        rnd(F.sum("c_acctbal")).alias("sum_bal"),
+        rnd(F.sum(money_col(F.col("c_acctbal")))).alias("sum_bal"),
     )

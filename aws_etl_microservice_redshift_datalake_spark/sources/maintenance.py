@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query, rnd
+from ..registry import QTY_MAX, money_col, o_money_col, query, rnd
 from .io import _parquet_files, load_table
 
 DEFAULT_TARGET_FILE_BYTES = 128 << 20  # the maxPartitionBytes-aligned sweet spot
@@ -128,11 +128,11 @@ from ..scratch import process_scratch
 
 @query(
     "q_compact_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           ROUND(SUM({o_money_col("l_quantity", QTY_MAX)}), 2) AS sum_qty,
+           ROUND(SUM({o_money_col("l_extendedprice")}), 2) AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -157,6 +157,6 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(compacted)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        rnd(F.sum("l_quantity")).alias("sum_qty"),
-        rnd(F.sum("l_extendedprice")).alias("sum_price"),
+        rnd(F.sum(money_col(F.col("l_quantity"), QTY_MAX))).alias("sum_qty"),
+        rnd(F.sum(money_col(F.col("l_extendedprice")))).alias("sum_price"),
     )

@@ -1859,20 +1859,16 @@ def test_twin_gate_mixed_corpus(spark, duck, degmixed_sf, name):
     run_compare(spark, duck, name, QS[name], engine.all_oracles()[name], degmixed_sf)
 
 
-# The 13 remaining RAW money/quantity SUMs whose twins do not yet carry the
-# MONEY_MAX/QTY_MAX conformance guard — the r9 oracle batch, by the
-# dirty-DATE convention (the measured half, q_join_range, landed in r8 with
-# the four free multi-level/unload mirrors; these are measured AGREEING on
-# every r8 gate — the finite-absurd cancellation class needs a specific
-# sentinel arrangement inside one group — but the class is latent until the
-# guard lands, and each edit costs a driver recheck slot the r8 window
-# cannot spare at 48 rank-0):
-_RAW_SUM_R9_BATCH: frozenset[str] = frozenset({
-    "q_agg_global", "q_agg_having", "q_agg_salted", "q_compact_roundtrip",
-    "q_customer_rfm", "q_ingest_orc_roundtrip", "q_join_salted",
-    "q_merge_upsert", "q_pricing_summary", "q_sql_modern_agg",
-    "q_sql_parameterized", "q_sql_priority_class", "q_window_ratio_to_report",
-})
+# CLEARED in r9 (the first-commit batch VERDICT r8 #1 demanded): the 13
+# remaining RAW money/quantity SUMs (_RAW_SUM_R9_BATCH: q_pricing_summary,
+# q_agg_global/having/salted, q_compact_roundtrip, q_customer_rfm,
+# q_ingest_orc_roundtrip, q_join_salted, q_merge_upsert, q_sql_modern_agg/
+# parameterized/priority_class, q_window_ratio_to_report) all carry the
+# MONEY_MAX/QTY_MAX conformance guard in BOTH twins now
+# (registry.money_col/o_money_col/s_money_col) — see
+# registry._RECHECK_CHANGED for the per-query notes. The whole raw-sum
+# family runs the money crash sweep and every composed gate with no
+# unguarded fold left anywhere in the registry.
 
 
 @pytest.mark.skipif(
