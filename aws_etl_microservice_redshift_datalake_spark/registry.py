@@ -229,8 +229,15 @@ _RECHECK: frozenset[str] = frozenset(
 # rows-only PERMANENTLY (not parked — its driver row re-rotates): DuckDB
 # ships none of xxhash64/crc32-as-bigint/murmur3, and its pytest pins the
 # published reference vectors instead (the stronger check).
+# ADJUDICATED r9 (VERDICT r8 #7): q_ann_lsh_topk parks for the same reason
+# as q_freq_items — its neighbor set is (plane-seed, banding)-specific so
+# no cross-engine value compare can exist, the always-on recall floor
+# (tests/test_quality.py::test_lsh_ann_recall_vs_exact) is the ceiling, and
+# it already consumed rows-only driver rows in r4 AND r8 (the second one
+# displacing a burn-in slot, which this entry prevents recurring).
 _DEFER: frozenset[str] = frozenset({
     "q_freq_items",
+    "q_ann_lsh_topk",
 })
 
 
