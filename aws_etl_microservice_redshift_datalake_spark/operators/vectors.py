@@ -1014,11 +1014,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: pair generation is the broadcast self-join on ids+vectors (the
     q_decontaminate_semantic pattern; at 100 TB the drop-in is the
     q_cosine_neardup sign-LSH candidate path — same verify arithmetic,
-    same drop rule). Quality hydration joins the NARROW (doc_id, n_chars)
-    projection to the tiny pair set AFTER the cosine cut, so document data
-    never rides through the quadratic stage; the drop set broadcasts back
-    as a semi-join. The ≥ τ cut is the bit-identical `_dot` fold — no
-    rounding discipline needed anywhere.
+    same drop rule). The quality signal rides the population relation
+    itself (r9 fusion, VERDICT r8 #5): ONE narrow inner join against the
+    (doc_id, n_chars) projection — mirroring the oracle's t CTE exactly —
+    supplies the population contract, the pair stage, AND per-pair
+    quality, replacing the former two left-semi joins plus two post-pair
+    hydration joins; n_chars adds 8 bytes beside the 512-byte vector each
+    candidate row already carries. The drop set broadcasts back as a
+    semi-join. The ≥ τ cut is the bit-identical `_dot` fold — no rounding
+    discipline needed anywhere.
 
     Population contract (r8, resolving the bigkey/advtext twin ambiguity):
     SemDeDup's report and pair stage run over CONFORMING embeddings that
@@ -1026,39 +1030,55 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, so an orphan embedding cannot participate; on the driver
     corpus embeddings ⊆ documents and nothing changes. Spelled in both
     twins (the oracle's t CTE inner join + conformance WHERE; the Spark
-    side's semi-join + `_finite_vec`) and shared with the clustered path
-    through _semdedup_report."""
-    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    t = e.select("vec_id", "label", F.col("embedding").alias("v")).join(
-        d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    side's `_semdedup_base` inner join + `_finite_vec`) and shared with
+    the clustered path through _semdedup_base/_semdedup_report."""
+    base = _semdedup_base(spark, sf_dir)
+    right = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n_chars").alias("cb"),
     )
-    right = t.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     pairs = (
-        t.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        base.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("n_chars").alias("ca"),
+        )
         .crossJoin(F.broadcast(right))
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(_dot(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "ca", "cb")
     )
-    return _semdedup_report(spark, sf_dir, d, pairs)
+    return _semdedup_report(base.select("vec_id", "label"), _semdedup_losers(pairs))
 
 
-def _semdedup_report(
-    spark: SparkSession, sf_dir: str, d: DataFrame, pairs: DataFrame
-) -> DataFrame:
-    """Shared canonical-selection + report tail for the SemDeDup family —
-    ONE definition of the drop rule (longer doc wins, ties to the lower
-    id), so the exact twin and the clustered path can never drift apart
-    (the precision-1/recall test's premise). ``pairs`` = (id_a, id_b)
-    with id_a < id_b, already cosine-verified."""
-    qa = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
-    qb = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
-    losers = (
-        F.broadcast(pairs)
-        .join(qa, "id_a")
-        .join(qb, "id_b")
-        .select(
+def _semdedup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup family's fused population relation (r9, VERDICT r8 #5):
+    conforming embeddings INNER-joined with the narrow (doc_id, n_chars)
+    projection → (vec_id, label, v, n_chars). One join carries the whole
+    population contract (conforming AND has-document) plus the quality
+    signal — the exact mirror of the oracle's t CTE, where the former
+    spelling ran a left-semi for the contract and re-joined n_chars after
+    the pair cut. Plain equi-join on ids: AQE broadcasts the small side at
+    test scale; at 100 TB both sides stay shuffle equi-joins, never
+    pairwise."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    return e.join(d, "vec_id").select(
+        "vec_id", "label", F.col("embedding").alias("v"), "n_chars"
+    )
+
+
+def _semdedup_losers(pairs: DataFrame) -> DataFrame:
+    """Shared canonical selection for the SemDeDup family — ONE definition
+    of the drop rule (longer doc wins, ties to the lower id), so the exact
+    twin and the clustered path can never drift apart (the precision-1/
+    recall test's premise). ``pairs`` = (id_a, id_b, ca, cb) with
+    id_a < id_b, already cosine-verified and quality-hydrated."""
+    return (
+        pairs.select(
             F.when(
                 (F.col("ca") > F.col("cb"))
                 | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
@@ -1070,16 +1090,17 @@ def _semdedup_report(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    # report population = conforming embeddings WITH a document row — the
-    # same contract the pair stage runs under (see q_semdedup docstring)
-    t = (
-        _embeddings(spark, sf_dir)
-        .filter(_finite_vec(F.col("embedding")))
-        .select("vec_id", "label")
-        .join(d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
-    )
+
+
+def _semdedup_report(population: DataFrame, losers: DataFrame) -> DataFrame:
+    """Shared report tail: ``population`` = (vec_id, label) under the family
+    contract (conforming embeddings WITH a document row — _semdedup_base);
+    ``losers`` = (loser, hit) from _semdedup_losers, broadcast back as the
+    drop set."""
     return (
-        t.join(F.broadcast(losers), t.vec_id == losers.loser, "left")
+        population.join(
+            F.broadcast(losers), population.vec_id == losers.loser, "left"
+        )
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -1126,12 +1147,24 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs WITHIN a cell only (see _clustered_pairs — the candidate stage
     shared with the clustered decontamination and cross-lingual paths) and
     drop the lower-quality member (document length, ties to lower id).
-    Quality hydration and report joins are the same narrow-projection
-    broadcasts as the exact twin. Output shape matches q_semdedup
-    (label, n_vecs, n_dropped)."""
+    The within-cell pairs arrive without the quality signal (the index
+    carries vectors, not documents), so this path keeps the two narrow
+    post-pair hydration joins the exact twin fused away (r9); the
+    population and drop rule are the shared _semdedup_base/_semdedup_losers
+    definitions, so the twins cannot drift. Output shape matches
+    q_semdedup (label, n_vecs, n_dropped)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pairs = _clustered_pairs(spark, sf_dir, SEMDEDUP_TAU).select("id_a", "id_b")
-    return _semdedup_report(spark, sf_dir, d, pairs)
+    qa = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    qb = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    pairs = (
+        F.broadcast(
+            _clustered_pairs(spark, sf_dir, SEMDEDUP_TAU).select("id_a", "id_b")
+        )
+        .join(qa, "id_a")
+        .join(qb, "id_b")
+    )
+    base = _semdedup_base(spark, sf_dir)
+    return _semdedup_report(base.select("vec_id", "label"), _semdedup_losers(pairs))
 
 
 @query(

@@ -209,6 +209,11 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_sql_parameterized": 8,    # s_money_col in the Spark-SQL body
     "q_sql_priority_class": 8,   # s_money_col in the Spark-SQL body
     "q_window_ratio_to_report": 8,  # numerator + window-sum denominator
+    # --- r9 plan fusion (VERDICT r8 #5): q_semdedup's population/quality
+    # stages fused into the single narrow (doc_id, n_chars) inner join the
+    # oracle's t CTE already spells — three fewer joins, bit-identical
+    # output (same population contract, same drop rule; oracle unchanged).
+    "q_semdedup": 8,
 }
 
 _RECHECK: frozenset[str] = frozenset(
