@@ -1049,8 +1049,12 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_oracle() -> str:
-    # deferred import: text.py is imported by vectors-adjacent modules, so
-    # the conformance fragment binds at oracle-build time, not module load
+    # NOT a deferred import (ADVICE r8): the decorator argument below runs
+    # this at text.py module-load time. The function-local import avoids a
+    # cycle only because of the real invariant it depends on — vectors.py
+    # must never import text.py at module level (it doesn't, and must not
+    # start to; if that direction ever flips, move this oracle to lazy
+    # construction instead).
     from ..operators.vectors import O_VEC_CONFORM as _O_VEC_CONFORM
 
     score = _kw_score_sql()

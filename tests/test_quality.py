@@ -26,6 +26,27 @@ def test_declared_schema_matches_parquet(spark, table):
     assert got == want
 
 
+def test_str_funcs_conformance_cases_are_noops_on_fixture(spark):
+    """q_str_funcs' docstring claims its two engine-divergence conformance
+    CASEs (lev: pure-ASCII names only; type_cap: single alpha words only)
+    are NO-OPS on the driver fixture — pin that claim (ADVICE r8): if the
+    fixture's p_type ever gains spaces (TPCH-style 'STANDARD ANODIZED TIN')
+    or p_name gains non-ASCII, the columns would silently go all-NULL while
+    the twin compare stays green (both engines agree on the CASE), so only
+    a fixture-level assertion can catch it."""
+    from pyspark.sql import functions as F
+
+    out = QS["q_str_funcs"](spark, SF_MED)
+    nulls = out.select(
+        F.count(F.when(F.col("lev").isNull(), 1)).alias("lev_nulls"),
+        F.count(F.when(F.col("type_cap").isNull(), 1)).alias("cap_nulls"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert nulls.n > 0
+    assert nulls.lev_nulls == 0, "lev ASCII conformance stopped being a no-op"
+    assert nulls.cap_nulls == 0, "type_cap grammar stopped being a no-op"
+
+
 def test_lsh_ann_recall_vs_exact(spark):
     """The LSH-bucketed ANN (rows-only contract) must agree with brute force
     for most query/neighbor pairs: recall ≥ 0.5 at k=5 with 8 hyperplanes on
