@@ -214,6 +214,18 @@ _RECHECK_CHANGED: dict[str, int] = {
     # oracle's t CTE already spells — three fewer joins, bit-identical
     # output (same population contract, same drop rule; oracle unchanged).
     "q_semdedup": 8,
+    # --- r9 oracle de-quadratization (found by the new composed
+    # content-axis gate, VERDICT r8 #8): the DuckDB list-SLICE gram idiom
+    # (array_to_string(t[i:i+k], ' ') inside list_transform) and the
+    # correlated lateral unnest both drag the whole token list into every
+    # position — >150 s vs <0.5 s on ten 50k-token docs. Rewritten to the
+    # element-indexed _SHINGLE_SQL idiom; byte-identical gram strings
+    # (EXCEPT-ALL verified on the driver corpus). Spark twins untouched.
+    "q_decontaminate_ngram": 8,
+    "q_dedup_substring": 8,
+    "q_dedup_substring_apply": 8,
+    "q_bigram_pmi": 8,   # already an in-window r4 burn-in row — zero net
+                         # window cost (the r7 digitsum precedent)
 }
 
 _RECHECK: frozenset[str] = frozenset(

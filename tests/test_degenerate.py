@@ -247,6 +247,22 @@ def test_query_survives_null_payloads(spark, nullpayload_sf, name):
     assert len(df.schema.fields) > 0
 
 
+# Crawl-grade adversarial payloads, shared by the single-axis advtext_sf
+# corpus and the composed degmixed_advtext_sf degrader (r9) so the two can
+# never drift apart (the same one-definition rule as the value recipes).
+_ADV_PAYLOADS: dict[str, str] = {
+    "empty": "",
+    "ws": "   ",
+    "giant_token": "a" * 200_000,
+    "many_tokens": ("word " * 50_000).strip(),
+    "regex_meta": "\\d+ (a|b)* [^x]{3} $ ^ . ? \\ ",
+    "cjk": "日本語のテキスト ユニコード 試験 文書",
+    "emoji": "emoji 🙂🙃 mixed ASCII and 中文 text",
+    "tabs": "tab\tnewline-free but\ttabs",
+    "nul": chr(0) + "null-byte prefix",
+}
+
+
 @pytest.fixture(scope="module")
 def advtext_sf(spark) -> str:
     """Adversarial text payloads: empty / whitespace-only docs (n_chars 0),
@@ -259,15 +275,15 @@ def advtext_sf(spark) -> str:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         texts = [
-            ("", "en", "web"),
-            ("   ", "en", "web"),
-            ("a" * 200_000, "en", "web"),
-            (("word " * 50_000).strip(), "en", "book"),
-            ("\\d+ (a|b)* [^x]{3} $ ^ . ? \\ ", "en", "web"),
-            ("日本語のテキスト ユニコード 試験 文書", "ja", "web"),
-            ("emoji 🙂🙃 mixed ASCII and 中文 text", "zh", "web"),
-            ("tab\tnewline-free but\ttabs", "en", "code"),
-            (chr(0) + "null-byte prefix", "en", "code"),
+            (_ADV_PAYLOADS["empty"], "en", "web"),
+            (_ADV_PAYLOADS["ws"], "en", "web"),
+            (_ADV_PAYLOADS["giant_token"], "en", "web"),
+            (_ADV_PAYLOADS["many_tokens"], "en", "book"),
+            (_ADV_PAYLOADS["regex_meta"], "en", "web"),
+            (_ADV_PAYLOADS["cjk"], "ja", "web"),
+            (_ADV_PAYLOADS["emoji"], "zh", "web"),
+            (_ADV_PAYLOADS["tabs"], "en", "code"),
+            (_ADV_PAYLOADS["nul"], "en", "code"),
             ("normal doc with several plain words here", "en", "wiki"),
         ] * 5
         rows = [(i, t, l, s, len(t)) for i, (t, l, s) in enumerate(texts)]
@@ -299,6 +315,55 @@ def test_query_survives_adversarial_text(spark, advtext_sf, name):
     # crash (r6 review) — collect() forces every column's kernel to run
     assert len(rows) >= 0
     assert len(df.schema.fields) > 0
+
+
+_DUP_TEXT = "shared duplicate payload for the composed all-dup cluster"
+
+
+def _adversarial_text_documents(doc):
+    """The CONTENT axis as a composable degrader over REAL documents (r9,
+    VERDICT r8 #8): swaps text by doc_id residue class — the two giant
+    payloads land sparsely (mod 50: 10 docs each at the 500-doc fixture,
+    keeping the composed corpus gate-sized) and the cheap adversarial
+    payloads densely (mod 10); residue 9 forms a 10% BYTE-IDENTICAL
+    duplicate cluster, the alldup axis under every other degradation at
+    once. n_chars is recomputed to match the new text, so the content swap
+    itself preserves the fixture invariant — the stats axis then garbles
+    n_chars independently later in the composed chain."""
+    from pyspark.sql import functions as F
+
+    m50, m10 = F.col("doc_id") % 50, F.col("doc_id") % 10
+    new_text = (
+        F.when(m50 == 11, F.lit(_ADV_PAYLOADS["giant_token"]))
+        .when(m50 == 21, F.lit(_ADV_PAYLOADS["many_tokens"]))
+        .when(m10 == 2, F.lit(_ADV_PAYLOADS["empty"]))
+        .when(m10 == 3, F.lit(_ADV_PAYLOADS["ws"]))
+        .when(m10 == 4, F.lit(_ADV_PAYLOADS["regex_meta"]))
+        .when(m10 == 5, F.lit(_ADV_PAYLOADS["cjk"]))
+        .when(m10 == 6, F.lit(_ADV_PAYLOADS["emoji"]))
+        .when(m10 == 7, F.lit(_ADV_PAYLOADS["tabs"]))
+        .when(m10 == 8, F.lit(_ADV_PAYLOADS["nul"]))
+        .when(m10 == 9, F.lit(_DUP_TEXT))
+        .otherwise(F.col("text"))
+    )
+    return doc.withColumn("text", new_text).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    )
+
+
+def _dup_embeddings(emb):
+    """vec_id % 10 == 9 rows — the SAME residue as the duplicate documents —
+    share one constant conforming vector (64 × 0.125: unit dot 1.0), so the
+    semantic family sees a dense duplicate cluster whose documents are ALSO
+    byte-identical: SemDeDup/decontamination's worst case running under
+    every other degradation axis simultaneously."""
+    from pyspark.sql import functions as F
+
+    dup = F.array(*[F.lit(0.125)] * 64).cast("array<float>")
+    return emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 9, dup).otherwise(F.col("embedding")),
+    )
 
 
 def test_redact_linear_time_on_long_token(spark, advtext_sf):
@@ -1615,7 +1680,7 @@ def _shift_keys(df, cols):
     )
 
 
-def _build_mixed(spark, d: str, shift: bool) -> str:
+def _build_mixed(spark, d: str, shift: bool, adversarial_text: bool = False) -> str:
     """Shared builder for the composed corpora (see degmixed_sf for the
     full design rationale). ``shift`` toggles the bigkey axis: the shifted
     variant exercises snowflake-scale key arithmetic everywhere, but it
@@ -1623,7 +1688,10 @@ def _build_mixed(spark, d: str, shift: bool) -> str:
     the fixed-query ANN/search family runs its (legal) EMPTY-query path —
     the UNSHIFTED variant keeps small ids so the same all-axes corpus
     drives real scoring/banding/verify work through those queries (r8
-    follow-up to the first composed gate)."""
+    follow-up to the first composed gate). ``adversarial_text`` swaps the
+    documents axis from ABSENCE (null payloads) to CONTENT (crawl-grade
+    adversarial text + a 10% byte-identical duplicate cluster in documents
+    AND embeddings) — the r9 third variant (VERDICT r8 #8)."""
     marker = os.path.join(d, "_BUILT")
     if not os.path.exists(marker):
         from pyspark.sql import functions as F
@@ -1642,13 +1710,19 @@ def _build_mixed(spark, d: str, shift: bool) -> str:
         def shifted(df, cols):
             return _shift_keys(df, cols) if shift else df
 
+        doc_axis = (
+            _adversarial_text_documents if adversarial_text
+            else _null_payload_documents
+        )
+        emb_dup = [_dup_embeddings] if adversarial_text else []
         builders = {
             "documents": chain(
-                _null_payload_documents,
+                doc_axis,
                 _degrade_doc_stats,
                 lambda df: shifted(df, {"doc_id"}),
             ),
             "embeddings": chain(
+                *emb_dup,
                 _degrade_embeddings,
                 _elemnull_embeddings,
                 lambda df: shifted(df, {"vec_id"}),
@@ -1760,12 +1834,42 @@ def degmixed_noshift_sf(spark) -> str:
     )
 
 
+@pytest.fixture(scope="module")
+def degmixed_advtext_sf(spark) -> str:
+    """The THIRD composed variant (r9, VERDICT r8 #8): the content axis —
+    crawl-grade adversarial text plus a 10% byte-identical duplicate
+    cluster in documents AND embeddings (the advtext + alldup axes) —
+    composed onto every other degradation, UNSHIFTED so the
+    doc↔embedding joins and the fixed-id query sets stay populated.
+    Closes the text family's last guard-interaction blind spot:
+    degmixed_sf degrades documents by ABSENCE (null payloads); this
+    variant degrades them by CONTENT while money/dates/stats/vectors are
+    simultaneously dirty."""
+    return _build_mixed(
+        spark, os.path.join(process_scratch(), "sf-degmixed-advtext"),
+        shift=False, adversarial_text=True,
+    )
+
+
 @pytest.mark.parametrize("name", list(QS), ids=list(QS))
 def test_query_survives_mixed_degradation(spark, degmixed_sf, name):
     """The whole registry must execute when every table is degraded at
     once — the stray-partition / dirty-crawl / partial-outage state a real
     100 TB lake actually reaches."""
     df = QS[name](spark, degmixed_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", list(QS), ids=list(QS))
+def test_query_survives_mixed_advtext(spark, degmixed_advtext_sf, name):
+    """The whole registry must also execute when the documents axis is
+    adversarial CONTENT (plus the duplicate cluster) rather than absence,
+    with every other axis still degraded — a text guard that quietly
+    assumes clean money/vectors (or vice versa) passes both single-axis
+    sweeps and fails only here."""
+    df = QS[name](spark, degmixed_advtext_sf)
     rows = df.collect()  # FULL materialization (see the sweeps above)
     assert len(rows) >= 0
     assert len(df.schema.fields) > 0
@@ -1914,6 +2018,26 @@ def test_twin_gate_mixed_corpus_noshift(spark, duck, degmixed_noshift_sf, name):
     run_compare(
         spark, duck, name, QS[name], engine.all_oracles()[name],
         degmixed_noshift_sf,
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_TWIN_GATE") != "1",
+    reason="full mixed-corpus twin gate (adversarial-content variant): "
+    "~20 min (giant payloads); run explicitly with SPARK_GRAFT_TWIN_GATE=1",
+)
+@pytest.mark.parametrize("name", _FULL_GATE, ids=_FULL_GATE)
+def test_twin_gate_mixed_corpus_advtext(spark, duck, degmixed_advtext_sf, name):
+    """The full gate on the CONTENT-axis composed corpus (r9, VERDICT r8
+    #8): both engines must agree when the documents carry crawl-grade
+    adversarial text and a byte-identical duplicate cluster while every
+    other axis is degraded at once — the regime where a text-family
+    contract interacting with a money/vector guard would first diverge."""
+    from tests.conftest import run_compare
+
+    run_compare(
+        spark, duck, name, QS[name], engine.all_oracles()[name],
+        degmixed_advtext_sf,
     )
 
 
