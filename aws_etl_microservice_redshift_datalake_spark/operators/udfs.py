@@ -24,6 +24,34 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..sources.io import load_table
+from .vectors import VEC_ABS_MAX
+
+# Finite-absurd element exclusion for the pandas twins (r9, ADVICE r8 #2).
+# U2/U3 DELIBERATELY keep the r7 NaN/±Inf → NULL rendering mirror (the
+# Arrow NaN-profile behavior is the point of the demo), so they cannot take
+# the full _finite_vec contract — but a finite-absurd float32 element
+# (±3.4e38 passes every NULL/NaN/Inf check) makes numpy's pairwise/BLAS
+# fold diverge from DuckDB's sequential fold when a ± pair cancels (the
+# MONEY_MAX class), and a single one yields an agreeing-garbage ±1e37 dot.
+# Excluded in both twins: an element that IS present, IS NOT NaN/±Inf, and
+# exceeds VEC_ABS_MAX in magnitude.
+_INF = float("inf")
+
+
+def _has_finite_absurd(vcol):
+    return F.exists(
+        vcol,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) != _INF)
+        & (F.abs(x) > VEC_ABS_MAX),
+    )
+
+
+_O_NO_FINITE_ABSURD = (
+    "len(list_filter(embedding, x -> x IS NOT NULL AND NOT isnan(x)"
+    f" AND NOT isinf(x) AND abs(x) > {VEC_ABS_MAX:.1f})) = 0"
+)
 
 
 def _digitsum_oracle_expr(col: str, digits: int = 19) -> str:
@@ -79,7 +107,10 @@ _BASIS = [_basis_weight(i) for i in range(64)]
     # from_pandas renders as SQL NULL on the way out of the UDF, while
     # list_inner_product renders the same product NaN — so the declared
     # contract is "a NaN-poisoned product is missing (NULL)" in both twins.
-    # Identical on corpora with finite embeddings (the driver's case).
+    # Finite-absurd elements are excluded instead (r9 — no mirror can make
+    # numpy's and DuckDB's fold orders agree once a ±3e38 pair cancels;
+    # see _has_finite_absurd). Identical on corpora with well-formed
+    # embeddings (the driver's case).
     oracle=f"""
     WITH d AS (
         SELECT vec_id,
@@ -88,6 +119,7 @@ _BASIS = [_basis_weight(i) for i in range(64)]
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = 64
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND {_O_NO_FINITE_ABSURD}
     )
     SELECT vec_id,
            CASE WHEN NOT isnan(dot) THEN ROUND(dot, 6) END AS basis_dot
@@ -105,7 +137,8 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy silently converts a None element to NaN inside the kernel where
     DuckDB's list_inner_product THROWS — element-NULL rows are excluded by
     contract in both twins; NaN/±Inf elements keep the r7 NaN→NULL
-    mirror), mirrored in the oracle."""
+    mirror; finite-absurd elements are excluded — r9, see
+    _has_finite_absurd), mirrored in the oracle."""
     basis = np.array(_BASIS, dtype=np.float64)
 
     @F.pandas_udf(T.DoubleType())
@@ -117,6 +150,7 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
         & (F.size("embedding") == 64)
         & ~F.exists("embedding", lambda x: x.isNull())
+        & ~_has_finite_absurd(F.col("embedding"))
     )
     return e.select("vec_id", basis_dot("embedding").alias("basis_dot"))
 
@@ -129,7 +163,7 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AVG renders it NaN — "a NaN-poisoned centroid dimension is missing
     # (NULL)" in both twins. Identical on finite corpora (the driver's
     # case).
-    oracle="""
+    oracle=f"""
     WITH a AS (
         SELECT label,
                COUNT(*) AS n,
@@ -139,6 +173,7 @@ def q_pandas_udf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = 64
           AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND {_O_NO_FINITE_ABSURD}
         GROUP BY label
     )
     SELECT label, n,
@@ -159,8 +194,10 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL elements (r8: numpy converts a None element to NaN, poisoning the
     whole group mean, where DuckDB's AVG skips only the NULL row for that
     dimension — element-NULL rows are excluded by contract in both twins;
-    NaN/±Inf elements keep the r7 NaN→NULL mirror), mirrored in the
-    oracle twin."""
+    NaN/±Inf elements keep the r7 NaN→NULL mirror; finite-absurd elements
+    are excluded — r9, numpy's pairwise mean vs DuckDB's sequential AVG
+    diverge once a ±3e38 pair cancels, see _has_finite_absurd), mirrored
+    in the oracle twin."""
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
@@ -179,6 +216,7 @@ def q_pandas_udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
         & (F.size("embedding") == 64)
         & ~F.exists("embedding", lambda x: x.isNull())
+        & ~_has_finite_absurd(F.col("embedding"))
     )
     return e.groupBy("label").applyInPandas(
         centroid, schema="label int, n long, c1 double, c2 double, c3 double"

@@ -101,22 +101,40 @@ def _bucketable(vcol):
     return _finite_vec(vcol) & F.exists(vcol, lambda x: x != 0)
 
 
+# Magnitude bound for a CONFORMING embedding element (r9, ADVICE r8 #2 —
+# the vector analog of registry.MONEY_MAX). `isfinite` is not enough: the
+# storage type is float32, so a corrupted-but-finite ±3.4e38 element passes
+# every NULL/NaN/Inf check, then its double products (~1e77) outrank every
+# real neighbor and pass every >= τ cut in BOTH engines — agreeing garbage
+# no twin compare can flag — and a ± pair cancels fold-order-dependently
+# (numpy's pairwise mat@basis vs DuckDB's sequential fold), the exact
+# divergence class MONEY_MAX closed for money sums in r8. Real embedding
+# features are O(1)–O(100) (the fixtures' max |x| is 0.58); 1e6 gives any
+# legitimate pipeline huge headroom while keeping the worst conforming dot
+# |Σ 64·B²| = 6.4e13 < 2^53, so double accumulation never absorbs a
+# unit-scale term into invisibility.
+VEC_ABS_MAX = 1e6
+
+
 def _finite_vec(vcol):
     """Embedding conformance contract for every similarity/stat consumer
-    (r8, VERDICT r7 #2): declared width AND every element present and
-    finite. NULL vectors, ragged/truncated rows, and element-NULL/NaN/±Inf
+    (r8, VERDICT r7 #2; magnitude bound r9, ADVICE r8 #2): declared width
+    AND every element present, finite, and |x| <= VEC_ABS_MAX. NULL
+    vectors, ragged/truncated rows, and element-NULL/NaN/±Inf/finite-absurd
     values are excluded BY CONTRACT in both twins — DuckDB's
     list_inner_product THROWS on ragged/element-NULL input (no try_
-    variant), Spark's zip_with fold silently yields NULL/NaN, and a NaN
+    variant), Spark's zip_with fold silently yields NULL/NaN, a NaN
     dot PASSES every >= τ cut in both engines (NaN sorts above all
-    numerics) — so without one shared declared population, a dirty lake
-    either crashes the oracle or reports NaN-poisoned garbage as
-    neighbors. Oracle twin: :data:`O_VEC_CONFORM`. All-zero vectors stay
-    (their sims are exactly 0.0 in both engines); `_bucketable` adds the
-    nonzero test only where sign-LSH needs it."""
-    inf = float("inf")
+    numerics), and a finite-absurd element's dot outranks every real
+    neighbor in both (see VEC_ABS_MAX) — so without one shared declared
+    population, a dirty lake either crashes the oracle or reports
+    garbage as neighbors. Oracle twin: :data:`O_VEC_CONFORM`. All-zero
+    vectors stay (their sims are exactly 0.0 in both engines);
+    `_bucketable` adds the nonzero test only where sign-LSH needs it.
+    NaN needs the explicit isnan (NaN > B is FALSE in Spark comparisons);
+    ±Inf folds into the magnitude test (abs(±Inf) > B)."""
     return (F.size(vcol) == DIM) & ~F.exists(
-        vcol, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf)
+        vcol, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > VEC_ABS_MAX)
     )
 
 
@@ -124,7 +142,7 @@ def _finite_vec(vcol):
 # minus its LSH-only nonzero clause). Interpolate into an oracle WHERE.
 O_VEC_CONFORM = (
     "len(embedding) = 64 AND len(list_filter(embedding,"
-    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+    f" x -> x IS NULL OR isnan(x) OR abs(x) > {VEC_ABS_MAX:.1f})) = 0"
 )
 
 
@@ -364,16 +382,17 @@ def _lsh_tables(n_tables: int, n_bits: int, vcol):
 @query(
     "q_cosine_neardup",
     # the t CTE's WHERE is the oracle twin of _bucketable: malformed vectors
-    # (NULL/ragged/element-NULL/NaN/±Inf/all-zero) are excluded from near-dup
-    # detection BY CONTRACT in both engines (NaN >= 0.8 is TRUE in both, and
-    # an Inf element dots to NaN against a 0 or opposite-Inf position, so
-    # without the mirror a NaN/Inf-degraded corpus would hash-diverge)
-    oracle="""
+    # (NULL/ragged/element-NULL/NaN/±Inf/finite-absurd/all-zero) are
+    # excluded from near-dup detection BY CONTRACT in both engines
+    # (NaN >= 0.8 is TRUE in both, an Inf element dots to NaN against a 0
+    # or opposite-Inf position, and a finite-absurd float32 element's
+    # ~1e77 dot passes every cut in both — see VEC_ABS_MAX)
+    oracle=f"""
     WITH t AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE len(embedding) = 64
           AND len(list_filter(embedding,
-                              x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  x -> x IS NULL OR isnan(x) OR abs(x) > {VEC_ABS_MAX:.1f})) = 0
           AND len(list_filter(embedding, x -> x != 0)) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -226,6 +226,34 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_dedup_substring_apply": 8,
     "q_bigram_pmi": 8,   # already an in-window r4 burn-in row — zero net
                          # window cost (the r7 digitsum precedent)
+    # --- r9 vector magnitude bound (ADVICE r8 #2 — the finite-absurd
+    # class on the embedding axis): _finite_vec/O_VEC_CONFORM now require
+    # |element| <= VEC_ABS_MAX in BOTH twins (a float32-extreme ±3.4e38
+    # passes every isfinite contract, then its ~1e77 double dot outranks
+    # every real neighbor in both engines — agreeing garbage — and a ±
+    # pair cancels fold-order-dependently, the exact class MONEY_MAX
+    # closed for sums in r8). The pandas twins (U2/U3) exclude only
+    # finite-absurd elements, keeping their declared NaN/±Inf → NULL
+    # rendering mirror. No-op on conforming corpora (fixture max |x| is
+    # 0.58); direct-assertion pins + a predicate twin property landed with
+    # the change (tests/test_degenerate.py, tests/test_properties.py).
+    "q_ann_topk": 8,
+    "q_knn_classify": 8,
+    "q_cosine_neardup": 8,
+    "q_embedding_norms": 8,
+    "q_semantic_search": 8,
+    "q_decontaminate_semantic": 8,
+    "q_cross_lingual_neardup": 8,
+    "q_hybrid_search_rrf": 8,     # oracle interpolates O_VEC_CONFORM
+    "q_pandas_udf_dot": 8,
+    "q_pandas_udaf_centroid": 8,
+    # rows-only clustered twins sharing the population (recall floors +
+    # pair-count certificates are their primary gates; these rows re-enter
+    # honestly because the conformance population changed):
+    "q_decontaminate_semantic_clustered": 8,
+    "q_cross_lingual_neardup_clustered": 8,
+    "q_semdedup_clustered": 8,    # in-window r4 row — zero net cost
+    "q_ann_ivf_topk": 8,          # in-window r4 row — zero net cost
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -436,7 +436,13 @@ def _degrade_embeddings(emb):
     engines, so NaN rows are the one malformed class that could REACH the
     output — the conformance contract must exclude them in both twins),
     19th ±Inf-poisoned (r7 full-round review: Inf dots to NaN against a 0
-    or opposite-Inf position, so non-finite is non-bucketable too)."""
+    or opposite-Inf position, so non-finite is non-bucketable too),
+    23rd finite-absurd (r9, ADVICE r8 #2: one +3e38 element — the float32
+    extreme passes every isfinite contract, and its ~1e37 dots OUTRANK
+    every real neighbor in BOTH engines: agreeing garbage only a magnitude
+    bound can exclude), 29th a finite-absurd ± CANCEL pair (+3e38/-3e38 at
+    two positions — numpy's pairwise fold vs DuckDB's sequential fold
+    diverge once they cancel, the MONEY_MAX class on the vector axis)."""
     from pyspark.sql import functions as F
 
     return emb.withColumn(
@@ -472,8 +478,45 @@ def _degrade_embeddings(emb):
                 .otherwise(x),
             ),
         )
+        .when(
+            F.col("vec_id") % 23 == 0,
+            # finite-absurd (r9): the float32 extreme is FINITE — it passes
+            # every NULL/NaN/Inf check, then dots to ~±1e37 in double and
+            # outranks every real neighbor in both engines
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 3, F.lit(3.0e38).cast("float"))
+                .otherwise(x),
+            ),
+        )
+        .when(
+            F.col("vec_id") % 29 == 0,
+            # finite-absurd ± cancel pair (r9): positions 2 and 5 carry
+            # equal _BASIS weight (0.125), so the pandas-twin products
+            # ±3.75e37 cancel — fold-order-dependently across numpy
+            # (pairwise) and DuckDB (sequential), the money-class shape
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 2, F.lit(3.0e38).cast("float"))
+                .when(i == 5, F.lit(-3.0e38).cast("float"))
+                .otherwise(x),
+            ),
+        )
         .otherwise(F.col("embedding")),
     )
+
+
+def _planted_absurd_ids(n: int) -> set[int]:
+    """vec_ids that _degrade_embeddings poisons with a finite-absurd element
+    — i.e. hit the %23/%29 branches and are NOT captured by an earlier
+    when (the chain takes the FIRST matching branch)."""
+    earlier = (5, 7, 11, 13, 17, 19)
+    return {
+        v
+        for v in range(n)
+        if (v % 23 == 0 or v % 29 == 0)
+        and not any(v % m == 0 for m in earlier)
+    }
 
 
 @pytest.fixture(scope="module")
@@ -537,6 +580,64 @@ def test_cosine_neardup_twin_agrees_on_degraded_corpus(spark, duck, degvec_sf):
     run_compare(
         spark, duck, "q_cosine_neardup",
         QS["q_cosine_neardup"], all_oracles()["q_cosine_neardup"], degvec_sf,
+    )
+
+
+def test_ann_topk_excludes_finite_absurd_vectors(spark, degvec_sf):
+    """The finite-absurd exclusion (r9, ADVICE r8 #2) is only observable
+    DIRECTLY: a +3e38 float32 element passes every isfinite contract, its
+    double dot (~1e37) OUTRANKS every real neighbor, and BOTH engines
+    agree on the garbage ranking — a twin compare stays green while every
+    query's top-k fills with poisoned ids. The magnitude bound must keep
+    the planted rows out of the corpus side entirely, and every surviving
+    similarity must stay at real-embedding scale."""
+    rows = QS["q_ann_topk"](spark, degvec_sf).collect()
+    assert rows, "conforming corpus rows must still produce neighbors"
+    planted = _planted_absurd_ids(500)
+    assert planted, "recipe must plant finite-absurd rows at sf0.001"
+    leaked = {r.t_id for r in rows} & planted
+    assert not leaked, f"finite-absurd ids outranked real neighbors: {leaked}"
+    assert all(abs(r.sim) < 1e3 for r in rows)
+
+
+def test_pandas_twins_exclude_finite_absurd_keep_nan_mirror(spark, degvec_sf):
+    """The pandas twins keep the r7 NaN→NULL rendering mirror (NaN-element
+    rows stay, their dot is NULL) but must EXCLUDE finite-absurd rows (r9):
+    no mirror can reconcile numpy's pairwise fold with DuckDB's sequential
+    fold once a ±3.75e37 product pair cancels, and a single absurd element
+    is agreeing garbage at ±1e37. Pins both halves of the contract."""
+    rows = QS["q_pandas_udf_dot"](spark, degvec_sf).collect()
+    by_id = {r.vec_id: r.basis_dot for r in rows}
+    planted = _planted_absurd_ids(500)
+    assert not planted & set(by_id), "finite-absurd rows must be excluded"
+    # NaN-element rows (%17, not hit by an earlier when) keep the mirror:
+    # present, rendered NULL (basis weight at position 0 is -0.125 != 0)
+    nan_ids = {
+        v for v in range(500)
+        if v % 17 == 0 and not any(v % m == 0 for m in (5, 7, 11, 13))
+    }
+    assert nan_ids <= set(by_id), "NaN-element rows must keep flowing"
+    assert all(by_id[v] is None for v in nan_ids)
+    # surviving dots are at real-embedding scale
+    assert all(d is None or abs(d) < 1e3 for d in by_id.values())
+
+
+def test_pandas_centroid_twin_agrees_with_absurd_cancel_pair(
+    spark, duck, degvec_sf
+):
+    """The ± cancel pair (%29 rows) is the exact arrangement that forces
+    numpy's pairwise mean and DuckDB's sequential AVG apart when it leaks
+    into a group — the money-cancellation class on the vector axis. With
+    the exclusion in both twins the compare must hash-match on the
+    degraded corpus."""
+    from aws_etl_microservice_redshift_datalake_spark import all_oracles
+
+    from tests.conftest import run_compare
+
+    run_compare(
+        spark, duck, "q_pandas_udaf_centroid",
+        QS["q_pandas_udaf_centroid"],
+        all_oracles()["q_pandas_udaf_centroid"], degvec_sf,
     )
 
 

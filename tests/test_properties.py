@@ -1026,3 +1026,65 @@ def test_guarded_bigint_twin_property(spark, duck, qtys):
     for i in got:
         g, w = got[i], want[i]
         assert g == w or (g is None and w is None), (i, qtys[i], g, w)
+
+
+# --------------------------------------------------------------------------
+# r9 vector-conformance twin (ADVICE r8 #2): _finite_vec vs O_VEC_CONFORM
+# --------------------------------------------------------------------------
+
+def _duck_float_literal(v) -> str:
+    if v is None:
+        return "CAST(NULL AS FLOAT)"
+    if v != v:
+        return "'NaN'::FLOAT"
+    if v == float("inf"):
+        return "'Infinity'::FLOAT"
+    if v == float("-inf"):
+        return "'-Infinity'::FLOAT"
+    return f"CAST({v!r} AS FLOAT)"
+
+
+_vec_element = st.one_of(
+    st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False),  # real scale
+    st.sampled_from([
+        None,
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        1e6,            # exactly ON the bound — conforming
+        -1e6,
+        1000000.0625,   # the next float32 ABOVE the bound — non-conforming
+        -1000000.0625,
+        3.0e38,         # float32-extreme finite-absurd
+        -3.0e38,
+        0.0,
+    ]),
+)
+
+
+@given(
+    vec=st.lists(_vec_element, min_size=64, max_size=64),
+    width=st.sampled_from([63, 64]),
+)
+@settings(**_SETTINGS)
+def test_vec_conform_twin_property(spark, duck, vec, width):
+    """_finite_vec(embedding) on Spark must agree with O_VEC_CONFORM on
+    DuckDB for ANY element mix — real-scale floats, NULL, NaN, ±Inf, the
+    exact VEC_ABS_MAX boundary (conforming), one float32 ulp above it
+    (non-conforming), and the float32-extreme finite-absurd ±3e38 (the
+    agreeing-garbage class the r9 magnitude bound excludes) — at both the
+    declared width and a truncated one. Elements run as FLOAT on both
+    sides, exactly the production storage type."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
+        O_VEC_CONFORM, _finite_vec,
+    )
+
+    vec = vec[:width]
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    got = df.select(_finite_vec(F.col("embedding")).alias("ok")).collect()[0].ok
+    lits = ", ".join(_duck_float_literal(v) for v in vec)
+    want = duck.execute(
+        f"SELECT {O_VEC_CONFORM} AS ok"
+        f" FROM (SELECT [{lits}]::FLOAT[] AS embedding) t"
+    ).fetchone()[0]
+    assert bool(got) == bool(want), (vec, got, want)
