@@ -2064,31 +2064,26 @@ def test_twin_gate_mixed_corpus(spark, duck, degmixed_sf, name):
     run_compare(spark, duck, name, QS[name], engine.all_oracles()[name], degmixed_sf)
 
 
-# The vector analog of the finite-absurd money class — the r10 oracle
-# batch, by the raw-sum/dirty-DATE convention (ADVICE r8, queued in r9):
-# _finite_vec/O_VEC_CONFORM require elements present and finite, so a
-# FINITE-absurd element (±1e200) still conforms; its dot products overflow
-# to ±Inf or inf-cancel to NaN, and NaN compares greater than everything in
-# BOTH engines, so such vectors pass every >= tau cut and outrank real
-# neighbors in both twins — agreeing garbage no twin gate can flag. Fix is
-# a magnitude bound in the element conformance predicate (|x| <= VEC_MAX,
-# mirrored in O_VEC_CONFORM; generous — legal embedding elements are
-# unit-ish, and 1e6 keeps a 64-term dot below 6.4e13, far from overflow).
-# Deliberately batched to r10 because the 9 oracled consumers below are all
-# r8-green (rank ~9 burn-in): each edit would cost a rank-0 recheck slot
-# and the r9 window is exactly consumed by the 13-query raw-sum wave plus
-# the entire <=r4 staleness tail (VERDICT r8 #1/#2 priority order). These
-# are measured AGREEING on every gate — latent until a degraded lake
-# arranges an absurd-but-finite element — and q_cosine_neardup's
-# _bucketable inherits the bound through _finite_vec for free.
-_VEC_MAG_R10_BATCH: frozenset[str] = frozenset({
-    "q_ann_topk", "q_cosine_neardup", "q_cross_lingual_neardup",
-    "q_decontaminate_semantic", "q_embedding_norms", "q_hybrid_search_rrf",
-    "q_knn_classify", "q_semantic_search", "q_semdedup",
-    # + the two Arrow-boundary kernels whose population mirrors element
-    # conformance at the pandas edge (same bound, same batch):
-    "q_pandas_udf_dot", "q_pandas_udaf_centroid",
-})
+# CLEARED in r9 (landed the same round it was queued — ADVICE r8 #2): the
+# vector analog of the finite-absurd money class. _finite_vec/O_VEC_CONFORM
+# now require |element| <= vectors.VEC_ABS_MAX (1e6) in BOTH twins, so a
+# FINITE-absurd float32 element (±3.4e38 — which passes every isfinite
+# check, then outranks every real neighbor at ~1e77 double dot in both
+# engines and cancels fold-order-dependently as a ± pair) is excluded by
+# contract; the pandas twins (U2/U3) exclude only finite-absurd elements,
+# keeping their declared NaN/±Inf → NULL rendering mirror. The
+# _degrade_embeddings recipe plants both sentinel shapes (%23 single
+# absurd, %29 cancel pair at equal-basis positions), so every composed
+# gate exercises the bound; direct-assertion pins cover the
+# agreeing-garbage half no twin compare can see
+# (test_ann_topk_excludes_finite_absurd_vectors and kin), and
+# test_vec_conform_twin_property pins predicate parity on FLOAT including
+# the exact bound and one float32 ulp above it. The original r10 batching
+# was overtaken: landing cost 12 recheck slots, displacing 12 r4-green
+# tail rows to r10 — the VERDICT-accepted straggler outcome, traded for
+# closing the last declared latent class a round earlier. Kept as an
+# (empty) set so the batch math reads unchanged.
+_VEC_MAG_R10_BATCH: frozenset[str] = frozenset()
 
 
 # CLEARED in r9 (the first-commit batch VERDICT r8 #1 demanded): the 13
