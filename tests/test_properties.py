@@ -1088,3 +1088,33 @@ def test_vec_conform_twin_property(spark, duck, vec, width):
         f" FROM (SELECT [{lits}]::FLOAT[] AS embedding) t"
     ).fetchone()[0]
     assert bool(got) == bool(want), (vec, got, want)
+
+
+@given(
+    vec=st.lists(_vec_element, min_size=64, max_size=64),
+)
+@settings(**_SETTINGS)
+def test_pandas_finite_absurd_twin_property(spark, duck, vec):
+    """The pandas twins' NARROWER exclusion (r9): _has_finite_absurd on
+    Spark must agree with _O_NO_FINITE_ABSURD's filter on DuckDB for any
+    element mix. Unlike the full conformance predicate, NaN/±Inf elements
+    must NOT trip it (they keep the U2/U3 NaN→NULL rendering mirror) —
+    only a present, non-NaN, non-Inf element beyond VEC_ABS_MAX may.
+    Guards the mirror-vs-exclusion boundary the corpus pins exercise at
+    only a few planted shapes."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.udfs import (
+        _O_NO_FINITE_ABSURD, _has_finite_absurd,
+    )
+
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    got = (
+        df.select(_has_finite_absurd(F.col("embedding")).alias("bad"))
+        .collect()[0].bad
+    )
+    lits = ", ".join(_duck_float_literal(v) for v in vec)
+    # the oracle spelling is "no finite-absurd element present" — negate
+    want_ok = duck.execute(
+        f"SELECT {_O_NO_FINITE_ABSURD} AS ok"
+        f" FROM (SELECT [{lits}]::FLOAT[] AS embedding) t"
+    ).fetchone()[0]
+    assert bool(got) == (not want_ok), (vec, got, want_ok)
