@@ -1118,3 +1118,45 @@ def test_pandas_finite_absurd_twin_property(spark, duck, vec):
         f" FROM (SELECT [{lits}]::FLOAT[] AS embedding) t"
     ).fetchone()[0]
     assert bool(got) == (not want_ok), (vec, got, want_ok)
+
+
+_nchars_extremes = [
+    None, -1, 0, 1, (1 << 40), (1 << 40) + 1, (1 << 63) - 1, -(1 << 63),
+]
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(0, 10**6),
+            st.sampled_from(_nchars_extremes),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_nchars_guard_sum_twin_property(spark, duck, vals):
+    """The document-stats conformance guard (registry.N_CHARS_MAX, r7
+    stats axis): SUM over `CASE WHEN x BETWEEN 0 AND 2^40` must agree
+    across engines for any int64 mix including the overflow sentinels —
+    one Long.MAX row THROWS Spark's ANSI SUM(bigint) while DuckDB's
+    int128 SUM sails past it, so only the shared BETWEEN population keeps
+    the twins identical (and the exact 2^40 boundary stays IN, 2^40+1
+    OUT, in both). Same bar the money/quantity helpers carry."""
+    from aws_etl_microservice_redshift_datalake_spark.registry import N_CHARS_MAX
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    guarded = F.when(
+        (F.col("x") >= 0) & (F.col("x") <= N_CHARS_MAX), F.col("x")
+    )
+    got = df.agg(F.sum(guarded).alias("s")).collect()[0].s
+    rows = ", ".join(
+        f"({'CAST(NULL AS BIGINT)' if v is None else v})" for v in vals
+    ) or "(CAST(NULL AS BIGINT))"
+    where = "" if vals else " WHERE FALSE"
+    want = duck.execute(
+        f"SELECT CAST(SUM(CASE WHEN x BETWEEN 0 AND {N_CHARS_MAX} THEN x END)"
+        f" AS BIGINT) AS s FROM (VALUES {rows}) t(x){where}"
+    ).fetchone()[0]
+    assert got == want or (got is None and want is None), (vals, got, want)
