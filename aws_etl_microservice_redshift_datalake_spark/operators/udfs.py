@@ -50,7 +50,9 @@ def _has_finite_absurd(vcol):
 
 _O_NO_FINITE_ABSURD = (
     "len(list_filter(embedding, x -> x IS NOT NULL AND NOT isnan(x)"
-    f" AND NOT isinf(x) AND abs(x) > {VEC_ABS_MAX:.1f})) = 0"
+    # !r, not :.1f — keeps the interpolated bound exact if VEC_ABS_MAX is
+    # ever tuned off the one-decimal grid (ADVICE r9); identical text today.
+    f" AND NOT isinf(x) AND abs(x) > {VEC_ABS_MAX!r})) = 0"
 )
 
 

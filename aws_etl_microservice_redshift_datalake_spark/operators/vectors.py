@@ -131,8 +131,13 @@ def _finite_vec(vcol):
     garbage as neighbors. Oracle twin: :data:`O_VEC_CONFORM`. All-zero
     vectors stay (their sims are exactly 0.0 in both engines);
     `_bucketable` adds the nonzero test only where sign-LSH needs it.
-    NaN needs the explicit isnan (NaN > B is FALSE in Spark comparisons);
-    ±Inf folds into the magnitude test (abs(±Inf) > B)."""
+    Both engines order NaN above all numerics, so abs(NaN) > B is TRUE in
+    Spark AND DuckDB and the magnitude test alone would already exclude
+    NaN; the explicit isnan is kept for clarity of intent (NaN is a
+    distinct non-conformance class, not an absurd magnitude), not because
+    the comparison would miss it (ADVICE r9: an earlier revision of this
+    note claimed the inverse). ±Inf folds into the magnitude test
+    (abs(±Inf) > B)."""
     return (F.size(vcol) == DIM) & ~F.exists(
         vcol, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > VEC_ABS_MAX)
     )
@@ -142,7 +147,10 @@ def _finite_vec(vcol):
 # minus its LSH-only nonzero clause). Interpolate into an oracle WHERE.
 O_VEC_CONFORM = (
     "len(embedding) = 64 AND len(list_filter(embedding,"
-    f" x -> x IS NULL OR isnan(x) OR abs(x) > {VEC_ABS_MAX:.1f})) = 0"
+    # !r (full repr), not :.1f — a tuned bound not exact at one decimal
+    # would silently desync the oracle predicate from the Spark predicate
+    # (ADVICE r9); for the current 1e6 the two spellings are identical.
+    f" x -> x IS NULL OR isnan(x) OR abs(x) > {VEC_ABS_MAX!r})) = 0"
 )
 
 

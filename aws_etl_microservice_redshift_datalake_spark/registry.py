@@ -179,81 +179,13 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN) - _DRIVER_RED
 # green in CORRECTNESS_r06 on the changed code (VERDICT r6 §3), so their
 # entries expired and are pruned.
 _RECHECK_CHANGED: dict[str, int] = {
-    # r9 changes land before the r9 driver run, so they are recorded at 8
-    # (a round-9 green verifies them). All r8 entries (recorded at 7) were
-    # verified green in CORRECTNESS_r08 on the changed code (VERDICT r8 §1:
-    # every _RECHECK_CHANGED query got a green r8 row), so they expired and
-    # are pruned.
-    #
-    # --- r9 raw-sum conformance wave (VERDICT r8 #1 — the last known
-    # 100 TB crash/poison class): the 13 raw money/quantity SUMs whose
-    # twins still folded unguarded doubles migrated to
-    # money_col/o_money_col (QTY_MAX where the column is an integral
-    # quantity) in BOTH twins. Same finite-absurd class the r8 composed
-    # gate caught on events.value: a ±1e308 passes every isfinite
-    # contract, absorbs all real values in a running sum, cancels
-    # order-dependently against its opposite sign, and two same-sign
-    # sentinels overflow to ±Inf on BOTH engines — agreeing garbage no
-    # twin compare flags. No-op on conforming data (the driver corpus;
-    # FIXTURES.md money is 2-decimal rationals far below MONEY_MAX).
-    "q_agg_global": 8,       # min/max take the same conformance population
-    "q_agg_having": 8,
-    "q_agg_salted": 8,       # guard on the phase-1 partial-sum input
-    "q_compact_roundtrip": 8,
-    "q_customer_rfm": 8,     # + explicit NULLS LAST on the monetary NTILE
-    "q_ingest_orc_roundtrip": 8,
-    "q_join_salted": 8,
-    "q_merge_upsert": 8,
-    "q_pricing_summary": 8,
-    "q_sql_modern_agg": 8,       # s_money_col in the Spark-SQL body
-    "q_sql_parameterized": 8,    # s_money_col in the Spark-SQL body
-    "q_sql_priority_class": 8,   # s_money_col in the Spark-SQL body
-    "q_window_ratio_to_report": 8,  # numerator + window-sum denominator
-    # --- r9 plan fusion (VERDICT r8 #5): q_semdedup's population/quality
-    # stages fused into the single narrow (doc_id, n_chars) inner join the
-    # oracle's t CTE already spells — three fewer joins, bit-identical
-    # output (same population contract, same drop rule; oracle unchanged).
-    "q_semdedup": 8,
-    # --- r9 oracle de-quadratization (found by the new composed
-    # content-axis gate, VERDICT r8 #8): the DuckDB list-SLICE gram idiom
-    # (array_to_string(t[i:i+k], ' ') inside list_transform) and the
-    # correlated lateral unnest both drag the whole token list into every
-    # position — >150 s vs <0.5 s on ten 50k-token docs. Rewritten to the
-    # element-indexed _SHINGLE_SQL idiom; byte-identical gram strings
-    # (EXCEPT-ALL verified on the driver corpus). Spark twins untouched.
-    "q_decontaminate_ngram": 8,
-    "q_dedup_substring": 8,
-    "q_dedup_substring_apply": 8,
-    "q_bigram_pmi": 8,   # already an in-window r4 burn-in row — zero net
-                         # window cost (the r7 digitsum precedent)
-    # --- r9 vector magnitude bound (ADVICE r8 #2 — the finite-absurd
-    # class on the embedding axis): _finite_vec/O_VEC_CONFORM now require
-    # |element| <= VEC_ABS_MAX in BOTH twins (a float32-extreme ±3.4e38
-    # passes every isfinite contract, then its ~1e77 double dot outranks
-    # every real neighbor in both engines — agreeing garbage — and a ±
-    # pair cancels fold-order-dependently, the exact class MONEY_MAX
-    # closed for sums in r8). The pandas twins (U2/U3) exclude only
-    # finite-absurd elements, keeping their declared NaN/±Inf → NULL
-    # rendering mirror. No-op on conforming corpora (fixture max |x| is
-    # 0.58); direct-assertion pins + a predicate twin property landed with
-    # the change (tests/test_degenerate.py, tests/test_properties.py).
-    "q_ann_topk": 8,
-    "q_knn_classify": 8,
-    "q_cosine_neardup": 8,
-    "q_embedding_norms": 8,
-    "q_semantic_search": 8,
-    "q_decontaminate_semantic": 8,
-    "q_cross_lingual_neardup": 8,
-    "q_hybrid_search_rrf": 8,     # oracle interpolates O_VEC_CONFORM
-    "q_pandas_udf_dot": 8,
-    "q_pandas_udaf_centroid": 8,
-    # rows-only clustered twins sharing the population (recall floors +
-    # pair-count certificates are their primary gates; these rows re-enter
-    # honestly because the conformance population changed):
-    "q_decontaminate_semantic_clustered": 8,
-    "q_cross_lingual_neardup_clustered": 8,
-    "q_semdedup_clustered": 8,    # in-window r4 row — zero net cost
-    "q_ann_ivf_topk": 8,          # in-window r4 row — zero net cost
+    # All 32 r9 entries (recorded at 8 — the raw-sum conformance wave, the
+    # q_semdedup fusion, the oracle de-quadratization batch, and the
+    # VEC_ABS_MAX magnitude-bound family) were verified green in
+    # CORRECTNESS_r09 on the changed code (VERDICT r9 #2 checked this
+    # programmatically: every entry has a green r9 hash/rows row), so they
+    # expired and are pruned (r10 kickoff row 1). Empty = no query's
+    # implementation changed after its latest green driver row.
 }
 
 _RECHECK: frozenset[str] = frozenset(
@@ -280,9 +212,40 @@ _RECHECK: frozenset[str] = frozenset(
 # (tests/test_quality.py::test_lsh_ann_recall_vs_exact) is the ceiling, and
 # it already consumed rows-only driver rows in r4 AND r8 (the second one
 # displacing a burn-in slot, which this entry prevents recurring).
+# ADJUDICATED r10 (VERDICT r9 #2 — park every PERMANENT rows-only query so
+# no r10+ window slot is spent on a row that carries no hash signal; each
+# ceiling lives in an always-on pytest, the same bar as q_freq_items):
+# - q_hash_native: rows-permanent since the r4 adjudication — DuckDB ships
+#   none of xxhash64/crc32-as-bigint/murmur3; its determinism/reference
+#   pins (tests/test_quality.py::test_hash_native_deterministic_across_runs
+#   and kin) are a stronger check than any cross-engine compare could be.
+#   Consumed its rows-only row in r4 and was next in the burn-in line;
+#   parking stops a second no-signal row.
+# - q_dq_profile_approx: approx_count_distinct/approx_percentile HLL/KLL
+#   internals are engine-specific by design (no cross-engine value compare
+#   can exist); the exact-twin error-bound pytest (tests/test_quality.py)
+#   is the ceiling. Rows-only rows in r3/r9.
+# - q_ann_ivf_topk: IVF probe sets are (centroid-seed, nprobe)-specific;
+#   the recall-vs-exact floor (tests/test_quality.py::
+#   test_ivf_ann_recall_vs_exact) is the ceiling (same class as the
+#   parked q_ann_lsh_topk). Rows-only rows in r3/r4/r9.
+# - q_semdedup_clustered / q_decontaminate_semantic_clustered /
+#   q_cross_lingual_neardup_clustered: the clustered 100 TB scale-path
+#   twins of three hash-green exact queries — cluster assignments are
+#   kmeans-seed-specific, so their gates are the per-query pytest
+#   recall/subset floors vs their exact twins plus the pair-count
+#   certificate (scale_check.py --paircount). Rows-only rows in r4–r5/r9
+#   (and their EXACT twins stay unparked, carrying full hash signal for
+#   the shared conformance population).
 _DEFER: frozenset[str] = frozenset({
     "q_freq_items",
     "q_ann_lsh_topk",
+    "q_hash_native",
+    "q_dq_profile_approx",
+    "q_ann_ivf_topk",
+    "q_semdedup_clustered",
+    "q_decontaminate_semantic_clustered",
+    "q_cross_lingual_neardup_clustered",
 })
 
 

@@ -519,6 +519,18 @@ def _planted_absurd_ids(n: int) -> set[int]:
     }
 
 
+def _degvec_n(degvec_dir: str) -> int:
+    """Row count of the degraded embeddings fixture, read from the parquet
+    footers (ADVICE r9: the planted-id leak checks hardcoded the sf0.001
+    corpus size 500; if the fixture ever grows, a literal bound silently
+    stops covering planted ids >= 500 — derive it instead)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(
+        os.path.join(degvec_dir, "embeddings.parquet")
+    ).count_rows()
+
+
 @pytest.fixture(scope="module")
 def degvec_sf(spark) -> str:
     """Degraded embeddings — the vector-lake reality the clean fixtures never
@@ -593,7 +605,7 @@ def test_ann_topk_excludes_finite_absurd_vectors(spark, degvec_sf):
     similarity must stay at real-embedding scale."""
     rows = QS["q_ann_topk"](spark, degvec_sf).collect()
     assert rows, "conforming corpus rows must still produce neighbors"
-    planted = _planted_absurd_ids(500)
+    planted = _planted_absurd_ids(_degvec_n(degvec_sf))
     assert planted, "recipe must plant finite-absurd rows at sf0.001"
     leaked = {r.t_id for r in rows} & planted
     assert not leaked, f"finite-absurd ids outranked real neighbors: {leaked}"
@@ -608,12 +620,13 @@ def test_pandas_twins_exclude_finite_absurd_keep_nan_mirror(spark, degvec_sf):
     is agreeing garbage at ±1e37. Pins both halves of the contract."""
     rows = QS["q_pandas_udf_dot"](spark, degvec_sf).collect()
     by_id = {r.vec_id: r.basis_dot for r in rows}
-    planted = _planted_absurd_ids(500)
+    n = _degvec_n(degvec_sf)
+    planted = _planted_absurd_ids(n)
     assert not planted & set(by_id), "finite-absurd rows must be excluded"
     # NaN-element rows (%17, not hit by an earlier when) keep the mirror:
     # present, rendered NULL (basis weight at position 0 is -0.125 != 0)
     nan_ids = {
-        v for v in range(500)
+        v for v in range(n)
         if v % 17 == 0 and not any(v % m == 0 for m in (5, 7, 11, 13))
     }
     assert nan_ids <= set(by_id), "NaN-element rows must keep flowing"
