@@ -1165,3 +1165,197 @@ def apply_substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         F.size(kt).cast("int").alias("n_kept"),
         (F.size("t") - F.size(kt)).cast("int").alias("n_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken '03 — the MOSS
+# local-fingerprinting algorithm; r10 extension)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 3   # tokens per gram (shared with the shingle family's k)
+WINNOW_W = 4   # winnowing window: one fingerprint selected per w grams
+WINNOW_DF_MAX = 10  # boilerplate cap: fingerprints in more docs don't pair
+
+
+def _winnow_oracle() -> str:
+    """DuckDB twin of q_winnow_fingerprint. Gram hashes via the linear
+    element-indexed idiom (_elem_gram_sql — the list-SLICE spelling is
+    quadratic, the r9 finding) and per-window minima via least() over w
+    element accesses, so the whole selection is O(tokens) per document.
+    md5 hex strings compare lexicographically identically in both engines
+    (lowercase ASCII hex on UTF-8 bytes in both)."""
+    gram = _elem_gram_sql("t", WINNOW_K)
+    wins = ", ".join(f"hs[p+{j}]" for j in range(WINNOW_W))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {WINNOW_K}
+                    THEN list_transform(
+                        generate_series(1, len(t) - {WINNOW_K - 1}),
+                        i -> md5({gram}))
+                    ELSE [] END AS hs
+        FROM toks
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(hs) - {WINNOW_W - 1}),
+                   p -> least({wins}))) AS fp
+        FROM grams WHERE len(hs) >= {WINNOW_W}
+    ),
+    capped AS (
+        SELECT fp FROM fp GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {WINNOW_DF_MAX}
+    ),
+    partners AS (
+        SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_partners
+        FROM fp a
+        JOIN capped c ON a.fp = c.fp
+        JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id
+    ),
+    prof AS (
+        SELECT g.doc_id,
+               CAST(CASE WHEN len(hs) >= 1 THEN len(hs) ELSE 0 END
+                    AS BIGINT) AS n_grams,
+               CAST(CASE WHEN len(hs) >= {WINNOW_W}
+                    THEN len(list_distinct(list_transform(
+                        generate_series(1, len(hs) - {WINNOW_W - 1}),
+                        p -> least({wins}))))
+                    ELSE 0 END AS BIGINT) AS n_fp
+        FROM grams g
+    )
+    SELECT p.doc_id, p.n_grams, p.n_fp,
+           CAST(COALESCE(pa.n_partners, 0) AS BIGINT) AS n_partners
+    FROM prof p LEFT JOIN partners pa ON p.doc_id = pa.doc_id
+    """
+
+
+@query("q_winnow_fingerprint", oracle=_winnow_oracle())
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. '03, the MOSS
+    algorithm) — the published LOCAL fingerprinting guarantee the rest of
+    the dedup family lacks: selecting the minimum gram hash in every
+    sliding window of w grams guarantees any shared token run of length
+    ≥ w + k − 1 shares at least one selected fingerprint, while storing
+    only ~1/w of the grams (MinHash bounds whole-document resemblance;
+    ExactSubstr needs the k-token run itself to hash-join). Output per
+    surviving document: gram count, distinct selected fingerprints, and
+    the number of partner documents sharing a capped fingerprint — the
+    candidate-set size a plagiarism/partial-overlap pass would verify.
+
+    Scale shape: gram hashing and window minima are ROW-LOCAL HOF chains
+    (transform over sequence + least of element_at — zero shuffle, linear
+    per token since element access is O(1)); only the SELECTED
+    fingerprints (~n_grams/w rows) explode into the pairing stage. The
+    pairing is deliberately a SINGLE pipeline, never a self-join of the
+    exploded relation: reusing that subtree in two join branches lets
+    CollapseProject + join-side isnotnull pushdown inline the whole
+    winnow expression into per-element references — each element_at then
+    rebuilds the ENTIRE gram-hash array, O(n²) md5s per document
+    (measured 204 s vs 0.6 s at sf0.001 building this query; the
+    _shingle_arrays materialize-first rule generalized to HOF chains
+    under a Generate). Instead: one shuffle on fp, a window COUNT for the
+    document frequency (count-only — no giant per-key array before the
+    cap), the df ≤ {WINNOW_DF_MAX} boilerplate cap, THEN collect_set over
+    the ≤ df_max survivors (bounded arrays) and a row-local double
+    explode into distinct partner pairs — the same hot-key discipline as
+    the minhash band join, with the hot fingerprint's C(df,2) fan-out
+    capped by a constant. NULL-text docs are excluded by contract (no
+    text, no fingerprints — the shingle-family rule); docs with fewer
+    than w + k − 1 tokens keep a profile row with n_fp = 0 and never
+    pair."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    hs = F.when(
+        F.size("t") >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - WINNOW_K),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at("t", i + j + 1) for j in range(WINNOW_K)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", hs.alias("hs"))
+    fps = F.when(
+        F.size("hs") >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("hs") - WINNOW_W),
+                lambda p: F.least(
+                    *[F.element_at("hs", p + j + 1) for j in range(WINNOW_W)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    prof = g.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        fps.alias("fps"),
+    )
+    # Single pipeline from here: explode_OUTER → window df → cap → bounded
+    # collect_set → row-local pair fan-out → distinct → per-doc count.
+    # explode_outer, not explode: InferFiltersFromGenerate adds a
+    # `size(fps) > 0` filter for a non-outer explode, and pushing it to
+    # the scan substitutes the whole winnow expression — that filter is
+    # the O(n²) monster described above. Outer explode infers nothing;
+    # the cheap pre-filter below guarantees non-empty fps anyway, so the
+    # outer form emits exactly the same rows (the isNotNull guard is a
+    # belt for the impossible NULL row, evaluated on the materialized
+    # attribute just above the Generate — never below it).
+    docs_long_enough = d.filter(F.size("t") >= WINNOW_K + WINNOW_W - 1)
+    hs_long = F.transform(
+        F.sequence(F.lit(0), F.size("t") - WINNOW_K),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at("t", i + j + 1) for j in range(WINNOW_K)],
+            )
+        ),
+    )
+    fps_long = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - WINNOW_W),
+            lambda p: F.least(
+                *[F.element_at("hs", p + j + 1) for j in range(WINNOW_W)]
+            ),
+        )
+    )
+    partners = (
+        docs_long_enough.select("doc_id", hs_long.alias("hs"))
+        .select("doc_id", fps_long.alias("fps"))
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df").between(2, WINNOW_DF_MAX))
+        .groupBy("fp")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .select(F.explode("docs").alias("doc_id"), "docs")
+        .select("doc_id", F.explode("docs").alias("partner"))
+        .filter(F.col("doc_id") != F.col("partner"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+    return (
+        prof.select("doc_id", "n_grams", F.size("fps").cast("bigint").alias("n_fp"))
+        .join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            F.coalesce("n_partners", F.lit(0)).cast("bigint").alias("n_partners"),
+        )
+    )

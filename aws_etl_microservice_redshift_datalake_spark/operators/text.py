@@ -1056,6 +1056,120 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 parameters (Robertson et al.; the Lucene/Elasticsearch defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_term_sql(t: str) -> str:
+    """One BM25 term, spelled for BOTH dialects (every token parses
+    identically in DuckDB and Spark SQL): idf(t) · tf·(k1+1) / (tf + k1·
+    (1−b + b·dl/avgdl)) with the Lucene idf = ln(1 + (N−df+0.5)/(df+0.5))
+    (always ≥ 0), rounded to the 1e-6 grid and decimal-cast so the
+    |terms|-term sum is exact fixed-order addition (the q_keyword_search /
+    q_unigram_logprob float rule). `dl`/`avgdl` are provided columns;
+    operator spelling (left-assoc `a * b / c`, the literal constants
+    2.2/1.2/0.25/0.75) must stay textually identical to the Spark
+    expression in _bm25_spark."""
+    tf = f"CAST({_kw_tf_sql(t)} AS DOUBLE)"
+    idf = (
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5))"
+    )
+    return (
+        f"CAST(ROUND({idf} * ({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 *"
+        f" (dl / avgdl))), 6) AS DECIMAL(27,6))"
+    )
+
+
+def _bm25_oracle() -> str:
+    dfs = _kw_dfs_sql()
+    score = " + ".join(_bm25_term_sql(t) for t in KW_TERMS)
+    return f"""
+    WITH stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(COUNT(text) AS DOUBLE) AS avgdl,
+               {dfs}
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+               n_docs, avgdl, {", ".join(f"df_{t}" for t in KW_TERMS)}
+        FROM documents CROSS JOIN stats
+        WHERE {_kw_anyhit_sql()}
+    )
+    SELECT doc_id, lang, CAST(({score}) AS DOUBLE) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {KW_TOPK}
+    """
+
+
+@query("q_bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene default
+    scorer) — the production upgrade of q_keyword_search's raw TF-IDF:
+    term frequency saturates (k1 = 1.2) and long documents are normalized
+    against the corpus mean length (b = 0.75), so a 50k-token page can't
+    outrank a short exact hit by repetition alone — exactly the property a
+    crawl-scale lexical index needs.
+
+    Scale shape (the q_keyword_search plan, unchanged by the richer
+    arithmetic): tf and dl are ROW-LOCAL over the token array (no explode,
+    no corpus shuffle); N, avgdl, and the |terms| document frequencies come
+    from ONE tiny aggregate broadcast back; ranking is a global top-k
+    (TakeOrdered heaps, no full sort). Float discipline: dl/avgdl and each
+    BM25 term are IEEE double chains with textually identical spelling in
+    both twins (avgdl = exact bigint token-count sum ÷ exact non-null
+    count, one correctly-rounded division), each term rounded to the 1e-6
+    grid then decimal-summed in fixed order — the only cross-engine
+    exposure is a libm ln ulp landing exactly on a grid boundary, the
+    standing q_keyword_search caveat. NULL-text docs: tf/dl are NULL, so
+    they fail every `tf > 0` hit test in both engines and drop from N's
+    avgdl numerator/denominator identically (SUM/COUNT skip NULL)."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(toks)).cast("double")
+            / F.count("text").cast("double")
+        ).alias("avgdl"),
+        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
+    )
+    dl = F.size(toks).cast("double")
+    score = None
+    anyhit = None
+    for t in KW_TERMS:
+        tfd = tf(t).cast("double")
+        df = F.col(f"df_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df + F.lit(0.5))
+            / (df + F.lit(0.5))
+        )
+        term = F.round(
+            idf * (tfd * F.lit(2.2))
+            / (tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl / F.col("avgdl")))),
+            6,
+        ).cast(T.DecimalType(27, 6))
+        score = term if score is None else score + term
+        h = tf(t) > 0
+        anyhit = h if anyhit is None else anyhit | h
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .filter(anyhit)
+        .select("doc_id", "lang", score.cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(KW_TOPK)
+    )
+
+
 def _rrf_oracle() -> str:
     # NOT a deferred import (ADVICE r8): the decorator argument below runs
     # this at text.py module-load time. The function-local import avoids a

@@ -1965,6 +1965,26 @@ def degmixed_advtext_sf(spark) -> str:
     )
 
 
+@pytest.fixture(scope="module")
+def degmixed_advshift_sf(spark) -> str:
+    """The FOURTH composed variant (r10, VERDICT r9 #6 — the last composed
+    blind spot): crawl-grade adversarial CONTENT layered on the
+    KEY-SHIFTED corpus. The advtext duplicate cluster and payloads are
+    planted on the ORIGINAL small ids (value recipes chain before
+    _shift_keys, the standing composition order), then doc_id/vec_id shift
+    TOGETHER to snowflake scale — so gram/fingerprint/dedup oracles must
+    agree while their ids exercise 19-digit arithmetic (digitsum folds,
+    id-tiebreaks, LEAST/GREATEST pair canonicalization) AND their text is
+    adversarial, the id-remap x gram-oracle interaction no other corpus
+    arranges. The fixed-id ANN/search family runs its legal empty-query
+    path here (ids shift past `vec_id < K`), exactly as on degmixed_sf —
+    real scoring under advtext stays covered by the unshifted variant."""
+    return _build_mixed(
+        spark, os.path.join(process_scratch(), "sf-degmixed-advshift"),
+        shift=True, adversarial_text=True,
+    )
+
+
 @pytest.mark.parametrize("name", list(QS), ids=list(QS))
 def test_query_survives_mixed_degradation(spark, degmixed_sf, name):
     """The whole registry must execute when every table is degraded at
@@ -1984,6 +2004,19 @@ def test_query_survives_mixed_advtext(spark, degmixed_advtext_sf, name):
     assumes clean money/vectors (or vice versa) passes both single-axis
     sweeps and fails only here."""
     df = QS[name](spark, degmixed_advtext_sf)
+    rows = df.collect()  # FULL materialization (see the sweeps above)
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", list(QS), ids=list(QS))
+def test_query_survives_mixed_advshift(spark, degmixed_advshift_sf, name):
+    """The whole registry must also execute with adversarial content ON
+    snowflake-scale keys (r10 fourth variant): a gram/dedup/fingerprint
+    guard that quietly assumes small ids (or an id-arithmetic guard that
+    assumes clean text) passes the other three composed sweeps and fails
+    only here."""
+    df = QS[name](spark, degmixed_advshift_sf)
     rows = df.collect()  # FULL materialization (see the sweeps above)
     assert len(rows) >= 0
     assert len(df.schema.fields) > 0
@@ -2147,6 +2180,27 @@ def test_twin_gate_mixed_corpus_advtext(spark, duck, degmixed_advtext_sf, name):
     run_compare(
         spark, duck, name, QS[name], engine.all_oracles()[name],
         degmixed_advtext_sf,
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_TWIN_GATE") != "1",
+    reason="full mixed-corpus twin gate (adversarial-content + shifted-keys "
+    "variant): ~20 min; run explicitly with SPARK_GRAFT_TWIN_GATE=1",
+)
+@pytest.mark.parametrize("name", _FULL_GATE, ids=_FULL_GATE)
+def test_twin_gate_mixed_corpus_advshift(spark, duck, degmixed_advshift_sf, name):
+    """The full gate on the fourth composed corpus (r10, VERDICT r9 #6):
+    both engines must agree when crawl-grade adversarial text and the
+    duplicate cluster ride on SNOWFLAKE-SCALE ids with every other axis
+    degraded — the regime where an id-remap interacting with a gram/
+    fingerprint/tiebreak oracle (19-digit digitsums, id-ordered pair
+    canonicalization, bigint id joins) would first diverge."""
+    from tests.conftest import run_compare
+
+    run_compare(
+        spark, duck, name, QS[name], engine.all_oracles()[name],
+        degmixed_advshift_sf,
     )
 
 

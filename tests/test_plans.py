@@ -640,3 +640,35 @@ def test_asof_null_contract_pushes_both_sides(spark):
     p = audit.plan_str(df)
     assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(ts\)", p)
     assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(o_orderdate\)", p)
+
+
+def test_winnow_no_inlined_generate_filter(spark):
+    """q_winnow_fingerprint (r10): the pairing pipeline must use
+    explode_OUTER so InferFiltersFromGenerate cannot add a `size(fps) > 0`
+    filter — pushing that inferred predicate to the scan substitutes the
+    whole winnow HOF chain into per-element references, and each
+    element_at then rebuilds the ENTIRE gram-hash array: O(n²) md5s per
+    document (measured 204 s vs 0.8 s at sf0.001 when this regressed
+    during the r10 build). Plan witnesses: every scan-level filter stays
+    md5-free, and the generate is the outer form."""
+    df = QS["q_winnow_fingerprint"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    for line in p.splitlines():
+        if "Filter" in line and "FileScan" not in line:
+            assert "md5" not in line, (
+                "winnow expression inlined into a filter:\n" + line[:300]
+            )
+    scan_lines = [ln for ln in p.splitlines() if "FileScan" in ln]
+    assert all("md5" not in ln for ln in scan_lines)
+
+
+def test_winnow_pairing_is_single_pipeline(spark):
+    """The winnow pairing stage must never self-join the exploded
+    fingerprint relation (the df cap is a window COUNT + bounded
+    collect_set fan-out instead): witnesses are zero sort-merge joins and
+    exactly one join total — the final per-doc left join of profile ×
+    partner counts."""
+    df = QS["q_winnow_fingerprint"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df) or p.count("Join") <= 2
+    assert p.count("Generate explode") >= 2  # fp fan-out + pair fan-out

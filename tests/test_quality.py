@@ -975,3 +975,67 @@ def test_session_memo_racing_rewrite_across_threads(spark):
     assert not results["a"].storageLevel.useMemory, "stale relation still pinned"
     results["b"].unpersist()
     memo.clear()
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark, tmp_path):
+    """Winnowing's published guarantee (Schleimer et al. '03): any token
+    run of length >= w + k - 1 shared by two documents shares at least one
+    SELECTED fingerprint — so the planted pair must report each other as
+    partners, while a fully-unique doc reports none and a doc below the
+    window threshold keeps a profile row with n_fp = 0. Uses k=3/w=4
+    (WINNOW_K/WINNOW_W), so the magic run length is 6 tokens."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    run_len = WINNOW_K + WINNOW_W - 1            # 6: one full window of grams
+    planted = [f"p{i}" for i in range(run_len)]
+    mk = lambda pre, n: [f"{pre}{i}" for i in range(n)]
+    docs = [
+        (1, " ".join(mk("a", 15) + planted + mk("b", 9))),
+        (2, " ".join(mk("c", 7) + planted + mk("d", 12))),
+        (3, " ".join(mk("e", 40))),              # unique: no partner
+        (4, " ".join(mk("f", 4))),               # short: profile, no window
+        (5, None),                               # null text: excluded
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = {r.doc_id: r for r in QS["q_winnow_fingerprint"](spark, sf).collect()}
+    assert set(rows) == {1, 2, 3, 4}, "null text excluded, short doc kept"
+    assert rows[1].n_partners >= 1 and rows[2].n_partners >= 1, (
+        "planted >= w+k-1 overlap must share a selected fingerprint"
+    )
+    assert rows[3].n_partners == 0
+    assert rows[4].n_fp == 0 and rows[4].n_partners == 0
+    assert rows[4].n_grams == max(0, 4 - WINNOW_K + 1) == 2
+    # profile arithmetic: n_grams = tokens - k + 1, n_fp <= window count
+    assert rows[3].n_grams == 40 - WINNOW_K + 1
+    assert 1 <= rows[3].n_fp <= rows[3].n_grams - WINNOW_W + 1
+
+
+def test_bm25_saturates_and_length_normalizes(spark, tmp_path):
+    """BM25's two defining properties vs raw TF-IDF (q_keyword_search):
+    term-frequency SATURATION (k1) and document-LENGTH normalization (b).
+    A 5000-token doc stuffing the query term 50x must not outscore a
+    10-token doc with one exact hit by anything like the 50x a raw
+    tf·idf gives — with k1=1.2/b=0.75 the planted ratio is ~1.2x. Docs
+    without any query term must not appear."""
+    filler = lambda pre, n: " ".join(f"{pre}{i}" for i in range(n))
+    docs = [
+        (1, "hash " + filler("a", 9), "en"),                  # dl 10, tf 1
+        (2, ("hash " * 50) + filler("b", 5000), "en"),        # dl 5050, tf 50
+        (3, filler("c", 40), "en"),                           # no hit
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r.score for r in QS["q_bm25_search"](spark, sf).collect()}
+    assert set(rows) == {1, 2}, "only docs matching a query term rank"
+    assert rows[1] > 0 and rows[2] > 0
+    assert rows[2] / rows[1] < 2.0, (
+        f"term-stuffed long doc outscored the exact hit {rows[2]/rows[1]:.1f}x "
+        "— saturation/length-norm missing"
+    )
