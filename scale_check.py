@@ -93,6 +93,14 @@ QUERIES = [
     # hash join and row-local token surgery; expected ~linear like its
     # report twin.
     "q_dedup_substring_apply",
+    # round 10: BM25 (row-local tf/dl + one broadcast stats aggregate —
+    # expected ~linear, same shape as q_keyword_search) and winnowing
+    # fingerprints (row-local selection, one fp shuffle, df-capped pair
+    # fan-out — expected ~linear; the amplified clones multiply each
+    # fingerprint's df 10x, so MORE fps fall OUT of the [2,10] cap, which
+    # bounds not inflates the pair stage).
+    "q_bm25_search",
+    "q_winnow_fingerprint",
 ]
 
 
