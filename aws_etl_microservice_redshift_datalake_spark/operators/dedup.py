@@ -1269,10 +1269,21 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, no fingerprints — the shingle-family rule); docs with fewer
     than w + k − 1 tokens keep a profile row with n_fp = 0 and never
     pair."""
+    return winnow_report(
+        load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def winnow_report(docs: DataFrame) -> DataFrame:
+    """Library form of q_winnow_fingerprint over any (doc_id, text)
+    relation — split out so the brute-force property twin
+    (tests/test_properties.py) can drive it on in-memory corpora without
+    parquet staging. See the query docstring for the algorithm and the
+    plan-shape contract."""
     from pyspark.sql.window import Window
 
     d = (
-        load_spread(spark, sf_dir, "documents")
+        docs
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("t"))
     )

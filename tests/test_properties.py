@@ -1160,3 +1160,73 @@ def test_nchars_guard_sum_twin_property(spark, duck, vals):
         f" AS BIGINT) AS s FROM (VALUES {rows}) t(x){where}"
     ).fetchone()[0]
     assert got == want or (got is None and want is None), (vals, got, want)
+
+
+_winnow_docs = st.lists(
+    # tiny vocab so grams collide across docs (the df-cap path triggers);
+    # lengths straddle every contract boundary: <k (no grams), k..k+w-2
+    # (grams but no window), >= k+w-1 (full winnowing)
+    st.lists(st.integers(0, 5), min_size=0, max_size=14),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _brute_winnow(docs, k, w, dfmax):
+    """Reference winnowing (Schleimer et al. '03): md5 gram hashes, min per
+    sliding window (lexicographic over lowercase hex = the engines' string
+    order), distinct selected set per doc, partner = shares a fingerprint
+    whose document frequency is in [2, dfmax]."""
+    import hashlib
+
+    prof, owners = {}, {}
+    for doc_id, toks in docs:
+        grams = (
+            [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k else []
+        )
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        sel = (
+            {min(hs[p:p + w]) for p in range(len(hs) - w + 1)}
+            if len(hs) >= w else set()
+        )
+        prof[doc_id] = (len(hs), len(sel))
+        for f in sel:
+            owners.setdefault(f, set()).add(doc_id)
+    partners = {d: set() for d in prof}
+    for f, ds in owners.items():
+        if 2 <= len(ds) <= dfmax:
+            for a in ds:
+                partners[a] |= ds - {a}
+    return {
+        d: (g, s, len(partners[d])) for d, (g, s) in prof.items()
+    }
+
+
+@given(docs=_winnow_docs)
+@settings(**_SETTINGS)
+def test_winnow_report_matches_bruteforce(spark, docs):
+    """q_winnow_fingerprint's whole pipeline (gram md5 → window min →
+    distinct selection → df-capped partner count) must equal a
+    third-opinion Python reference on random corpora — including the
+    short-doc (no grams / no window) and empty-corpus boundaries the
+    planted test can't sweep."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        WINNOW_DF_MAX,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_report,
+    )
+    from pyspark.sql import functions as F
+
+    named = [(i, [f"w{t}" for t in toks]) for i, toks in enumerate(docs)]
+    rows = [(i, " ".join(toks)) for i, toks in named]
+    d = spark.createDataFrame(
+        rows or [(None, None)], "doc_id long, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        r.doc_id: (r.n_grams, r.n_fp, r.n_partners)
+        for r in winnow_report(d).collect()
+    }
+    want = _brute_winnow(named, WINNOW_K, WINNOW_W, WINNOW_DF_MAX)
+    assert got == want
