@@ -220,6 +220,28 @@ COMMENTARY = {
         "duplicated doc cleans to the empty string in both engines "
         "(oracle COALESCEs DuckDB's NULL empty-list join)."
     ),
+    "q_bm25_search": (
+        "BM25 ranking (round 10): the q_keyword_search plan with richer "
+        "row-local arithmetic — ONE tiny stats aggregate (N, avgdl, "
+        "per-term df) broadcast back into the corpus scan, tf/dl computed "
+        "as HOF filters over the token array inside codegen (no explode, "
+        "no corpus shuffle), TakeOrdered global top-k (per-partition "
+        "heaps, no full sort). Scan-bound at 100 TB; the saturation/"
+        "length-norm arithmetic adds zero plan nodes."
+    ),
+    "q_winnow_fingerprint": (
+        "Winnowing fingerprints (round 10): selection (gram md5 + window "
+        "minima) is entirely row-local HOF chains; the pairing stage is "
+        "ONE pipeline — explode_outer → window COUNT df on the fp shuffle "
+        "→ [2,10] cap → bounded collect_set → row-local pair fan-out → "
+        "distinct — then a single per-doc join back to the profile. "
+        "explode_outer is load-bearing: plain explode lets "
+        "InferFiltersFromGenerate push a size(fps)>0 filter to the scan "
+        "with full expression substitution, and each element_at inside it "
+        "rebuilds the whole gram array — O(n²) md5s per document "
+        "(measured 204 s → 0.8 s at sf0.001; pinned by two plan "
+        "contracts in tests/test_plans.py)."
+    ),
 }
 
 
