@@ -242,6 +242,19 @@ COMMENTARY = {
         "(measured 204 s → 0.8 s at sf0.001; pinned by two plan "
         "contracts in tests/test_plans.py)."
     ),
+    "q_setsim_join": (
+        "Exact set-similarity join (round 10): AllPairs prefix filter + "
+        "PPJoin length/positional prunes. Canonical rare-first order is "
+        "one linear token shuffle (df) + a row-local per-set sort — no "
+        "global vocabulary sort; the prefix relation is persisted + "
+        "memoized (its self-join would otherwise re-run the df-hydration "
+        "chain per side); candidates join prefix-token to prefix-token "
+        "pinned SHUFFLE_HASH (both sides corpus-scale on a crawl), dedupe "
+        "BEFORE the verify, and the verify hydrates full sets by doc_id "
+        "for a row-local exact intersect. All three prunes are provably "
+        "lossless — cost-only — certified by the brute-force oracle and "
+        "the random-corpus property."
+    ),
 }
 
 

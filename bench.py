@@ -73,11 +73,13 @@ HEADLINE = [
     # row-local token surgery) — compare r8+ totals against 31 queries
     "q_dedup_substring_apply",
     # round 10: BM25 lexical ranking (saturated tf + length norm, the
-    # Lucene scorer) and winnowing local fingerprints (window-min gram
-    # selection + capped partner pairing) — compare r11+ totals against
-    # 33 queries
+    # Lucene scorer), winnowing local fingerprints (window-min gram
+    # selection + capped partner pairing), and the exact AllPairs
+    # set-similarity join (lossless prefix filter) — compare r11+ totals
+    # against 34 queries
     "q_bm25_search",
     "q_winnow_fingerprint",
+    "q_setsim_join",
 ]
 
 

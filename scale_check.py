@@ -101,6 +101,10 @@ QUERIES = [
     # bounds not inflates the pair stage).
     "q_bm25_search",
     "q_winnow_fingerprint",
+    # round 10b: exact set-similarity join — the decorrelated replicas
+    # have disjoint shingle spaces, so prefix-token fan-out stays within
+    # each replica family and candidate work grows ~linearly
+    "q_setsim_join",
 ]
 
 

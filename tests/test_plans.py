@@ -672,3 +672,17 @@ def test_winnow_pairing_is_single_pipeline(spark):
     p = audit.plan_str(df, "simple")
     assert not audit.has_sort_merge_join(df) or p.count("Join") <= 2
     assert p.count("Generate explode") >= 2  # fp fan-out + pair fan-out
+
+
+def test_setsim_no_cartesian_no_corpus_broadcast(spark):
+    """q_setsim_join (r10): the candidate stage must be a prefix-token
+    equi self-join over the persisted prefix relation — never a
+    cartesian/BNLJ, and never a broadcast of a corpus-scale side (every
+    corpus join is hinted SHUFFLE_HASH). The verify must dedupe
+    candidates BEFORE hydrating the full sets."""
+    df = QS["q_setsim_join"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p
+    assert "InMemoryTableScan" in p, "prefix/sets memos must serve the joins"

@@ -1230,3 +1230,59 @@ def test_winnow_report_matches_bruteforce(spark, docs):
     }
     want = _brute_winnow(named, WINNOW_K, WINNOW_W, WINNOW_DF_MAX)
     assert got == want
+
+
+_setsim_docs = st.lists(
+    # tiny vocab + short docs: shingles collide across docs constantly, so
+    # mid-range Jaccards (the regime where a WRONG prefix length silently
+    # drops pairs) are common
+    st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(docs=_setsim_docs, tau=st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+@settings(**_SETTINGS)
+def test_setsim_prefix_filter_lossless(spark, docs, tau):
+    """The AllPairs prefix filter must be LOSSLESS: q_setsim_join's
+    library form equals brute-force all-pairs exact Jaccard on random
+    set corpora at several thresholds — the direct certificate of the
+    prefix-length theorem (n − ceil(τ·n) + 1) that the DuckDB oracle
+    re-proves only on the fixture corpus."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        setsim_join_sets,
+    )
+    from pyspark.sql import functions as F
+
+    # shingle sets the same way the query does (3-gram strings, whole-doc
+    # fallback), then intern strings to ints — the filter is hash-agnostic
+    def shingles(toks):
+        ts = [f"w{t}" for t in toks]
+        if len(ts) >= 3:
+            return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+        return {" ".join(ts)}
+
+    interned: dict[str, int] = {}
+    sets = []
+    for i, toks in enumerate(docs):
+        ids = {interned.setdefault(s, len(interned)) for s in shingles(toks)}
+        sets.append((i, sorted(ids)))
+    d = spark.createDataFrame(
+        sets or [(None, None)], "doc_id long, sh array<long>"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in setsim_join_sets(d, tau).collect()
+    }
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            sa, sb = set(sets[a][1]), set(sets[b][1])
+            i = len(sa & sb)
+            j = i / (len(sa) + len(sb) - i)
+            if j >= tau:
+                want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-15
