@@ -237,6 +237,16 @@ _RECHECK: frozenset[str] = frozenset(
 #   certificate (scale_check.py --paircount). Rows-only rows in r4–r5/r9
 #   (and their EXACT twins stay unparked, carrying full hash signal for
 #   the shared conformance population).
+# ADJUDICATED r10 (extending VERDICT r9 #2 to the last unfloored pair so
+# EVERY rows-only query is parked with a pytest ceiling):
+# - q_agg_approx_distinct: HLL internals are engine/merge-order specific;
+#   the rsd error-bound pytest (tests/test_quality.py::
+#   test_approx_count_distinct_close) is the ceiling. Rows-only rows in
+#   r1/r5.
+# - q_agg_approx_pct: KLL/GK sketch medians are implementation-defined;
+#   the rank-bound pytest (tests/test_quality.py::
+#   test_approx_percentile_rank_bound, landed with this park) is the
+#   ceiling. Rows-only rows in r1/r5.
 _DEFER: frozenset[str] = frozenset({
     "q_freq_items",
     "q_ann_lsh_topk",
@@ -246,6 +256,8 @@ _DEFER: frozenset[str] = frozenset({
     "q_semdedup_clustered",
     "q_decontaminate_semantic_clustered",
     "q_cross_lingual_neardup_clustered",
+    "q_agg_approx_distinct",
+    "q_agg_approx_pct",
 })
 
 

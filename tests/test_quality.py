@@ -1039,3 +1039,32 @@ def test_bm25_saturates_and_length_normalizes(spark, tmp_path):
         f"term-stuffed long doc outscored the exact hit {rows[2]/rows[1]:.1f}x "
         "— saturation/length-norm missing"
     )
+
+
+def test_approx_percentile_rank_bound(spark):
+    """KLL/GK sketch median (q_agg_approx_pct, rows-only contract) must
+    return an OBSERVED value whose rank sits within the sketch's
+    accuracy guarantee of the true median rank (accuracy 10000 ⇒ rank
+    error ≤ n/10000; +2 slack for ties at this sf) — the pytest ceiling
+    that lets the query park beside the other sketches (r10, VERDICT r9
+    #2 extended to the last unfloored rows-only pair)."""
+    import bisect
+
+    approx = {
+        r["l_returnflag"]: (r["approx_median_price"], r["n"])
+        for r in QS["q_agg_approx_pct"](spark, SF_MED).collect()
+    }
+    vals = {}
+    for r in load_table(spark, SF_MED, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect():
+        vals.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert approx.keys() == vals.keys()
+    for k, (m, n) in approx.items():
+        xs = sorted(vals[k])
+        assert n == len(xs)
+        lo, hi = bisect.bisect_left(xs, m), bisect.bisect_right(xs, m)
+        target = 0.5 * n
+        tol = n / 10000 + 2
+        assert lo - tol <= target <= hi + tol, (k, m, lo, hi, target)
+        assert lo < hi, "approx median must be an observed value"
