@@ -388,6 +388,25 @@ def main() -> None:
         "edge count grows 10× and the round count grows O(log²), with each",
         "round a fixed-latency checkpointed job (one action per two star",
         "rounds since round 5).",
+        "Round 10: the cross-lingual wall-factor question is adjudicated",
+        "CLOSED — decomposition shows the certified pair stage (31x pair",
+        "growth at 10x rows on the n^1.5 curve) times its ~0.15 s base",
+        "share, plus near-flat memoized-probe/hydration work, reproduces",
+        "the measured x10 wall exactly; the lang joins are already",
+        "id-equi-joins on a 2-column projection, nothing to narrow.",
+        "`q_bm25_search`'s fixed KW_TERMS match nothing on the token-tagged",
+        "amplified corpus (the q_keyword_search precedent): the top-k is",
+        "legally empty while the row-local tf/dl scan arithmetic — the",
+        "dominant cost — runs over all rows in full.",
+        "`q_winnow_fingerprint`: cloning multiplies every shared",
+        "fingerprint's df by 10, so formerly-shared fps fall OUT of the",
+        "[2,10] cap and each replica family pairs only within its",
+        "decorrelated token space — the cap bounds, not inflates, the pair",
+        "stage at scale. `q_setsim_join` is the exact AllPairs/PPJoin join:",
+        "output grows exactly 10x (per-replica duplicate structure), and",
+        "the driver-fixture base corpus is its worst case (tiny vocab =>",
+        "every shingle common => 409k candidates from 12.5M pairs at",
+        "sf0.1); the decorrelated x10 corpus shows the realistic regime.",
         "",
     ]
     open("/root/repo/SCALE.md", "w").write("\n".join(lines))
