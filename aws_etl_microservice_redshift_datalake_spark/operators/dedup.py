@@ -1524,8 +1524,14 @@ def setsim_join_sets(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
         F.col("pos").alias("jb"), F.col("h").alias("h2"),
     )
+    # required overlap t = ceil(τ/(1+τ)·(na+nb)), with a 1e-9 slack before
+    # the ceil: the two float roundings (τ/(1+τ) in Python, the product in
+    # Spark) can land a hair ABOVE an exact integer boundary (e.g. τ=0.5,
+    # na+nb divisible by 3), and ceil would then demand t+1 — silently
+    # pruning a qualifying pair whose overlap is exactly t. The slack can
+    # only LOWER the bound (admit more candidates), never lose one.
     need = F.ceil(
-        F.lit(tau / (1.0 + tau)) * (F.col("na") + F.col("nb"))
+        F.lit(tau / (1.0 + tau)) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
     ).cast("int")
     cand = (
         a.join(

@@ -1286,3 +1286,32 @@ def test_setsim_prefix_filter_lossless(spark, docs, tau):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-15
+
+
+def test_setsim_exact_threshold_boundary_pair_kept(spark):
+    """A pair sitting EXACTLY at J = τ with overlap exactly at the
+    required-overlap integer boundary must be reported — the positional
+    filter's ceil arithmetic may not lose it to float rounding (the
+    1e-9 slack before the ceil in dedup.py pins exactly this)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        setsim_join_sets,
+    )
+
+    cases = [
+        # (tau, set_a, set_b): J exactly τ with t exactly hit
+        (0.5, [1, 2, 3], [2, 3, 4]),                 # i=2, J=2/4=0.5, t=2
+        (0.3, [1, 2, 3, 4, 5, 6],
+              [4, 5, 6, 7, 8, 9, 10]),               # i=3, J=3/10=0.3, t=3
+    ]
+    for tau, set_a, set_b in cases:
+        d = spark.createDataFrame(
+            [(0, sorted(set_a)), (1, sorted(set_b))],
+            "doc_id long, sh array<long>",
+        )
+        rows = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in setsim_join_sets(d, tau).collect()
+        }
+        assert (0, 1) in rows, f"boundary pair lost at tau={tau}"
+        i = len(set(set_a) & set(set_b))
+        assert rows[(0, 1)] == i / (len(set(set_a)) + len(set(set_b)) - i)
