@@ -1287,3 +1287,94 @@ def q_cross_lingual_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataF
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     pairs = _clustered_pairs(spark, sf_dir, SEMDEDUP_TAU)
     return _cross_lingual_report(d, pairs)
+
+
+@query(
+    "q_embedding_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE {O_VEC_CONFORM}
+    ),
+    rng AS (
+        SELECT label, v, list_min(v) AS mn, list_max(v) AS mx,
+               list_max(v) - list_min(v) AS r
+        FROM e
+    ),
+    err AS (
+        SELECT label, r,
+               list_transform(v, x -> abs(x - (mn +
+                   (CASE WHEN r > 0.0
+                         THEN least(floor((x - mn) * 255.0 / r), 255.0)
+                         ELSE 0.0 END) * r / 255.0))) AS errs
+        FROM rng
+    ),
+    per_row AS (
+        SELECT label, r,
+               list_inner_product(errs, list_transform(errs, x -> 1.0))
+                   / 64.0 AS mean_err
+        FROM err
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           {o_exact_sum("mean_err", 9, 6)} AS sum_mean_err,
+           ROUND(MAX(mean_err), 9) AS max_mean_err,
+           {o_exact_sum("r", 6, 4)} AS sum_range
+    FROM per_row
+    GROUP BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector INT8 scalar quantization with a reconstruction-error
+    report — the embedding-compression op a 100 TB vector lake runs
+    before deciding storage precision (4× smaller than float32; the
+    report says what cosine math would lose). Codes are
+    ``floor((x − min)·255/(max − min))`` clamped to [0, 255] (constant
+    vectors — including the conforming all-zero rows — quantize to code
+    0 with zero error), reconstruction is the affine inverse, and the
+    report aggregates per-label: vector count, exact-decimal sum of
+    per-vector mean |error| (each a bit-identical 64-term sequential
+    fold ÷ 2⁶ — an EXACT power-of-two division), max mean error, and the
+    sum of quantization ranges.
+
+    Float discipline: every per-element expression is an identically
+    spelled chain of correctly-rounded IEEE ops on DOUBLE (upcast before
+    min/max so both engines reduce the same values); the per-row fold is
+    the `_dot` left-fold contract (Spark ``aggregate`` ≡ DuckDB
+    ``list_inner_product`` against a ones vector); cross-row sums use
+    exact_sum's grid-round → exact DECIMAL rule. Spark's floor returns
+    BIGINT where DuckDB's returns DOUBLE — both are exact integers
+    ≤ 255, so the re-cast to DOUBLE is value-identical. Scale: entirely
+    row-local arithmetic inside codegen + one map-side-combinable
+    aggregate over ≤ |labels| groups; nothing shuffles but the tiny
+    final groups."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    w = e.select("label", v.alias("v")).select(
+        "label", "v",
+        F.array_min("v").alias("mn"),
+        (F.array_max("v") - F.array_min("v")).alias("r"),
+    )
+    def recon_err(x):
+        code = F.when(
+            F.col("r") > 0.0,
+            F.least(
+                F.floor((x - F.col("mn")) * 255.0 / F.col("r")).cast("double"),
+                F.lit(255.0),
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.abs(x - (F.col("mn") + code * F.col("r") / 255.0))
+
+    errs = F.transform("v", recon_err)
+    per_row = w.select(
+        "label", "r",
+        (
+            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / 64.0
+        ).alias("mean_err"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        exact_sum(F.col("mean_err"), 9, 6).alias("sum_mean_err"),
+        F.round(F.max("mean_err"), 9).alias("max_mean_err"),
+        exact_sum(F.col("r"), 6, 4).alias("sum_range"),
+    )

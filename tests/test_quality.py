@@ -1068,3 +1068,30 @@ def test_approx_percentile_rank_bound(spark):
         tol = n / 10000 + 2
         assert lo - tol <= target <= hi + tol, (k, m, lo, hi, target)
         assert lo < hi, "approx median must be an observed value"
+
+
+def test_embedding_quantize_error_bound(spark, tmp_path):
+    """INT8 scalar quantization (q_embedding_quantize) must respect the
+    step-size guarantee: per-element |error| < range/255, so a vector's
+    mean error is bounded by its quantization step; constant vectors
+    (range 0) and the conforming all-zero vector reconstruct exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, "a", [float(x) for x in rng.uniform(-1, 1, 64).astype("float32")]))
+    rows.append((100, "b", [0.25] * 64))       # constant vector: zero error
+    rows.append((101, "b", [0.0] * 64))        # all-zero: conforming, exact
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.label: r for r in QS["q_embedding_quantize"](spark, sf).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"].n_vecs == 2
+    assert out["b"].sum_mean_err == 0.0 and out["b"].max_mean_err == 0.0
+    # range ≤ 2 for uniform(-1,1) float32 ⇒ step ≤ 2/255; mean err < step
+    assert out["a"].n_vecs == 40
+    assert 0.0 < out["a"].max_mean_err < 2.0 / 255
+    assert float(out["a"].sum_mean_err) < 40 * 2.0 / 255
