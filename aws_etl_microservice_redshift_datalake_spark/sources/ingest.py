@@ -162,3 +162,63 @@ def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         rnd(F.sum(money_col(F.col("c_acctbal")))).alias("sum_bal"),
     )
+
+
+@query(
+    "q_ingest_binaryfile_roundtrip",
+    # the oracle re-derives every per-file fact from the TABLE, so the
+    # hash match proves the whole write→binaryFile-read cycle is lossless
+    # without the oracle ever touching the written files. The text writer
+    # terminates each row with '\n' (lineSep default), so the file bytes
+    # are exactly the UTF-8 text plus one newline — strlen (DuckDB's
+    # BYTE length of a VARCHAR, unlike length's char count) + 1 and
+    # md5(text || chr(10)) are the table-side twins of the file size and
+    # content digest.
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % 20 = 0
+    """,
+)
+def q_ingest_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file ingestion roundtrip — Spark's built-in ``binaryFile``
+    source, the bulk MULTIMODAL ingestion path at 100 TB (raw image/audio
+    files on the lake become (path, modificationTime, length, content)
+    rows; `spark.sql.files.maxPartitionBytes` batches small files per
+    task, and the listing parallelizes like any file source). The fixture
+    leg writes each selected document's text as ONE raw file via a
+    doc_id-partitioned text write (a distributed write — no driver-side
+    file loop), reads the directory back as binary, and reports each
+    file's byte length and content md5 keyed by the doc_id parsed from
+    its path.
+
+    Contract notes: ``recursiveFileLookup`` is set, which DISABLES
+    partition discovery — deliberate, so an EMPTY selection (a degraded
+    lake where every text is NULL) still reads with the fixed binaryFile
+    schema instead of failing on a missing inferred partition column; the
+    doc_id comes from the path string in both the populated and empty
+    branches. The path regex accepts negative ids (snowflake-shifted
+    degraded corpora). md5 runs on the raw bytes JVM-side; nothing but
+    the final tiny projection leaves the scan."""
+    path = f"{process_scratch()}/binfiles-{_tag(sf_dir)}"
+    sel = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 20 == 0))
+        .select("doc_id", "text")
+    )
+    sel.write.mode("overwrite").partitionBy("doc_id").text(path)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(-?\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
