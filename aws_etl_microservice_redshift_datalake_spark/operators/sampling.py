@@ -614,3 +614,189 @@ def q_token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("tokens_kept", F.lit(0).cast("bigint")).alias("tokens_kept"),
         "quality_cut",
     )
+
+
+def _decon_report_oracle() -> str:
+    # assembled from the three siblings' oracle fragments VERBATIM (the
+    # q_decontaminate content-hash CTE, q_decontaminate_ngram's linear
+    # element-indexed gram CTE, q_decontaminate_semantic's conform-filtered
+    # pair CTE) so the composite can never drift from the per-method twins
+    from .dedup import DECON_NGRAM, _elem_gram_sql
+    from .vectors import O_VEC_CONFORM, SEMDECON_TAU
+
+    return f"""
+    WITH split AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+                   AS is_train
+        FROM documents
+    ),
+    hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+    train_h AS (
+        SELECT DISTINCT h FROM hx JOIN split USING (doc_id) WHERE is_train
+    ),
+    exact_hit AS (
+        SELECT DISTINCT hx.doc_id FROM hx JOIN split USING (doc_id)
+        WHERE NOT is_train AND h IN (SELECT h FROM train_h)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(toks) >= {DECON_NGRAM}
+                 THEN list_transform(generate_series(1, len(toks) - {DECON_NGRAM - 1}),
+                                     i -> {_elem_gram_sql("toks", DECON_NGRAM)})
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    train_s AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_train
+    ),
+    ngram_hit AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        JOIN split USING (doc_id)
+        WHERE NOT is_train AND s IN (SELECT s FROM train_s)
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+                   AS is_train
+        FROM embeddings
+        WHERE {O_VEC_CONFORM}
+    ),
+    sem_hit AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM e a JOIN e b ON a.is_train AND NOT b.is_train
+        WHERE list_inner_product(a.v, b.v) >= {SEMDECON_TAU}
+    )
+    SELECT lang,
+           COUNT(*) AS n_test,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM exact_hit))
+               AS n_exact,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM ngram_hit))
+               AS n_ngram,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM sem_hit))
+               AS n_semantic,
+           COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM exact_hit)
+                               OR doc_id IN (SELECT doc_id FROM ngram_hit)
+                               OR doc_id IN (SELECT doc_id FROM sem_hit))
+               AS n_any
+    FROM split WHERE NOT is_train
+    GROUP BY lang
+    """
+
+
+@query("q_decontaminate_report", oracle=_decon_report_oracle())
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE decontamination report — all three published leakage
+    checks (exact content hash, 8-token n-gram overlap, embedding cosine)
+    over ONE shared train/test split, per language: how many held-out docs
+    each method flags and how many ANY method flags. This is the report an
+    evaluation-integrity review actually reads — the per-method queries
+    (q_decontaminate, q_decontaminate_ngram, q_decontaminate_semantic) are
+    its drill-downs, and every stage here re-spells its sibling's twin
+    EXACTLY (same split hash, same gram construction, same `_finite_vec`
+    conformance population and `_dot` ≥ τ cut), so the composite cannot
+    drift from the parts.
+
+    Scale shape = the union of the siblings' shapes, each already
+    documented: one 16-byte-hash semi-join (exact), one n-gram-hash
+    semi-join with row-local shingling (n-gram), one broadcast-test ×
+    streamed-train cosine pass (semantic — the clustered drop-in swaps in
+    at 100 TB), then three tiny per-doc flag joins into one ≤ |langs|
+    aggregate. Docs without a conforming embedding simply cannot be
+    flagged semantically (both twins spell the same population); NULL-text
+    docs produce no hash and no grams — counted in n_test, never
+    leakable."""
+    from .dedup import DECON_NGRAM
+    from .vectors import SEMDECON_TAU, _dot, _embeddings, _finite_vec, _train_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bucket = _train_bucket(F.col("doc_id"))
+    tagged = d.select(
+        "doc_id", "lang", "text", (bucket < 80).alias("is_train")
+    )
+
+    # exact content-hash hits (the q_decontaminate stage, per-doc)
+    hx = tagged.select("doc_id", "is_train", F.md5("text").alias("h"))
+    train_h = hx.filter("is_train").select("h").distinct()
+    exact_hit = (
+        hx.filter(~F.col("is_train"))
+        .join(train_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("x_hit", F.lit(1))
+    )
+
+    # n-gram hits (the q_decontaminate_ngram stage). The token array is
+    # MATERIALIZED in its own projection first — inlining split() into the
+    # transform lambda re-evaluates it per gram position, O(tokens²) per
+    # doc (the _shingle_arrays rule; the first cut of this query inlined
+    # it and a 50k-token advtext doc turned the composed gate into a
+    # >30-minute hang).
+    n = DECON_NGRAM
+    tok_rel = tagged.select(
+        "doc_id", "is_train", F.split("text", " ").alias("toks")
+    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        ),
+    ).when(F.col("toks").isNotNull(), F.array(F.concat_ws(" ", "toks")))
+    sh = tok_rel.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
+        ).alias("s"),
+    )
+    train_s = sh.filter("is_train").select("s").distinct()
+    ngram_hit = (
+        sh.filter(~F.col("is_train"))
+        .join(train_s, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("g_hit", F.lit(1))
+    )
+
+    # semantic hits (the q_decontaminate_semantic stage; vec_id == doc_id)
+    e = (
+        _embeddings(spark, sf_dir)
+        .filter(_finite_vec(F.col("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            (_train_bucket(F.col("vec_id")) < 80).alias("is_train"),
+        )
+    )
+    train_v = e.filter("is_train").select(F.col("embedding").alias("tv"))
+    test_v = e.filter(~F.col("is_train")).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("qv")
+    )
+    sem_hit = (
+        train_v.crossJoin(F.broadcast(test_v))
+        .filter(_dot(F.col("tv"), F.col("qv")) >= SEMDECON_TAU)
+        .select("doc_id")
+        .distinct()
+        .withColumn("s_hit", F.lit(1))
+    )
+
+    test_docs = tagged.filter(~F.col("is_train")).select("doc_id", "lang")
+    flagged = (
+        test_docs.join(exact_hit, "doc_id", "left")
+        .join(ngram_hit, "doc_id", "left")
+        .join(sem_hit, "doc_id", "left")
+    )
+    any_hit = F.when(
+        F.col("x_hit").isNotNull()
+        | F.col("g_hit").isNotNull()
+        | F.col("s_hit").isNotNull(),
+        1,
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.count("x_hit").alias("n_exact"),
+        F.count("g_hit").alias("n_ngram"),
+        F.count("s_hit").alias("n_semantic"),
+        F.count(any_hit).alias("n_any"),
+    )
