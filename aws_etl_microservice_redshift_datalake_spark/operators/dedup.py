@@ -1465,7 +1465,15 @@ def _setsim_prefix(sets: DataFrame, tau: float) -> DataFrame:
     n − ceil(τ·n) + 1, with 1-based position and the set size. Canonical
     order is rare-first (ascending df, ties by hash) — one linear token
     shuffle for df, one df-hydration join, then a ROW-LOCAL sort_array
-    over (df, h) structs; never a global vocabulary sort."""
+    over (df, h) structs; never a global vocabulary sort.
+
+    The ceil carries the same 1e-9 slack as the overlap threshold `need`
+    in setsim_join_sets: for a caller-supplied τ whose double repr sits a
+    hair ABOVE the exact rational (e.g. a τ meant as 7/10), a bare ceil
+    could overshoot an integer boundary and SHORTEN the prefix by one —
+    the lossy direction. Subtracting 1e-9 before the ceil can only lower
+    it, i.e. only LENGTHEN the prefix, which is always sound (ADVICE
+    r10)."""
     tok = sets.select("doc_id", F.explode("sh").alias("h"))
     dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -1478,7 +1486,7 @@ def _setsim_prefix(sets: DataFrame, tau: float) -> DataFrame:
         )
     )
     n = F.size("ordered")
-    p = (n - F.ceil(F.lit(tau) * n) + 1).cast("int")
+    p = (n - F.ceil(F.lit(tau) * n - F.lit(1e-9)) + 1).cast("int")
     return ranked.select(
         "doc_id",
         n.alias("n"),

@@ -1056,9 +1056,18 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# BM25 parameters (Robertson et al.; the Lucene/Elasticsearch defaults)
+# BM25 parameters (Robertson et al.; the Lucene/Elasticsearch defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
+# Literal spellings DERIVED from the constants and shared by both dialect
+# builders (ADVICE r10: the builders previously hardcoded 2.2/1.2/0.25/0.75,
+# so tuning the named constants silently changed nothing). %g keeps the
+# shortest round-trip text; float(text) == the derived double for all four,
+# so the Spark F.lit values and the SQL literals stay value-identical.
+_BM25_K1P1 = f"{BM25_K1 + 1.0:g}"  # tf multiplier k1+1
+_BM25_K1S = f"{BM25_K1:g}"  # saturation k1
+_BM25_1MB = f"{1.0 - BM25_B:g}"  # 1−b
+_BM25_BS = f"{BM25_B:g}"  # length-norm b
 
 
 def _bm25_term_sql(t: str) -> str:
@@ -1068,15 +1077,16 @@ def _bm25_term_sql(t: str) -> str:
     (always ≥ 0), rounded to the 1e-6 grid and decimal-cast so the
     |terms|-term sum is exact fixed-order addition (the q_keyword_search /
     q_unigram_logprob float rule). `dl`/`avgdl` are provided columns;
-    operator spelling (left-assoc `a * b / c`, the literal constants
-    2.2/1.2/0.25/0.75) must stay textually identical to the Spark
-    expression in _bm25_spark."""
+    operator spelling (left-assoc `a * b / c`, the _BM25_* literal texts)
+    must stay textually identical to the Spark expression in the query
+    body — both sides now derive the literals from BM25_K1/BM25_B."""
     tf = f"CAST({_kw_tf_sql(t)} AS DOUBLE)"
     idf = (
         f"ln(1.0 + (CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5))"
     )
     return (
-        f"CAST(ROUND({idf} * ({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 *"
+        f"CAST(ROUND({idf} * ({tf} * {_BM25_K1P1}) / ({tf} + {_BM25_K1S} *"
+        f" ({_BM25_1MB} + {_BM25_BS} *"
         f" (dl / avgdl))), 6) AS DECIMAL(27,6))"
     )
 
@@ -1154,8 +1164,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (df + F.lit(0.5))
         )
         term = F.round(
-            idf * (tfd * F.lit(2.2))
-            / (tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl / F.col("avgdl")))),
+            idf * (tfd * F.lit(float(_BM25_K1P1)))
+            / (
+                tfd
+                + F.lit(float(_BM25_K1S))
+                * (
+                    F.lit(float(_BM25_1MB))
+                    + F.lit(float(_BM25_BS)) * (dl / F.col("avgdl"))
+                )
+            ),
             6,
         ).cast(T.DecimalType(27, 6))
         score = term if score is None else score + term

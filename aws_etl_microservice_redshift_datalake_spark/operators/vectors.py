@@ -1312,7 +1312,7 @@ def q_cross_lingual_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataF
     per_row AS (
         SELECT label, r,
                list_inner_product(errs, list_transform(errs, x -> 1.0))
-                   / 64.0 AS mean_err
+                   / {float(DIM)} AS mean_err
         FROM err
     )
     SELECT label,
@@ -1369,7 +1369,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_row = w.select(
         "label", "r",
         (
-            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / 64.0
+            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / float(DIM)
         ).alias("mean_err"),
     )
     return per_row.groupBy("label").agg(

@@ -670,7 +670,8 @@ def test_winnow_pairing_is_single_pipeline(spark):
     partner counts."""
     df = QS["q_winnow_fingerprint"](spark, SF_MED)
     p = audit.plan_str(df, "simple")
-    assert not audit.has_sort_merge_join(df) or p.count("Join") <= 2
+    assert not audit.has_sort_merge_join(df)
+    assert p.count("Join") <= 2
     assert p.count("Generate explode") >= 2  # fp fan-out + pair fan-out
 
 
