@@ -1068,6 +1068,11 @@ _BM25_K1P1 = f"{BM25_K1 + 1.0:g}"  # tf multiplier k1+1
 _BM25_K1S = f"{BM25_K1:g}"  # saturation k1
 _BM25_1MB = f"{1.0 - BM25_B:g}"  # 1−b
 _BM25_BS = f"{BM25_B:g}"  # length-norm b
+# bm25_rank's default-parameter call relies on these round-tripping: the
+# derived doubles must BE the doubles the literal texts parse to.
+assert (BM25_K1 + 1.0, BM25_K1, 1.0 - BM25_B, BM25_B) == tuple(
+    float(s) for s in (_BM25_K1P1, _BM25_K1S, _BM25_1MB, _BM25_BS)
+)
 
 
 def _bm25_term_sql(t: str) -> str:
@@ -1116,14 +1121,21 @@ def _bm25_oracle() -> str:
     """
 
 
-@query("q_bm25_search", oracle=_bm25_oracle())
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene default
-    scorer) — the production upgrade of q_keyword_search's raw TF-IDF:
-    term frequency saturates (k1 = 1.2) and long documents are normalized
-    against the corpus mean length (b = 0.75), so a 50k-token page can't
-    outrank a short exact hit by repetition alone — exactly the property a
-    crawl-scale lexical index needs.
+def bm25_rank(
+    d: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = KW_TOPK,
+) -> DataFrame:
+    """Library form of q_bm25_search over any (doc_id, lang, text)
+    relation with caller-supplied terms/k1/b/topk — split out so the
+    brute-force property twin (tests/test_properties.py) can certify the
+    arithmetic on random in-memory corpora at non-default k1/b, the
+    treatment setsim_join_sets got in r10. The default-parameter call is
+    value-identical to the registered query: k1+1.0, k1, 1.0−b, b for the
+    Lucene defaults reduce to the exact doubles the _BM25_* literal texts
+    parse to (checked where the literals are derived).
 
     Scale shape (the q_keyword_search plan, unchanged by the richer
     arithmetic): tf and dl are ROW-LOCAL over the token array (no explode,
@@ -1138,7 +1150,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing q_keyword_search caveat. NULL-text docs: tf/dl are NULL, so
     they fail every `tf > 0` hit test in both engines and drop from N's
     avgdl numerator/denominator identically (SUM/COUNT skip NULL)."""
-    d = load_spread(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
     def tf(t: str):
@@ -1150,12 +1161,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(toks)).cast("double")
             / F.count("text").cast("double")
         ).alias("avgdl"),
-        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in KW_TERMS],
+        *[F.count(F.when(tf(t) > 0, 1)).alias(f"df_{t}") for t in terms],
     )
     dl = F.size(toks).cast("double")
     score = None
     anyhit = None
-    for t in KW_TERMS:
+    for t in terms:
         tfd = tf(t).cast("double")
         df = F.col(f"df_{t}")
         idf = F.log(
@@ -1164,14 +1175,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (df + F.lit(0.5))
         )
         term = F.round(
-            idf * (tfd * F.lit(float(_BM25_K1P1)))
+            idf * (tfd * F.lit(k1 + 1.0))
             / (
                 tfd
-                + F.lit(float(_BM25_K1S))
-                * (
-                    F.lit(float(_BM25_1MB))
-                    + F.lit(float(_BM25_BS)) * (dl / F.col("avgdl"))
-                )
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (dl / F.col("avgdl")))
             ),
             6,
         ).cast(T.DecimalType(27, 6))
@@ -1183,8 +1191,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(anyhit)
         .select("doc_id", "lang", score.cast("double").alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(KW_TOPK)
+        .limit(topk)
     )
+
+
+@query("q_bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene default
+    scorer) — the production upgrade of q_keyword_search's raw TF-IDF:
+    term frequency saturates (k1 = 1.2) and long documents are normalized
+    against the corpus mean length (b = 0.75), so a 50k-token page can't
+    outrank a short exact hit by repetition alone — exactly the property a
+    crawl-scale lexical index needs. Plan shape, float discipline, and the
+    NULL-text contract live on bm25_rank (the library form this thin
+    registration delegates to with the KW_TERMS/Lucene defaults)."""
+    return bm25_rank(load_spread(spark, sf_dir, "documents"), KW_TERMS)
 
 
 def _rrf_oracle() -> str:

@@ -184,8 +184,15 @@ _RECHECK_CHANGED: dict[str, int] = {
     # VEC_ABS_MAX magnitude-bound family) were verified green in
     # CORRECTNESS_r09 on the changed code (VERDICT r9 #2 checked this
     # programmatically: every entry has a green r9 hash/rows row), so they
-    # expired and are pruned (r10 kickoff row 1). Empty = no query's
-    # implementation changed after its latest green driver row.
+    # expired and are pruned (r10 kickoff row 1).
+    #
+    # r11 ADVICE-r10 hardening batch, recorded at 10 (ships BEFORE the r11
+    # driver run — the same-round green verifies the new code, the r7
+    # convention). All three were re-compared green at both SFs the session
+    # they changed; generated oracle text verified byte-identical:
+    "q_bm25_search": 10,  # literals derived from BM25_K1/B + bm25_rank split
+    "q_setsim_join": 10,  # 1e-9 slack in the prefix-length ceil (lossless dir)
+    "q_embedding_quantize": 10,  # /64.0 -> /float(DIM) (same value today)
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -1315,3 +1315,115 @@ def test_setsim_exact_threshold_boundary_pair_kept(spark):
         assert (0, 1) in rows, f"boundary pair lost at tau={tau}"
         i = len(set(set_a) & set(set_b))
         assert rows[(0, 1)] == i / (len(set(set_a)) + len(set(set_b)) - i)
+
+
+# ---------------------------------------------------------------------------
+# BM25 (q_bm25_search's library form) vs a brute-force Python scorer
+# ---------------------------------------------------------------------------
+
+# Tiny vocab so term hits / df collisions / repeated tokens are common —
+# saturation and length-norm only bite when tf > 1 and dl varies. None =
+# NULL text (must drop from avgdl and from every hit test).
+_bm25_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(["a", "b", "x", "y"]), max_size=15),
+    ),
+    max_size=12,
+)
+
+
+def _brute_bm25(docs, terms, k1, b):
+    """Reference BM25 replicating bm25_rank's exact arithmetic: Lucene idf,
+    left-assoc IEEE double chains, each term rounded HALF_UP on the 1e-6
+    grid (Spark ROUND on DOUBLE = BigDecimal.valueOf(x).setScale(6,
+    HALF_UP), i.e. quantize of the shortest-repr decimal — Python's
+    Decimal(repr(x)) is the same text), exact Decimal sum in term order."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = [None if t is None else t.split(" ") for t in docs]
+    n_docs = len(docs)
+    lens = [len(t) for t in toks if t is not None]
+    avgdl = float(sum(lens)) / float(len(lens)) if lens else None
+    dfs = {
+        t: sum(1 for tk in toks if tk is not None and t in tk) for t in terms
+    }
+    out = []
+    for i, tk in enumerate(toks):
+        if tk is None or not any(t in tk for t in terms):
+            continue
+        dl = float(len(tk))
+        score = Decimal(0)
+        for t in terms:
+            tf = float(tk.count(t))
+            idf = math.log(
+                1.0 + ((float(n_docs) - dfs[t]) + 0.5) / (dfs[t] + 0.5)
+            )
+            raw = (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            )
+            score += Decimal(repr(raw)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        out.append((i, float(score)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out
+
+
+@given(
+    docs=_bm25_docs,
+    k1=st.sampled_from([1.2, 0.9, 2.0]),
+    b=st.sampled_from([0.75, 0.0, 0.4, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_bruteforce(spark, docs, k1, b):
+    """bm25_rank must equal a brute-force Python BM25 on random corpora at
+    RANDOMIZED k1/b (incl. b=0 length-norm off and b=1 full norm) — the
+    property twin VERDICT r10 queued for the one r10 operator whose
+    arithmetic was pinned by a single planted case. Hit sets are exact;
+    scores allow one 1e-6 grid step per term (JVM vs libm ln may differ by
+    an ulp that lands on a rounding boundary — the documented oracle
+    caveat); the returned ordering must be (score desc, doc_id asc) over
+    the engine's own scores."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import bm25_rank
+
+    terms = ("a", "b")
+    rows = [
+        (i, "en", None if d is None else " ".join(d))
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "doc_id long, lang string, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_rank(df, terms, k1=k1, b=b, topk=1000).collect()
+    ]
+    want = _brute_bm25(
+        [None if d is None else " ".join(d) for d in docs], terms, k1, b
+    )
+    assert {g[0] for g in got} == {w[0] for w in want}
+    wmap = dict(want)
+    tol = 1e-6 * len(terms) + 1e-12
+    for doc_id, score in got:
+        assert abs(score - wmap[doc_id]) <= tol, (doc_id, score, wmap[doc_id])
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+
+
+def test_bm25_default_params_are_the_registered_query(spark):
+    """bm25_rank with the default k1/b on a tiny corpus must produce the
+    EXACT score the _BM25_* literal arithmetic implies — pins that the
+    parameterized refactor did not drift the registered query's values
+    (k1+1.0 == float('2.2') etc., asserted at the literal derivation)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import bm25_rank
+
+    df = spark.createDataFrame(
+        [(0, "en", "a a x"), (1, "en", "b x x x")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_rank(df, ("a", "b")).collect()}
+    want = dict(_brute_bm25(["a a x", "b x x x"], ("a", "b"), 1.2, 0.75))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) <= 2e-6 + 1e-12
