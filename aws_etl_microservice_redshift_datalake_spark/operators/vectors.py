@@ -1378,3 +1378,142 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mean_err"), 9).alias("max_mean_err"),
         exact_sum(F.col("r"), 6, 4).alias("sum_range"),
     )
+
+
+@query(
+    "q_quantized_search",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_min(embedding::DOUBLE[]) AS mn,
+               list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])
+                   AS r
+        FROM embeddings WHERE {{O_VEC_CONFORM}}
+    ),
+    w AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> mn +
+                   (CASE WHEN r > 0.0
+                         THEN least(floor((x - mn) * 255.0 / r), 255.0)
+                         ELSE 0.0 END) * r / 255.0) AS vq
+        FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, vq AS qvq FROM w
+          WHERE vec_id < {{SEARCH_QUERIES}}),
+    t AS (SELECT vec_id AS t_id, v AS tv, vq AS tvq FROM w),
+    ranked AS (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY list_inner_product(qv, tv) DESC, t_id ASC)
+                   AS rank_e,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY list_inner_product(qvq, tvq) DESC, t_id ASC)
+                   AS rank_q
+        FROM q CROSS JOIN t
+        WHERE q_id <> t_id
+    )
+    SELECT q_id,
+           COUNT(*) FILTER (WHERE rank_e <= {{SEARCH_K}}
+                              AND rank_q <= {{SEARCH_K}}) AS n_overlap,
+           CAST(COUNT(*) FILTER (WHERE rank_e <= {{SEARCH_K}}
+                                   AND rank_q <= {{SEARCH_K}}) AS DOUBLE)
+               / {{K_D}} AS recall_at_k,
+           MAX(CASE WHEN rank_e = 1 AND rank_q = 1 THEN 1 ELSE 0 END)
+               AS top1_match
+    FROM ranked
+    WHERE rank_e <= {{SEARCH_K}} OR rank_q <= {{SEARCH_K}}
+    GROUP BY q_id
+    """.format(
+        O_VEC_CONFORM=O_VEC_CONFORM,
+        SEARCH_QUERIES=SEARCH_QUERIES,
+        SEARCH_K=SEARCH_K,
+        K_D=float(SEARCH_K),
+    ),
+)
+def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-INT8-quantized retrieval agreement — the decision report
+    q_embedding_quantize exists to inform (VERDICT r10 #7): re-run
+    q_semantic_search's top-k over the quantize→reconstruct codes and
+    report, per query, how much of the exact top-k the quantized index
+    preserves (n_overlap, recall@k) and whether the top-1 hit
+    survives. A vector lake reads this before committing to 4×-smaller
+    INT8 storage.
+
+    Full hash oracle (stronger than the rows-only+recall-floor form
+    VERDICT sketched): the quantization is deterministic row-local affine
+    arithmetic (the q_embedding_quantize IEEE chains, spelled identically
+    here), both sims are `_dot` left-folds ≡ DuckDB list_inner_product,
+    rank ties break on t_id, and the outputs are exact ints plus one
+    correctly-rounded int division — nothing engine-specific anywhere.
+
+    Scale shape: ONE pass over the corpus computes both similarities (the
+    broadcast-5-queries × streamed-targets q_ann_topk pattern — the
+    corpus side never shuffles in the scoring stage); both rank windows
+    share the q_id partitioning, and rows are pruned to the top-k union
+    before the tiny per-query aggregate. At 100 TB the exact arm swaps to
+    the IVF/LSH candidate path like q_semantic_search's; the quantized
+    arm is the same plan over reconstructed arrays (reconstruction is
+    row-local codegen, no extra scan)."""
+    e = _embeddings(spark, sf_dir).filter(_finite_vec(F.col("embedding")))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    w = e.select(F.col("vec_id"), v.alias("v")).select(
+        "vec_id", "v",
+        F.array_min("v").alias("mn"),
+        (F.array_max("v") - F.array_min("v")).alias("r"),
+    )
+
+    def recon(x):
+        code = F.when(
+            F.col("r") > 0.0,
+            F.least(
+                F.floor((x - F.col("mn")) * 255.0 / F.col("r")).cast("double"),
+                F.lit(255.0),
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.col("mn") + code * F.col("r") / 255.0
+
+    wq = w.select("vec_id", "v", F.transform("v", recon).alias("vq"))
+    q = wq.filter(F.col("vec_id") < SEARCH_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vq").alias("qvq"),
+    )
+    t = wq.select(
+        F.col("vec_id").alias("t_id"),
+        F.col("v").alias("tv"),
+        F.col("vq").alias("tvq"),
+    )
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("t_id"))
+        .select(
+            "q_id", "t_id",
+            _dot(F.col("qv"), F.col("tv")).alias("sim_e"),
+            _dot(F.col("qvq"), F.col("tvq")).alias("sim_q"),
+        )
+    )
+    w_e = Window.partitionBy("q_id").orderBy(F.desc("sim_e"), F.asc("t_id"))
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), F.asc("t_id"))
+    k = F.lit(SEARCH_K)
+    ranked = scored.select(
+        "q_id", "t_id",
+        F.row_number().over(w_e).alias("rank_e"),
+        F.row_number().over(w_q).alias("rank_q"),
+    )
+    both = (F.col("rank_e") <= k) & (F.col("rank_q") <= k)
+    return (
+        ranked.filter((F.col("rank_e") <= k) | (F.col("rank_q") <= k))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.when(both, 1)).alias("n_overlap"),
+            (
+                F.count(F.when(both, 1)).cast("double")
+                / F.lit(float(SEARCH_K))
+            ).alias("recall_at_k"),
+            F.max(
+                F.when(
+                    (F.col("rank_e") == 1) & (F.col("rank_q") == 1), 1
+                ).otherwise(0)
+            ).alias("top1_match"),
+        )
+    )

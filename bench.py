@@ -80,6 +80,10 @@ HEADLINE = [
     "q_bm25_search",
     "q_winnow_fingerprint",
     "q_setsim_join",
+    # round 11: exact-vs-INT8-quantized retrieval agreement (one corpus
+    # pass scores both sims; shared q_id window partitioning) — compare
+    # r12+ totals against 35 queries
+    "q_quantized_search",
 ]
 
 

@@ -105,6 +105,16 @@ QUERIES = [
     # have disjoint shingle spaces, so prefix-token fan-out stays within
     # each replica family and candidate work grows ~linearly
     "q_setsim_join",
+    # round 11: INT8 quantization report — entirely row-local codegen
+    # arithmetic + one ≤|labels| map-side-combinable aggregate; expected
+    # ~linear (scan-bound). The per-replica sign flips in the amplified
+    # embeddings negate mn/mx but preserve every quantization RANGE, so
+    # the error report exercises identical arithmetic per replica.
+    "q_embedding_quantize",
+    # round 11b: quantized-retrieval agreement — the q_semantic_search
+    # broadcast-queries × streamed-targets shape scoring two sims in the
+    # same pass; expected ~linear (scan-bound, one window exchange).
+    "q_quantized_search",
 ]
 
 
@@ -257,6 +267,49 @@ def _paircount() -> None:
     print("PAIR_RESULT " + json.dumps({"base": counts[BASE], "amplified": counts[OUT]}))
 
 
+def _setsimcount() -> None:
+    """Subprocess entry (VERDICT r10 #4): count q_setsim_join's DISTINCT
+    candidate pairs (post prefix/length/positional prunes, pre-verify) at
+    both scales and assert ~linear growth. The amplified corpus decorrelates
+    replicas (per-token replica tags), so each replica's shingles live in
+    their own token space: per-shingle document frequencies are unchanged,
+    prefix lengths depend only on set size (unchanged), and candidates can
+    only pair within a replica — the analytic expectation is exactly K×.
+    A super-linear count here would mean the prefix filter degraded toward
+    all-pairs (the 2.2× wall factor alone could not distinguish that from
+    shuffle overhead — this count can)."""
+    from pyspark.sql import functions as F  # noqa: F401 — session warm path
+
+    from aws_etl_microservice_redshift_datalake_spark import get_session
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        SETSIM_TAU,
+        _setsim_prefix_persisted,
+        _shingle_arrays_persisted,
+        setsim_candidates,
+    )
+
+    spark = get_session("scale-setsimcount")
+    counts = {}
+    for sf_dir in (BASE, OUT):
+        counts[sf_dir] = setsim_candidates(
+            _shingle_arrays_persisted(spark, sf_dir),
+            SETSIM_TAU,
+            pref=_setsim_prefix_persisted(spark, sf_dir),
+        ).count()
+    factor = counts[OUT] / counts[BASE]
+    bound = K * 1.5  # 1.5× slack for boundary/df-tie noise on a K× corpus
+    assert factor <= bound, (
+        f"setsim candidate pairs grew {factor:.1f}× at {K}× rows (> linear "
+        f"bound {bound:.0f}×): the prefix filter is degrading toward "
+        "all-pairs — check the canonical order / positional prune in "
+        "setsim_candidates"
+    )
+    print(
+        "SETSIM_RESULT "
+        + json.dumps({"base": counts[BASE], "amplified": counts[OUT]})
+    )
+
+
 def main() -> None:
     # Measurement protocol: amplification runs in its OWN process (a 32-core
     # write job leaves the JVM/page cache in a state that measurably inflates
@@ -271,6 +324,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--paircount":
         _paircount()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--setsimcount":
+        _setsimcount()
         return
 
     from aws_etl_microservice_redshift_datalake_spark import get_session
@@ -310,6 +366,21 @@ def main() -> None:
         raise RuntimeError("pair-count certification failed")
     pc = json.loads(pline[-1][len("PAIR_RESULT "):])
     pair_factor = pc["amplified"] / pc["base"]
+
+    # setsim candidate-count certification (VERDICT r10 #4) — same protocol:
+    # own process, linearity asserted inside _setsimcount, feeds the notes.
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--setsimcount"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    sline = [
+        l for l in p.stdout.splitlines() if l.startswith("SETSIM_RESULT ")
+    ]
+    if not sline:
+        print(p.stdout[-2000:], p.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError("setsim candidate-count certification failed")
+    sc = json.loads(sline[-1][len("SETSIM_RESULT "):])
+    setsim_factor = sc["amplified"] / sc["base"]
 
     lines = [
         "# SCALE — wall-clock scaling of headline operators",
@@ -407,6 +478,16 @@ def main() -> None:
         "the driver-fixture base corpus is its worst case (tiny vocab =>",
         "every shingle common => 409k candidates from 12.5M pairs at",
         "sf0.1); the decorrelated x10 corpus shows the realistic regime.",
+        "Round 11: its candidate stage is certified DIRECTLY (VERDICT r10",
+        f"#4): distinct post-prune candidate pairs measured {sc['base']:,}",
+        f"at sf0.1 -> {sc['amplified']:,} at x{K} = {setsim_factor:.2f}x —",
+        f"linear in corpus size (bound {K}x + 1.5x slack, asserted in",
+        "scale_check.py --setsimcount on every regenerate; replicas are",
+        "decorrelated so candidates pair only within a replica and the",
+        "analytic expectation is exactly Kx), far from the K^2 = "
+        f"{K**2}x an all-pairs degradation would show. The wall factor",
+        "beyond ~linear is therefore shuffle/verify overhead, not",
+        "candidate growth.",
         "",
     ]
     open("/root/repo/SCALE.md", "w").write("\n".join(lines))

@@ -561,7 +561,7 @@ _VECTOR_FAMILY = [
     n for n in QS
     if any(k in n for k in (
         "ann", "knn", "cosine", "semdedup", "semantic", "cross_lingual",
-        "embedding", "pandas_ud", "hybrid",
+        "embedding", "pandas_ud", "hybrid", "quantized",
     ))
 ]
 

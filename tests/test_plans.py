@@ -687,3 +687,18 @@ def test_setsim_no_cartesian_no_corpus_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "ShuffledHashJoin" in p
     assert "InMemoryTableScan" in p, "prefix/sets memos must serve the joins"
+
+
+def test_quantized_search_single_pass_shared_partitioning(spark):
+    """q_quantized_search (r11): ONE corpus pass scores both the exact and
+    the quantized similarity (reconstruction is row-local codegen — no
+    second scan, no corpus shuffle for scoring); the 5-query side is the
+    only broadcast; both rank windows and the final per-query aggregate
+    share the q_id partitioning, so the whole plan carries at most the
+    window exchange (+ the under-split spread)."""
+    df = QS["q_quantized_search"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 1
+    assert not audit.has_sort_merge_join(df)
+    assert audit.count_exchanges(df) <= 2
+    p = audit.plan_str(df)
+    assert "CartesianProduct" not in p

