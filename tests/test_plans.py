@@ -702,3 +702,85 @@ def test_quantized_search_single_pass_shared_partitioning(spark):
     assert audit.count_exchanges(df) <= 2
     p = audit.plan_str(df)
     assert "CartesianProduct" not in p
+
+
+# --------------------------------------------------------------------------
+# r11 contracts for families that had none (VERDICT r10 #7 second item):
+# each pins the plan property that makes the family survive 100 TB.
+# --------------------------------------------------------------------------
+
+
+def test_bm25_is_scan_bound(spark):
+    """BM25: tf/dl are row-local over the token array — NO explode and no
+    corpus shuffle; the only broadcast is the 1-row stats aggregate, and
+    the ranking is TakeOrdered heaps (never a global sort)."""
+    df = QS["q_bm25_search"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("Generate explode") == 0
+    assert "TakeOrdered" in p
+    assert not audit.has_sort_merge_join(df)
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_hybrid_rrf_fuses_topk_lists_only(spark):
+    """RRF fusion: BOTH arms must reduce to K-row lists via TakeOrdered
+    heaps BEFORE the fusion join, so the full-outer join (which Spark
+    cannot broadcast) only ever sorts two K-row inputs — never a
+    corpus-sized side."""
+    df = QS["q_hybrid_search_rrf"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("TakeOrdered") >= 2
+    assert "CartesianProduct" not in p
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_samplers_never_shuffle_the_corpus(spark):
+    """Hash-threshold membership samplers: selection is a row-local hash
+    comparison — ZERO exchanges and zero sorts; the corpus never moves.
+    This is the whole point of hash-threshold over sort-based sampling at
+    100 TB."""
+    for name in ("q_weighted_sample", "q_hash_sample"):
+        df = QS[name](spark, SF_MED)
+        assert audit.count_exchanges(df) == 0, name
+        assert "Sort " not in audit.plan_str(df, "simple"), name
+
+
+def test_exact_dedup_single_key_shuffle(spark):
+    """Exact/hash dedup: exactly ONE exchange — the md5-normalized 16-byte
+    key shuffle into the groupBy; anything more means the corpus moved
+    twice."""
+    for name in ("q_dedup_exact", "q_dedup_hash"):
+        df = QS[name](spark, SF_MED)
+        assert audit.count_exchanges(df) == 1, name
+        assert not audit.has_sort_merge_join(df), name
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    """kNN classify: the tiny query set broadcasts into the streamed corpus
+    scan (the q_ann_topk shape); one window exchange at most beyond the
+    under-split spread."""
+    df = QS["q_knn_classify"](spark, SF_MED)
+    assert audit.count_broadcast_joins(df) >= 1
+    assert not audit.has_sort_merge_join(df)
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_ngram_decontaminate_is_hashed_semi_join(spark):
+    """N-gram decontamination: test-set grams reach the corpus as a hashed
+    semi/equi join on the gram key — never a sort-merge or cartesian over
+    the corpus side."""
+    df = QS["q_decontaminate_ngram"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert audit.count_exchanges(df) <= 4
+
+
+def test_cms_sketch_shuffle_is_bounded(spark):
+    """CMS heavy hitters: the shuffled relation is the O(d·w) sketch plus
+    the pruned recount — never a corpus-wide sort or cartesian."""
+    df = QS["q_cms_heavy_hitters"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert audit.count_exchanges(df) <= 4
