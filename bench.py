@@ -81,9 +81,11 @@ HEADLINE = [
     "q_winnow_fingerprint",
     "q_setsim_join",
     # round 11: exact-vs-INT8-quantized retrieval agreement (one corpus
-    # pass scores both sims; shared q_id window partitioning) — compare
-    # r12+ totals against 35 queries
+    # pass scores both sims; shared q_id window partitioning) and the
+    # Manku '07 SimHash Hamming join (pigeonhole block candidates +
+    # bit_count verify) — compare r12+ totals against 36 queries
     "q_quantized_search",
+    "q_simhash_hamming_join",
 ]
 
 

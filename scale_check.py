@@ -115,6 +115,11 @@ QUERIES = [
     # broadcast-queries × streamed-targets shape scoring two sims in the
     # same pass; expected ~linear (scan-bound, one window exchange).
     "q_quantized_search",
+    # round 11c: SimHash Hamming join — signature aggregation is linear,
+    # candidates come from 15-bit pigeonhole blocks (random collisions
+    # ~2^-15; decorrelated replicas pair only within a replica), so
+    # expected ~linear like the other blocked dedup members.
+    "q_simhash_hamming_join",
 ]
 
 

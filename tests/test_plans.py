@@ -784,3 +784,16 @@ def test_cms_sketch_shuffle_is_bounded(spark):
     assert not audit.has_sort_merge_join(df)
     assert "CartesianProduct" not in p
     assert audit.count_exchanges(df) <= 4
+
+
+def test_simhash_join_is_blocked_not_pairwise(spark):
+    """q_simhash_hamming_join (r11): candidates must come from the
+    pigeonhole (block_id, block_value) equi self-join — SHUFFLE_HASH on
+    both corpus-scale sides, never a cartesian/BNLJ, never a broadcast of
+    a corpus side — and the signature aggregation is the only other
+    corpus shuffle."""
+    df = QS["q_simhash_hamming_join"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p

@@ -1427,3 +1427,79 @@ def test_bm25_default_params_are_the_registered_query(spark):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) <= 2e-6 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming join (Manku et al. '07) vs brute-force Python
+# ---------------------------------------------------------------------------
+
+
+def _brute_simhash(text: str) -> int:
+    """Reference 60-bit SimHash replicating simhash_wide exactly: distinct
+    tokens, md5 hex digits 1..15, bit b = sign of vote sum on bit (b%4) of
+    digit (b//4), strict > 0."""
+    import hashlib
+
+    votes = [0] * 60
+    for w in set(text.split(" ")):
+        h = hashlib.md5(w.encode()).hexdigest()
+        for b in range(60):
+            d = int(h[b // 4], 16)
+            votes[b] += 1 if (d >> (b % 4)) & 1 else -1
+    return sum(1 << b for b in range(60) if votes[b] > 0)
+
+
+# small vocab + short docs so near-identical token sets (small hamming)
+# are common — the join is only exercised when pairs actually qualify
+_simjoin_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), max_size=6),
+    max_size=10,
+)
+
+
+@given(docs=_simjoin_docs, k=st.sampled_from([1, 2, 3, 5]))
+@settings(**_SETTINGS)
+def test_simhash_hamming_join_matches_bruteforce(spark, docs, k):
+    """simhash_hamming_join must equal brute-force all-pairs Hamming <= k
+    on random corpora at several k — the direct certificate of BOTH the
+    pigeonhole block filter's losslessness (any pair within k bits shares
+    an exact block) and the 60-bit signature arithmetic, at k values the
+    fixture oracle (k=3 only) never exercises."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        simhash_hamming_join,
+    )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows or [(None, None)], "doc_id long, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_join(df, k).collect()
+    }
+    sims = [_brute_simhash(t) for _, t in rows]
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            ham = bin(sims[a] ^ sims[b]).count("1")
+            if ham <= k:
+                want[(a, b)] = ham
+    assert got == want
+
+
+def test_simhash_hamming_join_reports_identical_docs(spark):
+    """Byte-identical documents have Hamming distance exactly 0 and MUST be
+    reported at every k — the planted floor under the randomized property."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        simhash_hamming_join,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "x y z"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_join(df, 1).collect()
+    }
+    assert got.get((0, 1)) == 0
