@@ -1001,6 +1001,84 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT DISTINCT a, a FROM e),
+    comp AS (SELECT a AS doc_id, MIN(b) AS canon_id FROM closure GROUP BY a),
+    withroot AS (
+        SELECT d.doc_id, COALESCE(c.canon_id, d.doc_id) AS root
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    tagged AS (
+        SELECT doc_id, root,
+               CASE WHEN ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM withroot
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT root) AS n_clusters,
+           COUNT(*) FILTER (WHERE doc_id <> root) AS n_dup_members
+    FROM tagged GROUP BY split
+    """,
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split: hash-split on each document's
+    near-dup CLUSTER ROOT instead of its own id, so a near-duplicate can
+    never straddle the split (the q_train_test_split doc-id hash leaks:
+    two 95%-identical docs land independently, and ~20% of dup pairs put
+    one copy in train and one in test — memorization reads as
+    generalization). This is the split a production corpus build runs
+    AFTER near-dup detection; Lee et al. '21 measure exactly this
+    train/test near-dup leakage as a headline motivation for dedup.
+
+    Construction: roots come from the verified MinHash pair graph's
+    connected components (q_dedup_clusters' machinery, shared through the
+    memoized pair relation); singletons root to themselves; membership is
+    the established portable md5 split hash (q_train_test_split's F8
+    spelling) applied to the ROOT. Per split: doc count, distinct-cluster
+    count, and how many non-canonical dup members rode along. Leakage
+    safety is structural (same root ⇒ same hash input ⇒ same split) and
+    pinned by a direct no-straddle pytest on the fixture corpus.
+
+    Scale shape: the cluster relation is |clustered docs| (tiny vs corpus
+    — the q_training_pipeline argument) broadcast into one left join; the
+    split tag and root hash are row-local; ONE final 2-group aggregate
+    with map-side partials. Oracle: the same recursive-CTE closure the
+    cluster/pipeline oracles use, so the three can never drift."""
+    comp = q_dedup_clusters(spark, sf_dir).select("doc_id", "canon_id")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id")
+    withroot = d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id", F.coalesce("canon_id", "doc_id").alias("root")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("root").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").otherwise("test")
+    return (
+        withroot.select(split.alias("split"), "root", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("root").alias("n_clusters"),
+            F.count(F.when(F.col("doc_id") != F.col("root"), 1)).alias(
+                "n_dup_members"
+            ),
+        )
+    )
+
+
 DECON_NGRAM = 8  # published-pipeline decontamination n-gram length: long
 # enough that random docs share none, short enough to catch partial overlap
 

@@ -86,6 +86,10 @@ HEADLINE = [
     # bit_count verify) — compare r12+ totals against 36 queries
     "q_quantized_search",
     "q_simhash_hamming_join",
+    # round 11: leakage-safe cluster-root split (CC roots broadcast into
+    # one corpus left join + a 2-group aggregate) — compare r12+ totals
+    # against 37 queries
+    "q_cluster_split",
 ]
 
 

@@ -120,6 +120,10 @@ QUERIES = [
     # ~2^-15; decorrelated replicas pair only within a replica), so
     # expected ~linear like the other blocked dedup members.
     "q_simhash_hamming_join",
+    # round 11d: leakage-safe cluster split — the dedup_clusters plan plus
+    # one broadcast left join and a 2-group aggregate; expected to track
+    # q_dedup_clusters' factor (the CC rounds dominate).
+    "q_cluster_split",
 ]
 
 

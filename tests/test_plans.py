@@ -797,3 +797,14 @@ def test_simhash_join_is_blocked_not_pairwise(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ShuffledHashJoin" in p
+
+
+def test_cluster_split_broadcasts_clusters(spark):
+    """q_cluster_split (r11): the cluster relation (|clustered docs|, tiny
+    vs corpus) broadcasts into the corpus left join; the split tag is
+    row-local and the only added shuffle is the final 2-group aggregate —
+    no corpus sort, no cartesian."""
+    df = QS["q_cluster_split"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert audit.count_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in p

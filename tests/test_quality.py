@@ -1132,3 +1132,51 @@ def test_quantized_search_exact_on_grid_corpus(spark, tmp_path):
         assert r.n_overlap == SEARCH_K, (q_id, r)
         assert r.recall_at_k == 1.0, (q_id, r)
         assert r.top1_match == 1, (q_id, r)
+
+
+def test_cluster_split_never_straddles_clusters(spark):
+    """The leakage-safety contract q_cluster_split exists for, asserted
+    DIRECTLY (the aggregate output can't show it): every near-dup cluster's
+    members land in ONE split, and the root-hash split of a clustered doc
+    differs from its own doc-id hash split often enough on the fixture
+    corpus that the test would catch a regression to per-doc hashing."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        q_dedup_clusters,
+    )
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    comp = q_dedup_clusters(spark, sf).select("doc_id", "canon_id")
+    d = load_table(spark, sf, "documents").select("doc_id")
+    withroot = d.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("canon_id", "doc_id").alias("root")
+    )
+
+    def split_of(col):
+        b = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
+            .cast("bigint") % 100
+        )
+        return F.when(b < 80, "train").otherwise("test")
+
+    tagged = withroot.select(
+        "doc_id", "root",
+        split_of(F.col("root")).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    )
+    straddle = (
+        tagged.groupBy("root")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # the naive per-doc split DOES disagree with the root split for some
+    # clustered members — i.e. this operator actually changes assignments
+    moved = tagged.filter(
+        (F.col("doc_id") != F.col("root"))
+        & (F.col("split") != F.col("naive_split"))
+    ).count()
+    assert moved > 0, "fixture corpus has no reassigned dup member"
