@@ -255,6 +255,31 @@ COMMENTARY = {
         "lossless — cost-only — certified by the brute-force oracle and "
         "the random-corpus property."
     ),
+    "q_quantized_search": (
+        "Exact-vs-INT8 retrieval agreement (round 11): ONE corpus pass "
+        "computes both similarities (reconstruction is row-local codegen "
+        "over the quantize chains — no second scan), the 5-query side is "
+        "the only broadcast, and BOTH rank windows plus the final "
+        "per-query aggregate share the q_id partitioning — one shuffle "
+        "total beyond the under-split spread."
+    ),
+    "q_simhash_hamming_join": (
+        "Manku '07 SimHash Hamming join (round 11): md5 parsed once into "
+        "15 digit columns, 60 associative vote SUMs (map-side partials), "
+        "pigeonhole blocks are row-local shifts carried WITH the "
+        "signature (no hydration join later), candidates are a "
+        "SHUFFLE_HASH block equi self-join deduped before the row-local "
+        "bit_count verify. Random 15-bit block collisions ~2^-15 keep "
+        "candidates ~linear; the blocking is provably lossless at k=3 "
+        "(pigeonhole), certified by the brute-force all-pairs oracle."
+    ),
+    "q_cluster_split": (
+        "Leakage-safe cluster split (round 11): the CC root relation "
+        "(|clustered docs|, tiny vs corpus) broadcasts into one corpus "
+        "left join, the root-hash split tag is row-local, and the only "
+        "added shuffle is the final 2-group aggregate. Upstream cost IS "
+        "q_dedup_clusters' audited plan (shared memoized pair relation)."
+    ),
 }
 
 
