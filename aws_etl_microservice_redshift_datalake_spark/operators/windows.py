@@ -365,3 +365,69 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_share"),
         ((F.col("cum") * 10) <= (F.col("tot") * 8)).alias("is_top80"),
     )
+
+
+EWMA_LAGS = 16  # truncation depth: the dropped tail carries weight 2^-16
+# (~1.5e-5 of the signal) — and makes the recurrence a FIXED-length chain
+# of exact ops instead of an engine-specific running accumulation
+
+
+@query(
+    "q_window_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           (COALESCE({o_money_col("value")}, 0.0) * 0.5
+           + COALESCE(lag({o_money_col("value")}, 1) OVER w, 0.0) * 0.25
+           + COALESCE(lag({o_money_col("value")}, 2) OVER w, 0.0) * 0.125
+           + COALESCE(lag({o_money_col("value")}, 3) OVER w, 0.0) * 0.0625
+           + COALESCE(lag({o_money_col("value")}, 4) OVER w, 0.0) * 0.03125
+           + COALESCE(lag({o_money_col("value")}, 5) OVER w, 0.0) * 0.015625
+           + COALESCE(lag({o_money_col("value")}, 6) OVER w, 0.0) * 0.0078125
+           + COALESCE(lag({o_money_col("value")}, 7) OVER w, 0.0) * 0.00390625
+           + COALESCE(lag({o_money_col("value")}, 8) OVER w, 0.0) * 0.001953125
+           + COALESCE(lag({o_money_col("value")}, 9) OVER w, 0.0) * 0.0009765625
+           + COALESCE(lag({o_money_col("value")}, 10) OVER w, 0.0) * 0.00048828125
+           + COALESCE(lag({o_money_col("value")}, 11) OVER w, 0.0) * 0.000244140625
+           + COALESCE(lag({o_money_col("value")}, 12) OVER w, 0.0) * 0.0001220703125
+           + COALESCE(lag({o_money_col("value")}, 13) OVER w, 0.0) * 6.103515625e-05
+           + COALESCE(lag({o_money_col("value")}, 14) OVER w, 0.0) * 3.0517578125e-05
+           + COALESCE(lag({o_money_col("value")}, 15) OVER w, 0.0) * 1.52587890625e-05) AS ewma
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user over event time —
+    the smoothing every metrics/anomaly stack runs, as a window operator
+    the plain moving-average family (W6) cannot express: the weight
+    DECAYS with distance from the current row.
+
+    Exactness by construction: alpha = 1/2, so the truncated recurrence
+    y_i = sum_j x_(i-j) * 2^-(j+1) uses weights that are EXACT powers of
+    two — each product is one correctly-rounded IEEE multiply and the
+    16-term sum is spelled as an explicit FIXED-ORDER lag chain in both
+    engines (never a window SUM, whose accumulation order is
+    engine-specific: Spark running vs DuckDB segment tree). Both twins
+    therefore compute bit-identical doubles, and the output is emitted
+    UNROUNDED — a grid round here would be WRONG, not just unnecessary:
+    the true values are rationals p/(100*2^16) that sit exactly on 4dp
+    half-way points, where the engines' round implementations disagree
+    (15 of 10,000 rows flipped by one grid step when a ROUND(...,4) was
+    tried; the registry rnd docstring documents this exact class).
+    Missing lags (partition start) and non-conforming values (the
+    MONEY_MAX guard) contribute exactly 0.0 in both. NULL-ts rows are
+    excluded (the W7/tumbling NULL event-time contract).
+
+    Scale shape: ONE window = one user_id shuffle + one in-partition
+    sort; all 16 lags share it (Spark plans a single Window node); the
+    arithmetic is row-local codegen."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    acc = None
+    for j in range(EWMA_LAGS):
+        x = money_col(F.col("value"))
+        src = x if j == 0 else F.lag(x, j).over(w)
+        t = F.coalesce(src, F.lit(0.0)) * F.lit(2.0 ** -(j + 1))
+        acc = t if acc is None else acc + t
+    return e.select("event_id", "user_id", acc.alias("ewma"))

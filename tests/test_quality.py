@@ -1180,3 +1180,33 @@ def test_cluster_split_never_straddles_clusters(spark):
         & (F.col("split") != F.col("naive_split"))
     ).count()
     assert moved > 0, "fixture corpus has no reassigned dup member"
+
+
+def test_window_ewma_exact_arithmetic(spark, tmp_path):
+    """q_window_ewma's lag-chain arithmetic pinned against hand-computed
+    values on a planted series: weights are exact powers of two, missing
+    lags contribute 0, NULL-ts rows are excluded, and a non-conforming
+    value (outside MONEY_MAX) contributes exactly 0 without shifting its
+    neighbors' lag positions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(seconds=1), 7, 8.0, "c", None),
+        (2, base + dt.timedelta(seconds=2), 7, 4.0, "c", None),
+        (3, base + dt.timedelta(seconds=3), 7, 1e16, "c", None),  # absurd
+        (4, base + dt.timedelta(seconds=4), 7, 16.0, "c", None),
+        (5, None, 7, 999.0, "c", None),  # NULL ts: excluded entirely
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_id: r.ewma for r in QS["q_window_ewma"](spark, sf).collect()}
+    # y1 = 8*0.5 ; y2 = 4*0.5 + 8*0.25 ; y3 = 0 + 4*0.25 + 8*0.125
+    # y4 = 16*0.5 + 0 + 4*0.125 + 8*0.0625
+    assert got == {1: 4.0, 2: 4.0, 3: 2.0, 4: 9.0}
