@@ -808,3 +808,13 @@ def test_cluster_split_broadcasts_clusters(spark):
     p = audit.plan_str(df, "simple")
     assert audit.count_broadcast_joins(df) >= 1
     assert "CartesianProduct" not in p
+
+
+def test_window_ewma_single_window_node(spark):
+    """q_window_ewma (r11): all 16 lags must share ONE Window node (same
+    partition/order spec) — one user_id shuffle, one in-partition sort; a
+    second Window or exchange means the spec drifted between lag terms."""
+    df = QS["q_window_ewma"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert len(re.findall(r"\bWindow\b", p)) == 1
+    assert audit.count_exchanges(df) == 1
