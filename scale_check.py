@@ -497,6 +497,13 @@ def main() -> None:
         f"{K**2}x an all-pairs degradation would show. The wall factor",
         "beyond ~linear is therefore shuffle/verify overhead, not",
         "candidate growth.",
+        'Round 11 members: `q_embedding_quantize` (1.3x) and',
+        '`q_quantized_search` (1.6x) are scan-bound row-local arithmetic;',
+        '`q_simhash_hamming_join` (2.0x) is the pigeonhole-blocked join —',
+        'signature aggregation linear, candidates pair only within replicas;',
+        '`q_cluster_split` (~1x) rides the dedup_clusters CC plan (shared',
+        'memoized pair relation) plus one broadcast join, so its factor',
+        "tracks the cluster query's round count, not corpus volume.",
         "",
     ]
     open("/root/repo/SCALE.md", "w").write("\n".join(lines))
