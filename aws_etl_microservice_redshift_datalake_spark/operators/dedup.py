@@ -509,11 +509,27 @@ def simhash_hamming_join(d: DataFrame, k: int = SIMHASH_HAM_K) -> DataFrame:
     n^2/2^15 — linear until the corpus dwarfs the block space, at which
     point the published remedy (wider fingerprints / permuted tables)
     applies unchanged."""
+    cand = simhash_candidates(simhash_wide(d), k)
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= k)
+    )
+
+
+def simhash_candidates(sims: DataFrame, k: int = SIMHASH_HAM_K) -> DataFrame:
+    """The pigeonhole candidate stage of :func:`simhash_hamming_join`,
+    split out (the setsim_candidates precedent) so scale_check.py's
+    --simhashcount certificate can count the DISTINCT post-block
+    candidate pairs directly at both scales: the stage's volume model is
+    ~true-pairs (linear in corpus) + n²·(k+1)/2^bbits random block
+    collisions (quadratic with a 2^-15 coefficient at the default k=3) —
+    a wall factor alone cannot distinguish that tail from shuffle
+    overhead; the pair count can."""
     nblocks = k + 1
     if SIMHASH_JOIN_BITS % nblocks:
         raise ValueError(f"k+1 must divide {SIMHASH_JOIN_BITS}, got k={k}")
     bbits = SIMHASH_JOIN_BITS // nblocks
-    sims = simhash_wide(d)
     blocks = sims.select(
         "doc_id",
         "sim",
@@ -536,16 +552,11 @@ def simhash_hamming_join(d: DataFrame, k: int = SIMHASH_HAM_K) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
         "b_id", "b_val",
     )
-    cand = (
+    return (
         a.join(b2.hint("SHUFFLE_HASH"), ["b_id", "b_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= k)
     )
 
 
@@ -1049,11 +1060,20 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     safety is structural (same root ⇒ same hash input ⇒ same split) and
     pinned by a direct no-straddle pytest on the fixture corpus.
 
-    Scale shape: the cluster relation is |clustered docs| (tiny vs corpus
-    — the q_training_pipeline argument) broadcast into one left join; the
-    split tag and root hash are row-local; ONE final 2-group aggregate
-    with map-side partials. Oracle: the same recursive-CTE closure the
-    cluster/pipeline oracles use, so the three can never drift."""
+    Scale shape: the cluster relation is |clustered docs| broadcast into
+    one left join; the split tag and root hash are row-local; ONE final
+    2-group aggregate with map-side partials. BROADCAST CAVEAT (ADVICE
+    r11): unlike the dim-table broadcasts, this side is NOT structurally
+    tiny — on real crawl corpora dup-cluster membership runs 20–50% of
+    documents, so the relation grows WITH the corpus. The hint is correct
+    at this fixture's duplicate density (≪1 GiB even at sf100); past
+    ~executor-memory/8 (the autoBroadcastJoinThreshold-grade bound, ~8 GiB
+    of (doc_id, canon_id) pairs ≈ 500M clustered docs), drop the explicit
+    `F.broadcast` and let AQE pick shuffle-vs-broadcast from the measured
+    size — the join is a 2-column id-equi-join, so the shuffle degradation
+    is a single well-partitioned hash join, not a plan rewrite. Oracle:
+    the same recursive-CTE closure the cluster/pipeline oracles use, so
+    the three can never drift."""
     comp = q_dedup_clusters(spark, sf_dir).select("doc_id", "canon_id")
     d = load_spread(spark, sf_dir, "documents").select("doc_id")
     withroot = d.join(F.broadcast(comp), "doc_id", "left").select(

@@ -1061,13 +1061,17 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 # Literal spellings DERIVED from the constants and shared by both dialect
 # builders (ADVICE r10: the builders previously hardcoded 2.2/1.2/0.25/0.75,
-# so tuning the named constants silently changed nothing). %g keeps the
-# shortest round-trip text; float(text) == the derived double for all four,
-# so the Spark F.lit values and the SQL literals stay value-identical.
-_BM25_K1P1 = f"{BM25_K1 + 1.0:g}"  # tf multiplier k1+1
-_BM25_K1S = f"{BM25_K1:g}"  # saturation k1
-_BM25_1MB = f"{1.0 - BM25_B:g}"  # 1−b
-_BM25_BS = f"{BM25_B:g}"  # length-norm b
+# so tuning the named constants silently changed nothing). repr() is exact
+# shortest-round-trip for ANY double (ADVICE r11: %g keeps only 6
+# significant digits, so a future tuned k1/b needing more would fail the
+# assert below at import time, far from the tuning site); float(text) ==
+# the derived double for all four, so the Spark F.lit values and the SQL
+# literals stay value-identical. Today's texts are byte-identical to the
+# %g spellings (2.2 / 1.2 / 0.25 / 0.75).
+_BM25_K1P1 = repr(BM25_K1 + 1.0)  # tf multiplier k1+1
+_BM25_K1S = repr(BM25_K1)  # saturation k1
+_BM25_1MB = repr(1.0 - BM25_B)  # 1−b
+_BM25_BS = repr(BM25_B)  # length-norm b
 # bm25_rank's default-parameter call relies on these round-tripping: the
 # derived doubles must BE the doubles the literal texts parse to.
 assert (BM25_K1 + 1.0, BM25_K1, 1.0 - BM25_B, BM25_B) == tuple(

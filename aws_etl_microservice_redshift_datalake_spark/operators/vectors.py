@@ -1417,7 +1417,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AND rank_q <= {{SEARCH_K}}) AS n_overlap,
            CAST(COUNT(*) FILTER (WHERE rank_e <= {{SEARCH_K}}
                                    AND rank_q <= {{SEARCH_K}}) AS DOUBLE)
-               / {{K_D}} AS recall_at_k,
+               / CAST(COUNT(*) FILTER (WHERE rank_e <= {{SEARCH_K}})
+                      AS DOUBLE) AS recall_at_k,
            MAX(CASE WHEN rank_e = 1 AND rank_q = 1 THEN 1 ELSE 0 END)
                AS top1_match
     FROM ranked
@@ -1427,7 +1428,6 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         O_VEC_CONFORM=O_VEC_CONFORM,
         SEARCH_QUERIES=SEARCH_QUERIES,
         SEARCH_K=SEARCH_K,
-        K_D=float(SEARCH_K),
     ),
 )
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,6 +1445,14 @@ def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     here), both sims are `_dot` left-folds ≡ DuckDB list_inner_product,
     rank ties break on t_id, and the outputs are exact ints plus one
     correctly-rounded int division — nothing engine-specific anywhere.
+    recall@k divides by the EXACT arm's realized list length
+    COUNT(rank_e ≤ k) = min(k, candidates) rather than the constant k
+    (ADVICE r11): on a corpus with fewer than k+1 conforming vectors the
+    top-k lists are shorter than k, and a fixed denominator would cap
+    recall below 1.0 even under perfect agreement. Both arms rank the
+    SAME candidate set, so their list lengths agree and the denominator
+    is symmetric; on conforming corpora (candidates ≥ k) it equals k and
+    the values are byte-identical to the fixed-denominator form.
 
     Scale shape: ONE pass over the corpus computes both similarities (the
     broadcast-5-queries × streamed-targets q_ann_topk pattern — the
@@ -1508,7 +1516,7 @@ def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(both, 1)).alias("n_overlap"),
             (
                 F.count(F.when(both, 1)).cast("double")
-                / F.lit(float(SEARCH_K))
+                / F.count(F.when(F.col("rank_e") <= k, 1)).cast("double")
             ).alias("recall_at_k"),
             F.max(
                 F.when(

@@ -372,6 +372,41 @@ EWMA_LAGS = 16  # truncation depth: the dropped tail carries weight 2^-16
 # of exact ops instead of an engine-specific running accumulation
 
 
+def ewma_chain(
+    df: DataFrame, alpha: float = 0.5, lags: int = EWMA_LAGS
+) -> DataFrame:
+    """Truncated EWMA over event time as a FIXED-ORDER lag chain — the
+    q_window_ewma recurrence, parameterized for property twins (the
+    bm25_rank split precedent): y_i = Σ_{j<lags} coalesce(guard(x_{i-j}),
+    0) · α(1−α)^j, the j-ascending LEFT-ASSOCIATED IEEE sum over one
+    (user_id, ts, event_id) window. Each weight is computed ONCE in
+    Python (an IEEE double) and shipped as a literal, so a Python
+    reference folding the SAME doubles in the SAME order is bit-identical
+    for ANY alpha — the fixed order, not the weight values, carries the
+    cross-engine exactness. At the registered α = 1/2 the weights are
+    additionally EXACT powers of two (0.5·0.5^j == 2^-(j+1), every factor
+    a power of two, asserted below), so each term is one correctly-
+    rounded multiply of an exactly-representable weight — the property
+    the registered oracle's unrounded output relies on. Expects
+    (event_id, user_id, ts, value); NULL-ts rows are excluded (W7
+    contract), non-conforming values (MONEY_MAX guard) and missing lags
+    contribute exactly 0.0."""
+    e = df.filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    acc = None
+    for j in range(lags):
+        x = money_col(F.col("value"))
+        src = x if j == 0 else F.lag(x, j).over(w)
+        t = F.coalesce(src, F.lit(0.0)) * F.lit(alpha * (1.0 - alpha) ** j)
+        acc = t if acc is None else acc + t
+    return e.select("event_id", "user_id", acc.alias("ewma"))
+
+
+# The parameterized weights must BE the registered query's power-of-two
+# literals at the default alpha (the _BM25_* round-trip discipline).
+assert all(0.5 * 0.5**j == 2.0 ** -(j + 1) for j in range(EWMA_LAGS))
+
+
 @query(
     "q_window_ewma",
     oracle=f"""
@@ -421,13 +456,8 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE window = one user_id shuffle + one in-partition
     sort; all 16 lags share it (Spark plans a single Window node); the
-    arithmetic is row-local codegen."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    acc = None
-    for j in range(EWMA_LAGS):
-        x = money_col(F.col("value"))
-        src = x if j == 0 else F.lag(x, j).over(w)
-        t = F.coalesce(src, F.lit(0.0)) * F.lit(2.0 ** -(j + 1))
-        acc = t if acc is None else acc + t
-    return e.select("event_id", "user_id", acc.alias("ewma"))
+    arithmetic is row-local codegen. Body is :func:`ewma_chain` at its
+    defaults (α = 1/2, 16 lags) — the r12 library split for the
+    randomized-parameter property twin; the default weights are the same
+    doubles as the former inline 2^-(j+1) literals (asserted above)."""
+    return ewma_chain(load_table(spark, sf_dir, "events"))

@@ -186,13 +186,20 @@ _RECHECK_CHANGED: dict[str, int] = {
     # programmatically: every entry has a green r9 hash/rows row), so they
     # expired and are pruned (r10 kickoff row 1).
     #
-    # r11 ADVICE-r10 hardening batch, recorded at 10 (ships BEFORE the r11
-    # driver run — the same-round green verifies the new code, the r7
-    # convention). All three were re-compared green at both SFs the session
-    # they changed; generated oracle text verified byte-identical:
-    "q_bm25_search": 10,  # literals derived from BM25_K1/B + bm25_rank split
-    "q_setsim_join": 10,  # 1e-9 slack in the prefix-length ceil (lossless dir)
-    "q_embedding_quantize": 10,  # /64.0 -> /float(DIM) (same value today)
+    # The three r11 ADVICE-r10 hardening entries (q_bm25_search,
+    # q_setsim_join, q_embedding_quantize — recorded at 10) were verified
+    # green in CORRECTNESS_r11 on the changed code, so they expired and are
+    # pruned (the r10 precedent).
+    #
+    # r12 ADVICE-r11 batch, recorded at 11 (ships BEFORE the r12 driver
+    # run — the same-round green verifies the new code, the r7 convention):
+    "q_quantized_search": 11,  # recall@k denominator -> min(k, candidates)
+    # (byte-identical values on conforming corpora — candidates >= k — but
+    # the agg + oracle text changed, so it re-enters the window.)
+    "q_window_ewma": 11,  # ewma_chain library split (default weights
+    # asserted == the former inline 2^-(j+1) literals; oracle unchanged)
+    "q_simhash_hamming_join": 11,  # simhash_candidates library split for
+    # the --simhashcount certificate (pure extraction, plan-identical)
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -319,6 +319,65 @@ def _setsimcount() -> None:
     )
 
 
+def _simhashcount() -> None:
+    """Subprocess entry (VERDICT r11 #3): count q_simhash_hamming_join's
+    DISTINCT post-block candidate pairs (pre-verify) at both scales and
+    assert ~linear growth. The stage is the one candidate relation with a
+    quadratic-in-principle term: besides the true/correlated collisions
+    (docs sharing a 15-bit block because their fingerprints correlate —
+    this replicates per decorrelated replica, so it grows K×), RANDOM
+    block collisions occur across replicas at (k+1)/2^15 per pair —
+    C(K·n, 2)·1.22e-4 pairs, quadratic in corpus. At n=5,000/replica that
+    analytic cross term is ~1.5e5 vs a ~2.4e6/replica correlated base
+    (~0.7% of the ×10 total), so the measured factor must read ≈K; a
+    factor approaching K² would mean the blocking degraded toward
+    all-pairs (block-value skew, fingerprint bug). The analytic cross
+    term is printed so the SCALE.md note records the decomposition."""
+    from pyspark.sql import functions as F  # noqa: F401 — session warm path
+
+    from aws_etl_microservice_redshift_datalake_spark import get_session
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        SIMHASH_HAM_K,
+        simhash_candidates,
+        simhash_wide,
+    )
+    from aws_etl_microservice_redshift_datalake_spark.sources.io import (
+        load_spread,
+    )
+
+    spark = get_session("scale-simhashcount")
+    counts = {}
+    ndocs = {}
+    for sf_dir in (BASE, OUT):
+        d = load_spread(spark, sf_dir, "documents")
+        ndocs[sf_dir] = d.count()
+        counts[sf_dir] = simhash_candidates(
+            simhash_wide(d), SIMHASH_HAM_K
+        ).count()
+    factor = counts[OUT] / counts[BASE]
+    n_out = ndocs[OUT]
+    # expected cross-replica random collisions at the amplified scale
+    cross = n_out * (n_out - 1) / 2 * (SIMHASH_HAM_K + 1) * 2.0**-15
+    bound = K * 1.5  # 1.5× slack: per-replica correlated-collision counts
+    # vary with the replica hash space, + the (documented, ~0.7%) cross term
+    assert factor <= bound, (
+        f"simhash candidate pairs grew {factor:.1f}× at {K}× rows (> linear "
+        f"bound {bound:.0f}×): the pigeonhole blocking is degrading toward "
+        "all-pairs — check block extraction / fingerprint balance in "
+        "simhash_candidates"
+    )
+    print(
+        "SIMHASH_RESULT "
+        + json.dumps(
+            {
+                "base": counts[BASE],
+                "amplified": counts[OUT],
+                "cross_expected": int(cross),
+            }
+        )
+    )
+
+
 def main() -> None:
     # Measurement protocol: amplification runs in its OWN process (a 32-core
     # write job leaves the JVM/page cache in a state that measurably inflates
@@ -336,6 +395,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--setsimcount":
         _setsimcount()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--simhashcount":
+        _simhashcount()
         return
 
     from aws_etl_microservice_redshift_datalake_spark import get_session
@@ -391,6 +453,21 @@ def main() -> None:
     sc = json.loads(sline[-1][len("SETSIM_RESULT "):])
     setsim_factor = sc["amplified"] / sc["base"]
 
+    # simhash candidate-count certification (VERDICT r11 #3) — same
+    # protocol: own process, linearity asserted inside _simhashcount.
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--simhashcount"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    hline = [
+        l for l in p.stdout.splitlines() if l.startswith("SIMHASH_RESULT ")
+    ]
+    if not hline:
+        print(p.stdout[-2000:], p.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError("simhash candidate-count certification failed")
+    hc = json.loads(hline[-1][len("SIMHASH_RESULT "):])
+    simhash_factor = hc["amplified"] / hc["base"]
+
     lines = [
         "# SCALE — wall-clock scaling of headline operators",
         "",
@@ -405,9 +482,13 @@ def main() -> None:
         "| query | sf0.1 (s) | ×" + str(K) + " (s) | factor |",
         "| --- | --- | --- | --- |",
     ]
+    def _fac(name: str) -> float:
+        return big_t[name] / base_t[name] if base_t[name] > 0 else float("nan")
+
     for name in QUERIES:
-        f = big_t[name] / base_t[name] if base_t[name] > 0 else float("nan")
-        lines.append(f"| {name} | {base_t[name]:.2f} | {big_t[name]:.2f} | {f:.1f}× |")
+        lines.append(
+            f"| {name} | {base_t[name]:.2f} | {big_t[name]:.2f} | {_fac(name):.1f}× |"
+        )
     lines += [
         "",
         "Notes: replicas are decorrelated (per-token replica tags for",
@@ -497,13 +578,29 @@ def main() -> None:
         f"{K**2}x an all-pairs degradation would show. The wall factor",
         "beyond ~linear is therefore shuffle/verify overhead, not",
         "candidate growth.",
-        'Round 11 members: `q_embedding_quantize` (1.3x) and',
-        '`q_quantized_search` (1.6x) are scan-bound row-local arithmetic;',
-        '`q_simhash_hamming_join` (2.0x) is the pigeonhole-blocked join —',
+        # Interpolate the members' factors from the SAME measured dicts the
+        # table above is built from (ADVICE r11: static strings silently go
+        # stale next regenerate).
+        f"Round 11 members: `q_embedding_quantize` ({_fac('q_embedding_quantize'):.1f}x) and",
+        f"`q_quantized_search` ({_fac('q_quantized_search'):.1f}x) are scan-bound row-local arithmetic;",
+        f"`q_simhash_hamming_join` ({_fac('q_simhash_hamming_join'):.1f}x) is the pigeonhole-blocked join —",
         'signature aggregation linear, candidates pair only within replicas;',
-        '`q_cluster_split` (~1x) rides the dedup_clusters CC plan (shared',
+        f"`q_cluster_split` ({_fac('q_cluster_split'):.1f}x) rides the dedup_clusters CC plan (shared",
         'memoized pair relation) plus one broadcast join, so its factor',
         "tracks the cluster query's round count, not corpus volume.",
+        "",
+        "Round 12: `q_simhash_hamming_join`'s candidate stage is certified",
+        "DIRECTLY (VERDICT r11 #3, the setsim precedent): distinct",
+        f"post-block candidate pairs measured {hc['base']:,} at sf0.1 ->",
+        f"{hc['amplified']:,} at x{K} = {simhash_factor:.2f}x — linear in",
+        f"corpus (bound {K}x + 1.5x slack, asserted in scale_check.py",
+        "--simhashcount on every regenerate). Decomposition: correlated",
+        "within-replica collisions replicate Kx (replicas are",
+        "decorrelated); the quadratic-in-principle cross-replica RANDOM",
+        f"term is analytically C(n,2)*(k+1)/2^15 ~ {hc['cross_expected']:,}",
+        "pairs at the amplified scale — under 1% of the measured total, so",
+        f"the factor reads the linear term, far from the K^2 = {K**2}x an",
+        "all-pairs degradation would show.",
         "",
     ]
     open("/root/repo/SCALE.md", "w").write("\n".join(lines))
