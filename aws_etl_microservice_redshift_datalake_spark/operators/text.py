@@ -1404,3 +1404,179 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("z") > 0.0).alias("keep"),
     )
+
+
+# Gopher quality-rule thresholds — Rae et al. '21 (Gopher), Table A1's
+# published document-filter battery, restated as INTEGER comparisons so
+# both engines evaluate exact rational arithmetic (0.1 ⇔ ×10, 0.8 ⇔ 4/5,
+# 0.3 ⇔ ×10 vs ×3 — no float ratio is ever materialized):
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length lower bound (chars)
+GOPHER_MAX_MWL = 10  # upper bound
+# symbol-to-word ratio <= 0.1 over '#' and '...' occurrences;
+# >= 90% of lines must not start with a bullet; <= 30% may end in ellipsis;
+# >= 80% of words must contain an alphabetic character;
+# >= 2 distinct members of the published stop-word set must appear:
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_RULES = (
+    "words", "wordlen", "symbol", "bullet", "ellipsis", "alpha", "stop"
+)
+
+
+def gopher_report(d: DataFrame) -> DataFrame:
+    """Per-lang Gopher-rules quality report (Rae et al. '21): document
+    counts, full-battery pass count, and per-rule failure counts over
+    (lang, text, n_chars) rows. Library form so the planted-document pins
+    can drive each rule on constructed frames (the bm25_rank precedent).
+
+    Exactness: every rule is an integer comparison on row-local counts —
+    word/line splits, LIKE/char-class membership, replace-length deltas —
+    so the report is exact BIGINTs with no float anywhere. Mean word
+    length reuses the established total-chars identity (n_chars −
+    (n_words − 1), the q_quality_logistic spelling) behind the stats
+    conformance guard (n_chars ∈ [0, N_CHARS_MAX] — an absurd sentinel
+    must fail the rule, never ANSI-overflow the subtraction). NULL text /
+    NULL n_chars make a rule NULL, coalesced to FALSE in both twins: a
+    non-conforming document FAILS the battery, it does not vanish.
+
+    Scale shape: fully row-local feature extraction inside whole-stage
+    codegen (HOF filters over the split arrays — NO explode, so the
+    InferFiltersFromGenerate O(n²) class cannot arise), then ONE |langs|-
+    group aggregate with map-side partials. Zero joins; the corpus is
+    read once and never shuffled (only the tiny final aggregate moves)."""
+    toks = F.split("text", " ")
+    lns = F.split("text", "\n")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP])
+    t = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.when(
+            (F.col("n_chars") >= 0) & (F.col("n_chars") <= N_CHARS_MAX),
+            F.col("n_chars"),
+        ).alias("g_chars"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        ).cast("bigint").alias("n_hash"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        ).cast("bigint").alias("ell_chars"),
+        F.size(
+            F.filter(lns, lambda x: x.startswith("- ") | x.startswith("• "))
+        ).cast("bigint").alias("n_bullet"),
+        F.size(
+            F.filter(lns, lambda x: x.endswith("...") | x.endswith("…"))
+        ).cast("bigint").alias("n_ellline"),
+        F.size(lns).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("n_alpha"),
+        F.size(F.array_intersect(toks, stop_arr)).cast("bigint").alias(
+            "n_stopkinds"
+        ),
+    )
+    wl = F.col("g_chars") - (F.col("n_words") - F.lit(1))
+    rules = {
+        "words": F.col("n_words").between(
+            GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+        ),
+        "wordlen": (F.lit(GOPHER_MIN_MWL) * F.col("n_words") <= wl)
+        & (wl <= F.lit(GOPHER_MAX_MWL) * F.col("n_words")),
+        "symbol": F.lit(10) * (F.lit(3) * F.col("n_hash") + F.col("ell_chars"))
+        <= F.lit(3) * F.col("n_words"),
+        "bullet": F.lit(10) * F.col("n_bullet") <= F.col("n_lines"),
+        "ellipsis": F.lit(10) * F.col("n_ellline")
+        <= F.lit(3) * F.col("n_lines"),
+        "alpha": F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words"),
+        "stop": F.col("n_stopkinds") >= F.lit(2),
+    }
+    conf = {k: F.coalesce(rules[k], F.lit(False)) for k in _GOPHER_RULES}
+    allpass = None
+    for k in _GOPHER_RULES:
+        allpass = conf[k] if allpass is None else allpass & conf[k]
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(allpass, 1)).alias("n_pass"),
+        *[
+            F.count(F.when(~conf[k], 1)).alias(f"n_fail_{k}")
+            for k in _GOPHER_RULES
+        ],
+    )
+
+
+def _gopher_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOP) + "]"
+    return f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CASE WHEN n_chars BETWEEN 0 AND {N_CHARS_MAX}
+                    THEN n_chars END AS g_chars,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT) AS n_hash,
+               CAST(length(text) - length(replace(text, '...', ''))
+                    AS BIGINT) AS ell_chars,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                    l -> l LIKE '- %' OR l LIKE '• %')) AS BIGINT)
+                   AS n_bullet,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                    l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT)
+                   AS n_ellline,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(list_intersect(string_split(text, ' '),
+                    {stop_list})) AS BIGINT) AS n_stopkinds
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               COALESCE(n_words BETWEEN {GOPHER_MIN_WORDS}
+                        AND {GOPHER_MAX_WORDS}, FALSE) AS r_words,
+               COALESCE({GOPHER_MIN_MWL} * n_words
+                            <= g_chars - (n_words - 1)
+                        AND g_chars - (n_words - 1)
+                            <= {GOPHER_MAX_MWL} * n_words,
+                        FALSE) AS r_wordlen,
+               COALESCE(10 * (3 * n_hash + ell_chars) <= 3 * n_words,
+                        FALSE) AS r_symbol,
+               COALESCE(10 * n_bullet <= n_lines, FALSE) AS r_bullet,
+               COALESCE(10 * n_ellline <= 3 * n_lines, FALSE) AS r_ellipsis,
+               COALESCE(5 * n_alpha >= 4 * n_words, FALSE) AS r_alpha,
+               COALESCE(n_stopkinds >= 2, FALSE) AS r_stop
+        FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE r_words AND r_wordlen AND r_symbol
+               AND r_bullet AND r_ellipsis AND r_alpha AND r_stop)
+               AS n_pass,
+           COUNT(*) FILTER (WHERE NOT r_words) AS n_fail_words,
+           COUNT(*) FILTER (WHERE NOT r_wordlen) AS n_fail_wordlen,
+           COUNT(*) FILTER (WHERE NOT r_symbol) AS n_fail_symbol,
+           COUNT(*) FILTER (WHERE NOT r_bullet) AS n_fail_bullet,
+           COUNT(*) FILTER (WHERE NOT r_ellipsis) AS n_fail_ellipsis,
+           COUNT(*) FILTER (WHERE NOT r_alpha) AS n_fail_alpha,
+           COUNT(*) FILTER (WHERE NOT r_stop) AS n_fail_stop
+    FROM r GROUP BY lang
+    """
+
+
+@query("q_gopher_rules", oracle=_gopher_oracle())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality-filter report (Rae et al. 2021, Table A1 —
+    the published heuristic battery that q_quality_logistic's trained
+    stand-in approximates, VERDICT r11 #7a): per lang, how many documents
+    pass ALL rules and how many fail each of the seven — word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio ≤ 0.1
+    ('#' and '...'), ≤ 10% bullet-started lines, ≤ 30% ellipsis-ended
+    lines, ≥ 80% alphabetic words, and ≥ 2 distinct published stop words.
+    This is the report a corpus build reads to pick which rules to relax
+    per source before committing a filter pass over 100 TB.
+
+    All rules are integer comparisons (see gopher_report) so the report
+    is exact BIGINTs — full hash oracle with zero float exposure."""
+    return gopher_report(load_spread(spark, sf_dir, "documents"))

@@ -90,6 +90,10 @@ HEADLINE = [
     # one corpus left join + a 2-group aggregate) — compare r12+ totals
     # against 37 queries
     "q_cluster_split",
+    # round 12: Gopher-rules quality report (Rae et al. '21 — seven
+    # integer-comparison rules as HOF filters, one |langs|-group
+    # aggregate, zero joins) — compare r13+ totals against 38 queries
+    "q_gopher_rules",
 ]
 
 

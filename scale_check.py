@@ -124,6 +124,9 @@ QUERIES = [
     # one broadcast left join and a 2-group aggregate; expected to track
     # q_dedup_clusters' factor (the CC rounds dominate).
     "q_cluster_split",
+    # round 12: Gopher-rules quality report — row-local HOF rule battery
+    # + one |langs|-group aggregate; expected ~linear (scan-bound).
+    "q_gopher_rules",
 ]
 
 

@@ -818,3 +818,16 @@ def test_window_ewma_single_window_node(spark):
     p = audit.plan_str(df, "simple")
     assert len(re.findall(r"\bWindow\b", p)) == 1
     assert audit.count_exchanges(df) == 1
+
+
+def test_gopher_rules_is_scan_bound(spark):
+    """q_gopher_rules (r12): all seven rules are HOF filters/char counts
+    over the split arrays — NO explode (the InferFiltersFromGenerate O(n²)
+    class cannot arise), no joins, no Python eval; the only exchange is
+    the |langs|-group final aggregate with map-side partials."""
+    df = QS["q_gopher_rules"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("Generate explode") == 0
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert audit.count_exchanges(df) <= 1

@@ -1210,3 +1210,62 @@ def test_window_ewma_exact_arithmetic(spark, tmp_path):
     # y1 = 8*0.5 ; y2 = 4*0.5 + 8*0.25 ; y3 = 0 + 4*0.25 + 8*0.125
     # y4 = 16*0.5 + 0 + 4*0.125 + 8*0.0625
     assert got == {1: 4.0, 2: 4.0, 3: 2.0, 4: 9.0}
+
+
+def _gopher_doc(words):
+    t = " ".join(words)
+    return (t, len(t))
+
+
+def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
+    """One planted document per Gopher rule, each constructed to fail
+    EXACTLY its target rule (plus a full-pass doc, a NULL-text doc that
+    must fail the whole battery, and an absurd-n_chars doc that must fail
+    the guarded wordlen rule, never ANSI-overflow) — the direct-assertion
+    pins no twin compare can replace, since both engines could share a
+    threshold bug."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import (
+        _GOPHER_RULES,
+        gopher_report,
+    )
+
+    pass_words = ["the", "and"] + ["word"] * 58
+    bullet_lines = ["- the and word word word word"] * 2 + [
+        "the and word word word word"
+    ] * 8
+    ell_lines = ["the and word word word word..."] * 4 + [
+        "the and word word word word"
+    ] * 6
+    planted = {
+        "pass": _gopher_doc(pass_words),
+        "words": _gopher_doc(["the", "and"] + ["word"] * 8),
+        "wordlen": _gopher_doc(["the", "and"] + ["ab"] * 58),
+        "symbol": _gopher_doc(["the", "and"] + ["word"] * 58 + ["#"] * 7),
+        "bullet": ("\n".join(bullet_lines), len("\n".join(bullet_lines))),
+        "ellipsis": ("\n".join(ell_lines), len("\n".join(ell_lines))),
+        "alpha": _gopher_doc(["the", "and"] + ["word"] * 40 + ["123"] * 15),
+        "stop": _gopher_doc(["the"] + ["word"] * 59),
+    }
+    rows = [(lang, t, n) for lang, (t, n) in planted.items()]
+    rows.append(("nulltext", None, None))
+    rows.append(("badstats", planted["pass"][0], 1 << 50))
+    df = spark.createDataFrame(
+        rows, "lang string, text string, n_chars bigint"
+    )
+    got = {r["lang"]: r.asDict() for r in gopher_report(df).collect()}
+    assert got["pass"]["n_pass"] == 1
+    for rule in _GOPHER_RULES:
+        rep = got[rule]
+        assert rep["n_pass"] == 0, rule
+        assert rep[f"n_fail_{rule}"] == 1, rule
+        others = sum(
+            rep[f"n_fail_{k}"] for k in _GOPHER_RULES if k != rule
+        )
+        assert others == 0, (rule, rep)
+    nt = got["nulltext"]
+    assert nt["n_pass"] == 0
+    assert all(nt[f"n_fail_{k}"] == 1 for k in _GOPHER_RULES)
+    bs = got["badstats"]
+    assert bs["n_pass"] == 0
+    assert bs["n_fail_wordlen"] == 1
+    assert sum(bs[f"n_fail_{k}"] for k in _GOPHER_RULES) == 1
