@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import N_CHARS_MAX, query, rnd
-from ..sources.io import load_table
+from ..registry import N_CHARS_MAX, exact_sum, o_exact_sum, query, rnd
+from ..sources.io import load_spread, load_table
 
 
 @query(
@@ -800,3 +800,168 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s_hit").alias("n_semantic"),
         F.count(any_hit).alias("n_any"),
     )
+
+
+# DSIR — data selection via hashed-n-gram importance resampling (Xie et
+# al. '23). Feature space: unigrams + bigrams hashed into DSIR_BUCKETS
+# buckets (the paper uses 10k over a much larger vocab; 256 keeps the
+# broadcast relation trivially small at every SF while leaving bucket
+# collisions — the method's defining approximation — well exercised).
+# Target distribution: documents whose lang is DSIR_TARGET_LANG, the
+# stand-in for the paper's high-quality target corpus.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    d: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log importance weight log(p̂(x)/q̂(x)) under
+    hashed bag-of-n-gram bigram models: for each doc, Σ over its grams of
+    ln(p_b/q_b), where p/q are Laplace-smoothed bucket distributions
+    fitted on the target subset and the full raw pool. Library form so
+    the separation pins can drive constructed corpora (the bm25_rank
+    precedent).
+
+    Float discipline: each bucket's ln ratio is computed from identical
+    rationals in one fixed parenthesization ((c_t+1)/(T+B) over
+    (c_r+1)/(R+B)) — the only transcendental — and is ROUNDED to the
+    1e-6 grid; the per-doc sum is then exact_sum's DECIMAL accumulation
+    (order-independent, so the gram iteration order Spark and DuckDB
+    disagree on cannot move the hash). Counts are exact BIGINTs; the
+    gram bucket is the established portable md5 idiom.
+
+    Scale shape: grams are built ROW-LOCAL (zip of the token array with
+    its tail — never a per-position slice) and exploded via
+    explode_outer + a post-filter, the spelling the
+    InferFiltersFromGenerate O(n²) pathology cannot touch. TWO corpus
+    passes over the gram stream: one |buckets|-group aggregate with
+    map-side partials (fits any executor: 256 rows), and one scoring
+    pass joining the BROADCAST 256-row ln-ratio relation, aggregated per
+    doc_id with map-side partials. The corpus itself never shuffles —
+    only (doc_id, decimal partial) rows move. At 100 TB the re-scan
+    beats caching the exploded grams (they are ~2× the corpus)."""
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode_outer(F.concat(toks, bigrams)).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10).cast(
+                    "bigint"
+                )
+                % buckets
+            ).alias("bucket"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # Totals ride a whole-relation window over the 256-row stats relation
+    # (NOT a separate stats.agg(): that would plant a THIRD gram pass —
+    # Spark re-evaluates the unshared aggregate subtree, observed in the
+    # first plan audit).
+    w_all = Window.partitionBy()
+    stats = grams.groupBy("bucket").agg(
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    ).select(
+        "bucket",
+        "c_t",
+        "c_r",
+        F.sum("c_t").over(w_all).alias("t_tot"),
+        F.sum("c_r").over(w_all).alias("r_tot"),
+    )
+    lnr = F.round(
+        F.log(
+            (
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("t_tot") + buckets)
+            )
+            / (
+                (F.col("c_r") + 1).cast("double")
+                / (F.col("r_tot") + buckets)
+            )
+        ),
+        6,
+    )
+    ratio = stats.select("bucket", lnr.alias("lnr"))
+    return (
+        grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(exact_sum(F.col("lnr"), 6, 6).alias("logw"))
+    )
+
+
+def _dsir_oracle() -> str:
+    from .dedup import _elem_gram_sql
+
+    B = DSIR_BUCKETS
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(t) >= 2
+                   THEN list_concat(t, list_transform(
+                        generate_series(1, len(t) - 1),
+                        i -> {_elem_gram_sql("t", 2)}))
+                   ELSE t END) AS gram
+        FROM t
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(gram), 1, 6))::BIGINT % {B} AS bucket
+        FROM grams
+    ),
+    stats AS (
+        SELECT bucket,
+               COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS c_t,
+               COUNT(*) AS c_r
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_t) AS t_tot, SUM(c_r) AS r_tot FROM stats),
+    ratio AS (
+        SELECT bucket,
+               ROUND(ln((CAST(c_t + 1 AS DOUBLE) / (t_tot + {B}))
+                      / (CAST(c_r + 1 AS DOUBLE) / (r_tot + {B}))), 6)
+                   AS lnr
+        FROM stats CROSS JOIN tot
+    )
+    SELECT doc_id, lang, {o_exact_sum("lnr", 6, 6)} AS logw
+    FROM b JOIN ratio USING (bucket)
+    GROUP BY doc_id, lang
+    """
+
+
+@query("q_dsir_weights", oracle=_dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed importance weights (Xie et al. 2023 — Data Selection
+    for LMs via Importance Resampling; VERDICT r11 #7b): score every raw
+    document by how much more likely its hashed unigram+bigram profile is
+    under the target-domain distribution than under the raw pool. The
+    selection step every published domain-adaptation corpus build runs
+    before sampling; downstream, docs are kept ∝ exp(logw) (the paper's
+    Gumbel top-k — RNG-bound, so the deterministic WEIGHT is the oracled
+    surface, the q_temperature_sample convention).
+
+    Full hash oracle: counts are exact, the ln ratio is grid-rounded per
+    bucket, and the per-doc sum is exact decimal — see dsir_weights."""
+    return dsir_weights(load_spread(spark, sf_dir, "documents"))

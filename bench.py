@@ -92,8 +92,11 @@ HEADLINE = [
     "q_cluster_split",
     # round 12: Gopher-rules quality report (Rae et al. '21 — seven
     # integer-comparison rules as HOF filters, one |langs|-group
-    # aggregate, zero joins) — compare r13+ totals against 38 queries
+    # aggregate, zero joins) and DSIR hashed importance weights (Xie et
+    # al. '23 — two gram passes, 256-row broadcast ln-ratio relation,
+    # exact per-doc decimal sum) — compare r13+ totals against 39 queries
     "q_gopher_rules",
+    "q_dsir_weights",
 ]
 
 

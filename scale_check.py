@@ -127,6 +127,10 @@ QUERIES = [
     # round 12: Gopher-rules quality report — row-local HOF rule battery
     # + one |langs|-group aggregate; expected ~linear (scan-bound).
     "q_gopher_rules",
+    # round 12b: DSIR importance weights — two linear gram passes (bucket
+    # stats with map-side partials, broadcast-ratio scoring join, per-doc
+    # aggregate); expected ~linear, fixed costs dominate at small SFs.
+    "q_dsir_weights",
 ]
 
 

@@ -831,3 +831,20 @@ def test_gopher_rules_is_scan_bound(spark):
     assert "Join" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert audit.count_exchanges(df) <= 1
+
+
+def test_dsir_corpus_never_shuffles(spark):
+    """q_dsir_weights (r12): two gram passes over the corpus — the
+    bucket-stats aggregate and the scoring pass — with the 256-row
+    ln-ratio relation BROADCAST back; totals ride a window over the stats
+    relation (a separate stats.agg() would plant a THIRD gram pass —
+    pinned here). No sort-merge join, no cartesian, no Python eval; only
+    map-side-combinable aggregates move rows."""
+    df = QS["q_dsir_weights"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("Generate explode") == 2
+    assert audit.count_broadcast_joins(df) >= 1
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert audit.count_exchanges(df) <= 3

@@ -1269,3 +1269,36 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
     assert bs["n_pass"] == 0
     assert bs["n_fail_wordlen"] == 1
     assert sum(bs[f"n_fail_{k}"] for k in _GOPHER_RULES) == 1
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    """DSIR pins no twin compare can give: on a corpus where the target
+    lang uses vocabulary A and the off-target lang uses disjoint
+    vocabulary B, every A-vocabulary doc must outscore every B-vocabulary
+    doc (its grams are relatively MORE likely under the target model),
+    all weights must be finite (the Laplace floor — B-grams never seen in
+    target must not produce -inf), and a fresh evaluation must reproduce
+    the weights bit-for-bit (the decimal-sum order-independence claim)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    a_text = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    b_text = "zeta eta theta iota zeta eta theta iota zeta eta"
+    rows = (
+        [(i, "en", a_text) for i in range(5)]
+        + [(10 + i, "xx", b_text) for i in range(5)]
+        # one mixed doc so both vocabularies co-occur inside the raw pool
+        + [(20, "xx", a_text + " " + b_text)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.logw for r in dsir_weights(df).collect()}
+    assert len(got) == 11
+    assert all(w is not None and w == w for w in got.values())  # finite
+    a_scores = [got[i] for i in range(5)]
+    b_scores = [got[10 + i] for i in range(5)]
+    assert min(a_scores) > max(b_scores)
+    # identical docs share identical weights; re-evaluation is bit-stable
+    assert len(set(a_scores)) == 1 and len(set(b_scores)) == 1
+    again = {r.doc_id: r.logw for r in dsir_weights(df).collect()}
+    assert again == got
