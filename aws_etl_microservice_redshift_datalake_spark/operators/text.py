@@ -1580,3 +1580,592 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     All rules are integer comparisons (see gopher_report) so the report
     is exact BIGINTs — full hash oracle with zero float exposure."""
     return gopher_report(load_spread(spark, sf_dir, "documents"))
+
+
+# Gopher REPETITION thresholds — Rae et al. '21 Table A1's second battery
+# (the within-document repetition signals; the same values FineWeb/Dolma
+# reuse). A document FAILS a signal when its fraction EXCEEDS the
+# threshold; thresholds are exact percents so every test below is an
+# integer comparison (100·metric > pct·denominator).
+GOPHER_REP_PCT = {
+    "dupline": 30,        # repeated-line instances / lines
+    "dupline_chars": 20,  # chars in lines occurring more than once / chars
+    "top2": 20,           # chars of the char-heaviest 2-gram run / chars
+    "top3": 18,
+    "top4": 16,
+    "dup5": 15,           # chars in 5-grams occurring more than once / chars
+    "dup6": 14,
+    "dup7": 13,
+    "dup8": 12,
+    "dup9": 11,
+    "dup10": 10,
+}
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _sorted_grams(t, n: int):
+    """Sorted n-gram array built ROW-LOCAL from the token array as a
+    CHAIN OF ZIP_WITHS over n top-level slices — deliberately NOT
+    element_at(t, i) inside a transform lambda: Spark's interpreted HOF
+    evaluation re-evaluates a non-lambda-variable subtree (here the
+    split() feeding t) on EVERY element reference, turning the build
+    O(tokens²) per document (measured: 10 × 50k-token docs never
+    finished; the HOF-lambda sibling of the InferFiltersFromGenerate
+    re-evaluation class). zip_with lambdas touch ONLY their lambda
+    variables, so t is evaluated a constant n times (the slices) per row
+    regardless of projection collapse. The m < n guard dodges Spark's
+    descending sequence trap analog (negative slice length). Sorting
+    groups equal grams adjacently — the only property the run statistics
+    need, and one ANY shared total order provides."""
+    width = F.size(t) - n + 1
+    acc = F.slice(t, 1, width)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(t, 1 + j, width),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_sort(
+        F.when(F.size(t) >= n, acc).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def _run_stats(s):
+    """ALL run statistics of a SORTED array in ONE fixed-order fold —
+    struct(best, dup, inst): best = max over runs of run·len(value) (the
+    char-heaviest run), dup = char mass over all instances of values with
+    run ≥ 2, inst = instances beyond the first of each repeated value.
+    One fold per family keeps the sorted-gram subtree referenced exactly
+    ONCE, so projection collapse cannot multiply the build/sort cost; the
+    lambda touches only acc/x. Spark's neutral init ('' / zeros) folded
+    over ALL elements is provably identical to DuckDB list_reduce's
+    first-element init (case analysis incl. an '' first element — the
+    else-branch closes a zero-length run: closed = 0·len('') = 0, dup
+    unchanged at run 0 < 2, inst += greatest(-1, 0) = 0)."""
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("g"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("dup"),
+        zero.alias("inst"),
+    )
+
+    def merge(acc, x):
+        closed = acc["run"] * F.length(acc["g"])
+        return F.when(
+            x == acc["g"],
+            F.struct(
+                acc["g"].alias("g"),
+                (acc["run"] + 1).alias("run"),
+                acc["best"].alias("best"),
+                acc["dup"].alias("dup"),
+                acc["inst"].alias("inst"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("g"),
+                F.lit(1).cast("bigint").alias("run"),
+                F.greatest(acc["best"], closed).alias("best"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] >= 2, closed).otherwise(zero)
+                ).alias("dup"),
+                (
+                    acc["inst"] + F.greatest(acc["run"] - 1, zero)
+                ).alias("inst"),
+            )
+        )
+
+    def finish(acc):
+        closed = acc["run"] * F.length(acc["g"])
+        return F.struct(
+            F.greatest(acc["best"], closed).alias("best"),
+            (
+                acc["dup"] + F.when(acc["run"] >= 2, closed).otherwise(zero)
+            ).alias("dup"),
+            (acc["inst"] + F.greatest(acc["run"] - 1, zero)).alias("inst"),
+        )
+
+    return F.aggregate(s, init, merge, finish)
+
+
+def repetition_stats(d: DataFrame) -> DataFrame:
+    """Per-document Gopher repetition metrics (exact BIGINT char/instance
+    masses; fractions never materialize — the report compares
+    100·metric > pct·denominator). Library form so the hypothesis twin
+    can drive random token lists against a Python Counter reference.
+
+    Scale shape: ZERO shuffles — every metric is a row-local sort + ONE
+    fused fold over the doc's own gram arrays (vs the explode +
+    per-(doc, gram) groupBy alternative, which shuffles ~9× the corpus's
+    token volume); only the final per-lang aggregate in the report moves
+    rows. Each family's sorted-gram subtree appears exactly once (inside
+    its fold), so CollapseProject cannot multiply the build/sort cost —
+    see _sorted_grams/_run_stats for the re-evaluation classes this
+    dodges."""
+    toks = F.split("text", " ")
+    line_stats = _run_stats(F.array_sort(F.split("text", "\n")))
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"),
+        line_stats.alias("lstats"),
+        *[
+            _run_stats(_sorted_grams(toks, n)).alias(f"s{n}")
+            for n in (*_REP_TOP_NS, *_REP_DUP_NS)
+        ],
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "chars",
+        "n_lines",
+        F.col("lstats")["inst"].alias("dupline_inst"),
+        F.col("lstats")["dup"].alias("dupline_chars"),
+        *[
+            F.col(f"s{n}")["best"].alias(f"top{n}_chars")
+            for n in _REP_TOP_NS
+        ],
+        *[
+            F.col(f"s{n}")["dup"].alias(f"dup{n}_chars")
+            for n in _REP_DUP_NS
+        ],
+    )
+
+
+def gopher_repetition_report(d: DataFrame) -> DataFrame:
+    """Per-lang Gopher repetition report: document counts, full-battery
+    pass count, per-signal failure counts (see GOPHER_REP_PCT)."""
+    m = repetition_stats(d)
+    fails = {
+        "dupline": F.lit(100) * F.col("dupline_inst")
+        > F.lit(GOPHER_REP_PCT["dupline"]) * F.col("n_lines"),
+        "dupline_chars": F.lit(100) * F.col("dupline_chars")
+        > F.lit(GOPHER_REP_PCT["dupline_chars"]) * F.col("chars"),
+    }
+    for n in _REP_TOP_NS:
+        fails[f"top{n}"] = F.lit(100) * F.col(f"top{n}_chars") > F.lit(
+            GOPHER_REP_PCT[f"top{n}"]
+        ) * F.col("chars")
+    for n in _REP_DUP_NS:
+        fails[f"dup{n}"] = F.lit(100) * F.col(f"dup{n}_chars") > F.lit(
+            GOPHER_REP_PCT[f"dup{n}"]
+        ) * F.col("chars")
+    order = ["dupline", "dupline_chars"] + [
+        f"top{n}" for n in _REP_TOP_NS
+    ] + [f"dup{n}" for n in _REP_DUP_NS]
+    allpass = None
+    for k in order:
+        ok = ~fails[k]
+        allpass = ok if allpass is None else allpass & ok
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(allpass, 1)).alias("n_pass"),
+        *[F.count(F.when(fails[k], 1)).alias(f"n_fail_{k}") for k in order],
+    )
+
+
+def _rep_sorted_gram_sql(n: int) -> str:
+    from .dedup import _elem_gram_sql
+
+    return (
+        f"list_sort(CASE WHEN len(t) >= {n} THEN list_transform("
+        f"generate_series(1, len(t) - {n - 1}), "
+        f"i -> {_elem_gram_sql('t', n)}) ELSE [] END)"
+    )
+
+
+def _rep_fold_sql(s: str) -> str:
+    """The DuckDB twin of _run_stats: ONE fused list_reduce over the
+    sorted array with a (g, run, best, dup, inst) struct accumulator.
+    list_reduce's first-element init is provably identical to the Spark
+    side's neutral init (see _run_stats). NULL on an empty array — the
+    finalize extractors below render that as all-zero stats."""
+    acc_g = "struct_extract(acc,'g')"
+    acc_r = "struct_extract(acc,'run')"
+    acc_b = "struct_extract(acc,'best')"
+    acc_d = "struct_extract(acc,'dup')"
+    acc_i = "struct_extract(acc,'inst')"
+    e_g = "struct_extract(e,'g')"
+    closed = f"{acc_r} * length({acc_g})"
+    reduce = (
+        f"list_reduce(list_transform({s}, x -> "
+        "{'g': x, 'run': CAST(1 AS BIGINT), 'best': CAST(0 AS BIGINT), "
+        "'dup': CAST(0 AS BIGINT), 'inst': CAST(0 AS BIGINT)}), "
+        f"(acc, e) -> CASE WHEN {e_g} = {acc_g} THEN "
+        f"{{'g': {acc_g}, 'run': {acc_r} + 1, 'best': {acc_b}, "
+        f"'dup': {acc_d}, 'inst': {acc_i}}} ELSE "
+        f"{{'g': {e_g}, 'run': CAST(1 AS BIGINT), "
+        f"'best': greatest({acc_b}, {closed}), "
+        f"'dup': {acc_d} + CASE WHEN {acc_r} >= 2 THEN {closed} "
+        f"ELSE CAST(0 AS BIGINT) END, "
+        f"'inst': {acc_i} + greatest({acc_r} - 1, CAST(0 AS BIGINT))}} END)"
+    )
+    return f"CASE WHEN len({s}) = 0 THEN NULL ELSE {reduce} END"
+
+
+def _rep_final_sql(r: str, field: str) -> str:
+    """Finalize-extract one statistic from a _rep_fold_sql struct: close
+    the trailing run exactly as the Spark finish lambda does."""
+    g = f"struct_extract({r},'g')"
+    run = f"struct_extract({r},'run')"
+    closed = f"{run} * length({g})"
+    if field == "best":
+        body = f"greatest(struct_extract({r},'best'), {closed})"
+    elif field == "dup":
+        body = (
+            f"struct_extract({r},'dup') + CASE WHEN {run} >= 2 "
+            f"THEN {closed} ELSE CAST(0 AS BIGINT) END"
+        )
+    else:
+        body = (
+            f"struct_extract({r},'inst') + greatest({run} - 1, "
+            "CAST(0 AS BIGINT))"
+        )
+    return f"CAST(CASE WHEN {r} IS NULL THEN 0 ELSE {body} END AS BIGINT)"
+
+
+def _gopher_repetition_oracle() -> str:
+    gram_cols = ",\n               ".join(
+        f"{_rep_sorted_gram_sql(n)} AS g{n}"
+        for n in (*_REP_TOP_NS, *_REP_DUP_NS)
+    )
+    fold_cols = ",\n               ".join(
+        [f"{_rep_fold_sql('ls')} AS rl"]
+        + [
+            f"{_rep_fold_sql(f'g{n}')} AS r{n}"
+            for n in (*_REP_TOP_NS, *_REP_DUP_NS)
+        ]
+    )
+    top_cols = ",\n               ".join(
+        f"{_rep_final_sql(f'r{n}', 'best')} AS top{n}_chars"
+        for n in _REP_TOP_NS
+    )
+    dup_cols = ",\n               ".join(
+        f"{_rep_final_sql(f'r{n}', 'dup')} AS dup{n}_chars"
+        for n in _REP_DUP_NS
+    )
+    order = ["dupline", "dupline_chars"] + [
+        f"top{n}" for n in _REP_TOP_NS
+    ] + [f"dup{n}" for n in _REP_DUP_NS]
+
+    def metric(k: str) -> str:
+        if k == "dupline":
+            return "dupline_inst"
+        if k == "dupline_chars":
+            return "dupline_chars"
+        return f"{k}_chars"
+
+    def denom(k: str) -> str:
+        return "n_lines" if k == "dupline" else "chars"
+
+    fail_exprs = {
+        k: f"100 * {metric(k)} > {GOPHER_REP_PCT[k]} * {denom(k)}"
+        for k in order
+    }
+    fail_counts = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE {fail_exprs[k]}) AS n_fail_{k}"
+        for k in order
+    )
+    allpass = " AND ".join(f"NOT ({fail_exprs[k]})" for k in order)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               list_sort(string_split(text, chr(10))) AS ls,
+               {gram_cols}
+        FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    folds AS (
+        SELECT *,
+               {fold_cols}
+        FROM base
+    ),
+    m AS (
+        SELECT lang, chars, n_lines,
+               {_rep_final_sql("rl", "inst")} AS dupline_inst,
+               {_rep_final_sql("rl", "dup")} AS dupline_chars,
+               {top_cols},
+               {dup_cols}
+        FROM folds
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE {allpass}) AS n_pass,
+           {fail_counts}
+    FROM m GROUP BY lang
+    """
+
+
+@query("q_gopher_repetition", oracle=_gopher_repetition_oracle())
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION battery (Rae et al. 2021, Table A1's second
+    half — the within-document repetition signals FineWeb/Dolma reuse
+    verbatim): per lang, documents failing each of the 11 published
+    thresholds — repeated-line instance fraction > 0.30, repeated-line
+    char fraction > 0.20, char mass of the heaviest {2,3,4}-gram >
+    {0.20, 0.18, 0.16}, chars in duplicated {5..10}-grams >
+    {0.15 … 0.10} — plus the full-battery pass count. Conventions
+    documented at GOPHER_REP_PCT / repetition_stats: instance fraction
+    counts occurrences beyond the first; char fractions count ALL
+    instances of repeated values; the top-n statistic is the
+    char-heaviest run (count × gram length — tie-free, so no cross-engine
+    tie-break is ever needed); denominators are length(text) and the
+    line count; this corpus has no paragraph axis (single-newline lines
+    only), so the paper's paragraph twins of the two line signals are
+    deliberately not duplicated.
+
+    Exactness: every metric is an exact BIGINT char/instance mass from
+    sorted-array run statistics; thresholds compare 100·metric >
+    pct·denominator — no float exists anywhere in the query.
+
+    Scale shape: ZERO data shuffles — sorts and folds are row-local over
+    each doc's own gram arrays (the explode + per-(doc,gram) groupBy
+    alternative would shuffle ~9× the corpus token volume); the single
+    exchange is the |langs|-group aggregate with map-side partials. The
+    fold is one pass per gram family; both engines run the IDENTICAL
+    (gram, run, best) recurrence (Spark aggregate with a neutral init ≡
+    DuckDB list_reduce's first-element init — equivalence argued at
+    _top_run_chars, property-tested on random corpora)."""
+    return gopher_repetition_report(load_spread(spark, sf_dir, "documents"))
+
+
+# C4 cleaning heuristics — Raffel et al. '20 §2.2 (the battery behind the
+# C4 corpus; the complement of the Gopher batteries above: C4 KEEPS lines
+# and DROPS pages). The published bad-word screen uses an external
+# blocklist; shipping one is out of scope, so a neutral stand-in list
+# stands where a deployment would broadcast the real one (documented —
+# the PLUMBING, token-level membership against a tiny broadcast list, is
+# the operator).
+C4_BADWORDS = ("badtok0", "badtok1")
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_report(d: DataFrame) -> DataFrame:
+    """Per-lang C4 cleaning report over (lang, text) rows: line-keep
+    counts (a line survives iff it ends in terminal punctuation . ! ? ",
+    has >= 5 words, and does not mention 'javascript' case-insensitively)
+    and page-drop counts (any 'lorem ipsum', any '{', any bad-word TOKEN,
+    or fewer than 3 sentences among the KEPT lines — sentence count =
+    terminal-punctuation characters in kept lines, the delimiter the
+    paper's sentence spans are built from). Exact BIGINTs throughout;
+    NULL-text rows are outside the population by contract (the
+    repetition/DSIR convention).
+
+    Scale shape: fully row-local HOF filters and replace-length counts —
+    no explode, no joins, no Python; ONE |langs|-group aggregate."""
+    lns = F.split("text", "\n")
+
+    def keep(x):
+        words = F.size(F.split(x, " "))
+        ends = (
+            x.endswith(".") | x.endswith("!")
+            | x.endswith("?") | x.endswith('"')
+        )
+        return (
+            ends
+            & (words >= C4_MIN_LINE_WORDS)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lns, keep)
+
+    def punct_count(x):
+        stripped = F.replace(
+            F.replace(
+                F.replace(x, F.lit("."), F.lit("")), F.lit("!"), F.lit("")
+            ),
+            F.lit("?"),
+            F.lit(""),
+        )
+        return (F.length(x) - F.length(stripped)).cast("bigint")
+
+    n_sent = F.aggregate(
+        kept,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + punct_count(x),
+    )
+    low = F.lower("text")
+    toks_low = F.split(low, " ")
+    bad = F.size(
+        F.array_intersect(toks_low, F.array(*[F.lit(w) for w in C4_BADWORDS]))
+    ) > 0
+    t = d.filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.size(lns).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        n_sent.alias("n_sent"),
+        low.contains("lorem ipsum").alias("f_lorem"),
+        F.col("text").contains("{").alias("f_brace"),
+        bad.alias("f_bad"),
+    )
+    f_short = F.col("n_sent") < C4_MIN_SENTENCES
+    retained = ~F.col("f_lorem") & ~F.col("f_brace") & ~F.col("f_bad") & ~f_short
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_kept").alias("n_kept_lines"),
+        F.count(F.when(F.col("f_lorem"), 1)).alias("n_fail_lorem"),
+        F.count(F.when(F.col("f_brace"), 1)).alias("n_fail_brace"),
+        F.count(F.when(F.col("f_bad"), 1)).alias("n_fail_badword"),
+        F.count(F.when(f_short, 1)).alias("n_fail_sentences"),
+        F.count(F.when(retained, 1)).alias("n_retained"),
+    )
+
+
+def _c4_oracle() -> str:
+    bad_list = "[" + ", ".join(f"'{w}'" for w in C4_BADWORDS) + "]"
+    keep = (
+        "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"')"
+        f" AND len(string_split(l, ' ')) >= {C4_MIN_LINE_WORDS}"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    punct = (
+        "length(x) - length(replace(replace(replace(x, '.', ''),"
+        " '!', ''), '?', ''))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               list_filter(string_split(text, chr(10)), l -> {keep}) AS kept,
+               contains(lower(text), 'lorem ipsum') AS f_lorem,
+               contains(text, '{{') AS f_brace,
+               len(list_intersect(string_split(lower(text), ' '),
+                   {bad_list})) > 0 AS f_bad
+        FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT lang, n_lines, f_lorem, f_brace, f_bad,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(COALESCE(list_sum(list_transform(kept,
+                   x -> {punct})), 0) AS BIGINT) AS n_sent
+        FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept_lines,
+           COUNT(*) FILTER (WHERE f_lorem) AS n_fail_lorem,
+           COUNT(*) FILTER (WHERE f_brace) AS n_fail_brace,
+           COUNT(*) FILTER (WHERE f_bad) AS n_fail_badword,
+           COUNT(*) FILTER (WHERE n_sent < {C4_MIN_SENTENCES})
+               AS n_fail_sentences,
+           COUNT(*) FILTER (WHERE NOT f_lorem AND NOT f_brace AND NOT f_bad
+               AND n_sent >= {C4_MIN_SENTENCES}) AS n_retained
+    FROM m GROUP BY lang
+    """
+
+
+@query("q_c4_filters", oracle=_c4_oracle())
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-heuristics report (Raffel et al. 2020 §2.2 — the
+    battery that produced the C4 corpus, the third published filter
+    family alongside the two Gopher batteries): per lang, total vs
+    surviving line counts under the line rules (terminal punctuation,
+    >= 5 words, no 'javascript'), and page-drop counts for 'lorem
+    ipsum', '{{', bad-word tokens (stand-in list — see C4_BADWORDS), and
+    the < 3-sentences rule evaluated on the KEPT lines. Exact-integer
+    output, full hash oracle; SUM(n_lines/n_kept) are counts of
+    corpus-bounded list lengths (< 2^30 per doc), so the bigint sums
+    cannot overflow ANSI at any real scale."""
+    return c4_report(load_spread(spark, sf_dir, "documents"))
+
+
+CCNET_BUCKETS = 3  # head / middle / tail (Wenzek et al. '20)
+
+
+@query(
+    "q_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n_tot FROM toks),
+    sc AS (
+        SELECT doc_id, lang, COUNT(*) AS n_tokens,
+               CAST(ROUND(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / n_tot), 6)
+                                   AS DECIMAL(27,6))), 4) AS DOUBLE)
+                   AS sum_logp
+        FROM toks JOIN uni USING (w) CROSS JOIN tot
+        GROUP BY doc_id, lang
+    ),
+    rk AS (
+        SELECT lang, n_tokens, sum_logp / n_tokens AS mean_logp,
+               NTILE({CCNET_BUCKETS}) OVER (PARTITION BY lang
+                   ORDER BY sum_logp / n_tokens DESC, doc_id ASC) AS bucket
+        FROM sc
+    )
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(mean_logp) AS min_mean_logp,
+           MAX(mean_logp) AS max_mean_logp
+    FROM rk GROUP BY lang, bucket
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document within its language by PER-TOKEN corpus-LM log probability
+    (the perplexity proxy — q_unigram_logprob's score over token count)
+    and split into head/middle/tail thirds; report each bucket's doc
+    count, token mass, and score range. The head/middle/tail split is the
+    published selection knob (CCNet trains on head+middle, audits tail).
+    The scoring pipeline re-spells q_unigram_logprob's twin EXACTLY
+    (same grid-rounded per-vocab-word logprob, same exact decimal doc
+    sum — the q_decontaminate_report sibling convention), with lang
+    carried through the per-doc aggregate.
+
+    Float discipline: mean_logp = sum_logp / n_tokens is one correctly-
+    rounded IEEE division of bit-identical operands (never re-rounded —
+    the registry rnd rule), so the NTILE order (mean DESC, doc_id ASC)
+    and the bucket min/max are cross-engine deterministic.
+
+    Scale shape: the q_unigram_logprob plan (vocab-bounded unigram
+    aggregate, token→count hash join, per-doc aggregate) plus one
+    |lang|-partitioned window over the DOC-level relation (corpus-scale
+    text never enters the window — only (lang, n_tokens, mean) rows) and
+    a ≤ |langs|·{CCNET_BUCKETS}-group final aggregate."""
+    toks = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tot"))
+    per_tok = F.round(F.log(F.col("c") / F.col("n_tot")), 6).cast(
+        T.DecimalType(27, 6)
+    )
+    sc = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(per_tok), 4).cast("double").alias("sum_logp"),
+        )
+    )
+    mean = F.col("sum_logp") / F.col("n_tokens")
+    w = Window.partitionBy("lang").orderBy(
+        mean.desc(), F.col("doc_id").asc()
+    )
+    rk = sc.select(
+        "lang",
+        "n_tokens",
+        mean.alias("mean_logp"),
+        F.ntile(CCNET_BUCKETS).over(w).alias("bucket"),
+    )
+    return rk.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("mean_logp").alias("min_mean_logp"),
+        F.max("mean_logp").alias("max_mean_logp"),
+    )

@@ -280,6 +280,46 @@ COMMENTARY = {
         "added shuffle is the final 2-group aggregate. Upstream cost IS "
         "q_dedup_clusters' audited plan (shared memoized pair relation)."
     ),
+    "q_gopher_rules": (
+        "Gopher quality-rule report (round 12): all seven published "
+        "thresholds are integer comparisons over HOF filters / "
+        "replace-length counts on the split arrays — no explode, no "
+        "join, no Python; ONE |langs|-group aggregate with map-side "
+        "partials is the only exchange."
+    ),
+    "q_dsir_weights": (
+        "DSIR importance weights (round 12): grams are row-local (zip "
+        "with tail), TWO gram passes — the 256-bucket stats aggregate "
+        "(map-side partials; totals ride a window over the 256-row "
+        "relation, NOT a second aggregate, which planted a third gram "
+        "pass in the first audit) and the scoring pass joining the "
+        "BROADCAST ln-ratio relation — then one per-doc exact-decimal "
+        "aggregate. The corpus itself never shuffles."
+    ),
+    "q_gopher_repetition": (
+        "Gopher repetition battery (round 12): ZERO data shuffles — "
+        "each gram family is one row-local slice/zip_with build + sort "
+        "+ ONE fused (g, run, best, dup, inst) fold, referenced exactly "
+        "once so projection collapse cannot multiply the build cost. "
+        "The element_at-in-transform spelling was O(tokens²) per doc "
+        "(interpreted HOFs re-evaluate non-lambda subtrees per element "
+        "— the HOF sibling of the InferFiltersFromGenerate class; "
+        "10 × 50k-token docs: never finished → 11.6 s after the "
+        "rewrite). Only the |langs|-group aggregate moves rows."
+    ),
+    "q_c4_filters": (
+        "C4 cleaning report (round 12): line rules are HOF filters, "
+        "page rules are contains/replace-length counts — row-local "
+        "scan-bound work with ONE |langs|-group aggregate."
+    ),
+    "q_ccnet_buckets": (
+        "CCNet perplexity bucketing (round 12): the q_unigram_logprob "
+        "plan (vocab-bounded unigram aggregate broadcast into the token "
+        "stream, per-doc exact-decimal aggregate) plus ONE NTILE window "
+        "over the doc-level (lang, score) relation — corpus-scale token "
+        "rows are reduced before any window sort — and a ≤ |langs|·3 "
+        "group final aggregate."
+    ),
 }
 
 

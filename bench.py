@@ -97,6 +97,16 @@ HEADLINE = [
     # exact per-doc decimal sum) — compare r13+ totals against 39 queries
     "q_gopher_rules",
     "q_dsir_weights",
+    # round 12: Gopher repetition battery (11 published thresholds via
+    # row-local sorted-array run statistics — zero data shuffles) and the
+    # C4 cleaning report (line-keep + page-drop heuristics) — compare
+    # r13+ totals against 41 queries
+    "q_gopher_repetition",
+    "q_c4_filters",
+    # round 12: CCNet head/middle/tail perplexity bucketing (doc-level
+    # NTILE window after the unigram-LM aggregate) — compare r13+ totals
+    # against 42 queries
+    "q_ccnet_buckets",
 ]
 
 

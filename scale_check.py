@@ -131,6 +131,17 @@ QUERIES = [
     # stats with map-side partials, broadcast-ratio scoring join, per-doc
     # aggregate); expected ~linear, fixed costs dominate at small SFs.
     "q_dsir_weights",
+    # round 12c: Gopher repetition battery — row-local sorts/folds over
+    # each doc's own gram arrays, one |langs|-group aggregate; expected
+    # ~linear (per-doc work is O(L log L) in its own length only).
+    "q_gopher_repetition",
+    # round 12d: C4 cleaning report — row-local HOF line rules + contains
+    # page rules; expected ~linear (scan-bound).
+    "q_c4_filters",
+    # round 12e: CCNet bucketing — the unigram-LM plan + a doc-level
+    # NTILE window (corpus tokens never enter the window sort); expected
+    # ~linear like q_unigram_logprob.
+    "q_ccnet_buckets",
 ]
 
 

@@ -848,3 +848,45 @@ def test_dsir_corpus_never_shuffles(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert audit.count_exchanges(df) <= 3
+
+
+def test_gopher_repetition_zero_data_shuffle(spark):
+    """q_gopher_repetition (r12): all 11 repetition metrics are row-local
+    sorted-array run statistics (sorts + one fold per gram family inside
+    codegen/HOF evaluation) — NO explode, NO join, NO Python; the only
+    exchange is the |langs|-group final aggregate. The explode +
+    per-(doc, gram) groupBy alternative would shuffle ~9× the corpus
+    token volume; this contract keeps that plan dead."""
+    df = QS["q_gopher_repetition"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("Generate") == 0
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert audit.count_exchanges(df) <= 1
+
+
+def test_c4_filters_is_scan_bound(spark):
+    """q_c4_filters (r12): line rules are HOF filters, page rules are
+    contains/replace-length counts — no explode, no joins, no Python;
+    one |langs|-group aggregate."""
+    df = QS["q_c4_filters"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("Generate") == 0
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert audit.count_exchanges(df) <= 1
+
+
+def test_ccnet_window_never_sees_the_corpus(spark):
+    """q_ccnet_buckets (r12): the vocab relation broadcasts into the token
+    stream (never sort-merge), and the NTILE window sorts only the
+    doc-level (lang, score) relation — the corpus-scale token rows are
+    reduced by the per-doc aggregate BEFORE any window sort."""
+    df = QS["q_ccnet_buckets"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert audit.count_exchanges(df) <= 4
+    # exactly one Window node, fed by the post-aggregate relation
+    assert p.count("Window") == 1

@@ -1641,3 +1641,165 @@ def test_ewma_chain_nondyadic_alpha(spark, rows, alpha):
                     true += Decimal(repr(xs[i - j])) * w
             tol = 1e-9 * max(1.0, max(abs(x) for x in xs))
             assert abs(got[eid] - float(true)) <= tol, (eid, got[eid], true)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition stats (q_gopher_repetition's library form) vs Counter
+# ---------------------------------------------------------------------------
+
+
+def _brute_rep(text):
+    """Reference repetition metrics via collections.Counter — the
+    definitionally-obvious spelling (multiset counts), vs the engines'
+    sorted-array run statistics. Conventions as documented at
+    GOPHER_REP_PCT: instances beyond the first; all-instance char mass of
+    repeated values; char-heaviest run for top-n."""
+    import collections
+
+    toks = text.split(" ")
+    lines = text.split("\n")
+    cl = collections.Counter(lines)
+    out = {
+        "chars": len(text),
+        "n_lines": len(lines),
+        "dupline_inst": sum(c - 1 for c in cl.values() if c > 1),
+        "dupline_chars": sum(len(x) * c for x, c in cl.items() if c > 1),
+    }
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        grams = (
+            [" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        cg = collections.Counter(grams)
+        if n <= 4:
+            out[f"top{n}_chars"] = max(
+                (c * len(g) for g, c in cg.items()), default=0
+            )
+        else:
+            out[f"dup{n}_chars"] = sum(
+                c * len(g) for g, c in cg.items() if c > 1
+            )
+    return out
+
+
+# tiny vocab + short lines so repeated lines/grams and '' tokens (double
+# spaces) are common; docs are built as line-lists and the reference
+# re-splits the FINAL text exactly like the engines do (so tokens that
+# straddle a newline stay merged in both)
+_rep_docs = st.lists(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", ""]), max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    max_size=6,
+)
+
+
+@given(docs=_rep_docs)
+@settings(**_SETTINGS)
+def test_repetition_stats_match_counter_reference(spark, docs):
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import (
+        repetition_stats,
+    )
+
+    texts = ["\n".join(" ".join(line) for line in doc) for doc in docs]
+    rows = [(i, "en", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, lang string, text string",
+    ).filter(F.col("doc_id").isNotNull())
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        want = _brute_rep(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, repr(t))
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules report (q_gopher_rules' library form) vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+def _brute_gopher(text, n_chars):
+    """Reference rule battery with the documented conventions: integer
+    thresholds, n_chars-based mean word length behind the [0, 2^40] stats
+    guard, NULLs coalesce to fail."""
+    if text is None:
+        return {k: False for k in (
+            "words", "wordlen", "symbol", "bullet", "ellipsis", "alpha",
+            "stop")}
+    toks = text.split(" ")
+    lines = text.split("\n")
+    n = len(toks)
+    out = {"words": 50 <= n <= 100_000}
+    if n_chars is None or not (0 <= n_chars <= (1 << 40)):
+        out["wordlen"] = False
+    else:
+        wl = n_chars - (n - 1)
+        out["wordlen"] = 3 * n <= wl <= 10 * n
+    n_hash = text.count("#")
+    ell_chars = len(text) - len(text.replace("...", ""))
+    out["symbol"] = 10 * (3 * n_hash + ell_chars) <= 3 * n
+    n_bul = sum(1 for l in lines if l.startswith("- ") or l.startswith("• "))
+    out["bullet"] = 10 * n_bul <= len(lines)
+    n_ell = sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
+    out["ellipsis"] = 10 * n_ell <= 3 * len(lines)
+    n_alpha = sum(1 for w in toks if any(c.isascii() and c.isalpha() for c in w))
+    out["alpha"] = 5 * n_alpha >= 4 * n
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    out["stop"] = len(stops & set(toks)) >= 2
+    return out
+
+
+_gopher_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "word", "ab", "#", "123", "x...", "- y", ""]
+            ),
+            max_size=60,
+        ).map(lambda ws: " ".join(ws)),
+        # multi-line shapes so the bullet/ellipsis line rules fire
+        st.lists(
+            st.sampled_from(
+                ["- the and word", "plain words here", "ends like this...",
+                 "• bullet start", ""]
+            ),
+            min_size=1,
+            max_size=6,
+        ).map(lambda ls: "\n".join(ls)),
+    ),
+    max_size=8,
+)
+
+
+@given(docs=_gopher_docs)
+@settings(**_SETTINGS)
+def test_gopher_rules_match_python_reference(spark, docs):
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import (
+        _GOPHER_RULES,
+        gopher_report,
+    )
+
+    rows = [
+        (i, f"l{i}", t, None if t is None else len(t))
+        for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "doc_id long, lang string, text string, n_chars bigint",
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        r.lang: r.asDict()
+        for r in gopher_report(df.select("lang", "text", "n_chars")).collect()
+    }
+    for i, t in enumerate(docs):
+        want = _brute_gopher(t, None if t is None else len(t))
+        rep = got[f"l{i}"]
+        for k in _GOPHER_RULES:
+            assert rep[f"n_fail_{k}"] == (0 if want[k] else 1), (i, k, repr(t))
+        assert rep["n_pass"] == (1 if all(want.values()) else 0), (i, repr(t))

@@ -1302,3 +1302,95 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     assert len(set(a_scores)) == 1 and len(set(b_scores)) == 1
     again = {r.doc_id: r.logw for r in dsir_weights(df).collect()}
     assert again == got
+
+
+def test_gopher_repetition_planted_signals(spark):
+    """Hand-computed plants per repetition family: a 2-gram-stuffed doc, a
+    repeated-line doc, a duplicated-5-gram doc, a unique-words doc — with
+    the exact metric values asserted (no twin compare can pin shared
+    threshold bugs)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import (
+        gopher_repetition_report,
+        repetition_stats,
+    )
+
+    rows = [
+        (0, "t2", "a b a b a b a b"),
+        (1, "dl", "x\nx\ny z w"),
+        (2, "d5", "p q r s t p q r s t u v"),
+        (3, "nul", None),
+        (4, "uniq", "unique words only here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    m = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert 3 not in m  # NULL text excluded by the population contract
+    # doc 0: 'a b'×4 (3 chars) = 12; 'a b a'×3 (5) = 15; 'a b a b'×3 (7) = 21;
+    # 5-grams 'a b a b a'×2 + 'b a b a b'×2 (9 chars each, all instances) = 36
+    assert (m[0]["top2_chars"], m[0]["top3_chars"], m[0]["top4_chars"]) == (12, 15, 21)
+    assert m[0]["dup5_chars"] == 36 and m[0]["dup6_chars"] == 22
+    # doc 1: lines [x, x, 'y z w'] -> 1 repeated instance, 2 chars in dups
+    assert (m[1]["n_lines"], m[1]["dupline_inst"], m[1]["dupline_chars"]) == (3, 1, 2)
+    # doc 2: 'p q r s t'×2 (9 chars) = 18 dup-5 chars; no dup 6-grams
+    assert m[2]["dup5_chars"] == 18 and m[2]["dup6_chars"] == 0
+    assert m[4]["dupline_inst"] == 0 and m[4]["dup5_chars"] == 0
+    rep = {r.lang: r.asDict() for r in gopher_repetition_report(df).collect()}
+    # 15 chars, top2 12 -> 100*12 > 20*15 fails; dup5 36 > 15% fails
+    assert rep["t2"]["n_fail_top2"] == 1 and rep["t2"]["n_fail_dup5"] == 1
+    # 1 of 3 lines repeated -> 100 > 90 fails; 2 of 9 chars -> 200 > 180 fails
+    assert rep["dl"]["n_fail_dupline"] == 1
+    assert rep["dl"]["n_fail_dupline_chars"] == 1
+    assert rep["d5"]["n_fail_dup5"] == 1 and rep["d5"]["n_fail_dupline"] == 0
+
+
+def test_c4_filters_planted_rules(spark):
+    """One planted page per C4 rule: line-keep (terminal punctuation, >= 5
+    words, no 'javascript'), and the four page drops ('lorem ipsum', '{',
+    bad-word token, < 3 kept sentences)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import c4_report
+
+    good = "one two three four five.\nsix seven eight nine ten!\nmore words go right here?"
+    rows = [
+        (0, "keep", good),
+        (1, "lorem", good + "\nthis has lorem ipsum inside it."),
+        (2, "brace", good + "\ncode goes { right here } now."),
+        (3, "bad", good + "\nthis line contains badtok0 sadly."),
+        (4, "short", "just four words here.\nand again four words."),
+        (5, "nopunct", "five words but no punctuation\nanother five word line here"),
+        (6, "js", "enable JavaScript to view this.\n" + good),
+        (7, "nul", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r.asDict() for r in c4_report(df).collect()}
+    assert "nul" not in got  # population contract
+    assert got["keep"]["n_kept_lines"] == 3 and got["keep"]["n_retained"] == 1
+    assert got["lorem"]["n_fail_lorem"] == 1 and got["lorem"]["n_retained"] == 0
+    assert got["brace"]["n_fail_brace"] == 1 and got["brace"]["n_retained"] == 0
+    assert got["bad"]["n_fail_badword"] == 1 and got["bad"]["n_retained"] == 0
+    # 4-word lines fail the line rule -> zero kept lines -> < 3 sentences
+    assert got["short"]["n_kept_lines"] == 0
+    assert got["short"]["n_fail_sentences"] == 1
+    assert got["nopunct"]["n_kept_lines"] == 0
+    assert got["nopunct"]["n_fail_sentences"] == 1
+    # the javascript line is dropped but the remaining 3 keep the page
+    assert got["js"]["n_kept_lines"] == 3 and got["js"]["n_retained"] == 1
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark):
+    """CCNet bucketing invariants the oracle compare cannot state: per
+    lang, NTILE bucket sizes differ by at most 1, all three buckets exist
+    (fixture langs all have >= 3 docs), and score ranges are ordered —
+    head's minimum mean logprob >= middle's maximum >= ... (buckets
+    partition the score-sorted order)."""
+    from tests.conftest import SF_MED
+
+    QS = engine.all_queries()
+    rows = QS["q_ccnet_buckets"](spark, SF_MED).collect()
+    bylang = {}
+    for r in rows:
+        bylang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, bs in bylang.items():
+        assert set(bs) == {1, 2, 3}, lang
+        sizes = [bs[b].n_docs for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert bs[1].min_mean_logp >= bs[2].max_mean_logp, lang
+        assert bs[2].min_mean_logp >= bs[3].max_mean_logp, lang
