@@ -607,6 +607,19 @@ def main() -> None:
         'memoized pair relation) plus one broadcast join, so its factor',
         "tracks the cluster query's round count, not corpus volume.",
         "",
+        f"Round 12 members: `q_gopher_rules` ({_fac('q_gopher_rules'):.1f}x) and",
+        f"`q_c4_filters` ({_fac('q_c4_filters'):.1f}x) are scan-bound row-local rule",
+        f"batteries; `q_gopher_repetition` ({_fac('q_gopher_repetition'):.1f}x) is row-local",
+        "sorted-array folds (per-doc work depends only on the doc's own",
+        f"length); `q_dsir_weights` ({_fac('q_dsir_weights'):.1f}x) is two linear gram",
+        f"passes + a 256-row broadcast; `q_ccnet_buckets` ({_fac('q_ccnet_buckets'):.1f}x)",
+        "carries the corpus-LM structure: decorrelated replicas multiply",
+        "the VOCABULARY 10x (every replica re-mints its token space), so",
+        "the unigram relation, its broadcast, and the doc-level window all",
+        "grow with the corpus — on a real crawl, vocabulary grows",
+        "sublinearly (Heaps' law), so this corpus is the adversarial case",
+        "for the vocab join, and the factor still sits well under linear.",
+        "",
         "Round 12: `q_simhash_hamming_join`'s candidate stage is certified",
         "DIRECTLY (VERDICT r11 #3, the setsim precedent): distinct",
         f"post-block candidate pairs measured {hc['base']:,} at sf0.1 ->",
