@@ -1803,3 +1803,82 @@ def test_gopher_rules_match_python_reference(spark, docs):
         for k in _GOPHER_RULES:
             assert rep[f"n_fail_{k}"] == (0 if want[k] else 1), (i, k, repr(t))
         assert rep["n_pass"] == (1 if all(want.values()) else 0), (i, repr(t))
+
+
+# ---------------------------------------------------------------------------
+# C4 report (q_c4_filters' library form) vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+def _brute_c4(text):
+    lines = text.split("\n")
+
+    def keep(l):
+        return (
+            l.endswith((".", "!", "?", '"'))
+            and len(l.split(" ")) >= 5
+            and "javascript" not in l.lower()
+        )
+
+    kept = [l for l in lines if keep(l)]
+    n_sent = sum(l.count(".") + l.count("!") + l.count("?") for l in kept)
+    low = text.lower()
+    toks = set(low.split(" "))
+    f_lorem = "lorem ipsum" in low
+    f_brace = "{" in text
+    f_bad = bool(toks & {"badtok0", "badtok1"})
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_fail_lorem": int(f_lorem),
+        "n_fail_brace": int(f_brace),
+        "n_fail_badword": int(f_bad),
+        "n_fail_sentences": int(n_sent < 3),
+        "n_retained": int(
+            not f_lorem and not f_brace and not f_bad and n_sent >= 3
+        ),
+    }
+
+
+_c4_docs = st.lists(
+    st.lists(
+        st.sampled_from(
+            [
+                "one two three four five.",
+                "short line.",
+                "no punct five words here",
+                "JavaScript needed to view this page.",
+                'quoted line with five words"',
+                "has lorem ipsum in it somewhere.",
+                "code { brace } line words.",
+                "contains badtok0 token words here!",
+                "multi. sentence? line! with five words.",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=6,
+    ).map(lambda ls: "\n".join(ls)),
+    max_size=6,
+)
+
+
+@given(docs=_c4_docs)
+@settings(**_SETTINGS)
+def test_c4_report_matches_python_reference(spark, docs):
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import c4_report
+
+    rows = [(i, f"l{i}", t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, lang string, text string",
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        r.lang: r.asDict()
+        for r in c4_report(df.select("lang", "text")).collect()
+    }
+    for i, t in enumerate(docs):
+        want = _brute_c4(t)
+        rep = got[f"l{i}"]
+        for k, v in want.items():
+            assert rep[k] == v, (i, k, rep[k], v, repr(t))
