@@ -1730,23 +1730,17 @@ def _setsim_prefix_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _setsim_prefix(sets: DataFrame, tau: float) -> DataFrame:
-    """(doc_id, n, pos, h): each set's canonical-order PREFIX of length
-    n − ceil(τ·n) + 1, with 1-based position and the set size. Canonical
-    order is rare-first (ascending df, ties by hash) — one linear token
-    shuffle for df, one df-hydration join, then a ROW-LOCAL sort_array
-    over (df, h) structs; never a global vocabulary sort.
-
-    The ceil carries the same 1e-9 slack as the overlap threshold `need`
-    in setsim_join_sets: for a caller-supplied τ whose double repr sits a
-    hair ABOVE the exact rational (e.g. a τ meant as 7/10), a bare ceil
-    could overshoot an integer boundary and SHORTEN the prefix by one —
-    the lossy direction. Subtracting 1e-9 before the ceil can only lower
-    it, i.e. only LENGTHEN the prefix, which is always sound (ADVICE
-    r10)."""
+def _canonical_ordered(sets: DataFrame) -> DataFrame:
+    """(doc_id, ordered: array<struct<df,h>>): each set in the family's
+    canonical rare-first order (ascending document frequency, ties by
+    hash) — one linear token shuffle for df, one df-hydration join, then
+    a ROW-LOCAL sort_array over (df, h) structs; never a global
+    vocabulary sort. Shared by the Jaccard prefix relation and the
+    containment postings so the two joins can never disagree on the
+    order (their positional filters compare positions ACROSS relations)."""
     tok = sets.select("doc_id", F.explode("sh").alias("h"))
     dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
+    return (
         tok.join(dfreq.hint("SHUFFLE_HASH"), "h")
         .groupBy("doc_id")
         .agg(
@@ -1755,6 +1749,21 @@ def _setsim_prefix(sets: DataFrame, tau: float) -> DataFrame:
             ).alias("ordered")
         )
     )
+
+
+def _setsim_prefix(sets: DataFrame, tau: float) -> DataFrame:
+    """(doc_id, n, pos, h): each set's canonical-order PREFIX of length
+    n − ceil(τ·n) + 1, with 1-based position and the set size (order via
+    :func:`_canonical_ordered`).
+
+    The ceil carries the same 1e-9 slack as the overlap threshold `need`
+    in setsim_join_sets: for a caller-supplied τ whose double repr sits a
+    hair ABOVE the exact rational (e.g. a τ meant as 7/10), a bare ceil
+    could overshoot an integer boundary and SHORTEN the prefix by one —
+    the lossy direction. Subtracting 1e-9 before the ceil can only lower
+    it, i.e. only LENGTHEN the prefix, which is always sound (ADVICE
+    r10)."""
+    ranked = _canonical_ordered(sets)
     n = F.size("ordered")
     p = (n - F.ceil(F.lit(tau) * n - F.lit(1e-9)) + 1).cast("int")
     return ranked.select(
@@ -1851,3 +1860,186 @@ def setsim_candidates(
         .distinct()
     )
     return cand
+
+
+# --------------------------------------------------------------------------
+# Exact containment join (Broder '97 containment; the ASYMMETRIC member
+# of the set-similarity family — r12 extension)
+# --------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.8
+
+
+def _containment_postings(sets: DataFrame) -> DataFrame:
+    """(doc_id, n, pos, h) for EVERY position — the full canonical-order
+    posting relation (the indexed side of the containment join; the
+    probe side reuses the Jaccard prefix machinery at the containment
+    τ). Shares :func:`_canonical_ordered` with _setsim_prefix so the two
+    relations' positions are comparable by construction."""
+    ranked = _canonical_ordered(sets)
+    n = F.size("ordered")
+    return ranked.select(
+        "doc_id",
+        n.alias("n"),
+        F.posexplode("ordered").alias("pos0", "e"),
+    ).select(
+        "doc_id", "n", (F.col("pos0") + 1).alias("pos"), F.col("e.h").alias("h")
+    )
+
+
+def containment_join_sets(
+    sets: DataFrame,
+    tau: float,
+    pref: DataFrame | None = None,
+    post: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT containment join over (doc_id, sh: array<long>) sets: every
+    ORDERED pair (a, b), a ≠ b, with C(a→b) = |a∩b| / |a| ≥ τ — "τ of
+    a's shingles also appear in b". The asymmetric sibling of
+    setsim_join_sets: Jaccard symmetrizes away exactly the
+    quotation/subset/boilerplate-inclusion structure this operator
+    exists to find (a 50-shingle quote fully inside a 5,000-shingle page
+    has J ≈ 0.01 but C = 1.0). Library form so the brute-force property
+    twin can certify losslessness on random corpora.
+
+    Candidate filters, all provably lossless with t = ceil(τ·|a| − 1e-9)
+    (the family's slack — it can only LOWER t, admitting more):
+
+    - PROBE PREFIX (the Jaccard prefix theorem verbatim, since
+      _setsim_prefix's length n − ceil(τ·n) + 1 = n − t + 1): if
+      |a∩b| ≥ t, the first common element in canonical order sits within
+      a's first n − t + 1 positions — so probing with a's prefix only is
+      sound. The INDEXED side is the FULL posting relation: containment
+      puts no upper bound on |b|, so no symmetric prefix exists; the
+      rare-first canonical order keeps probe prefixes on each set's
+      RAREST shingles, bounding join fan-out by the prefix tokens'
+      document frequencies.
+    - LENGTH: |a∩b| ≤ |b|, so b qualifies only if |b| ≥ t (no upper
+      bound — that is the point).
+    - POSITIONAL: for the first common element at canonical positions
+      (i in a, j in b), |a∩b| ≤ 1 + min(|a|−i, |b|−j) must reach t;
+      keeping a pair when ANY matching row passes is sound because the
+      first-common-element row always does for a qualifying pair.
+
+    The verify hydrates both sets by doc_id and computes exact
+    |∩|/|a| row-locally — one correctly-rounded division of exact ints,
+    bit-identical across engines. Scale shape mirrors setsim: memoized
+    persisted probe/posting relations, SHUFFLE_HASH candidate join
+    (both sides corpus-scale on a crawl), distinct before hydration;
+    candidates pair only within decorrelated replicas at ×K, so the
+    stage scales like the Jaccard member's certified-linear one."""
+    if pref is None:
+        pref = _setsim_prefix(sets, tau)
+    if post is None:
+        post = _containment_postings(sets)
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("pos").alias("ia"), "h",
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("pos").alias("jb"), F.col("h").alias("h2"),
+    )
+    need = F.ceil(F.lit(tau) * F.col("na") - F.lit(1e-9)).cast("int")
+    cand = (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("h") == F.col("h2"))
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") >= need)
+            & (1 + F.least(F.col("na") - F.col("ia"),
+                           F.col("nb") - F.col("jb")) >= need),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size("sh_a")
+    )
+    return (
+        cand.join(sa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= tau)
+    )
+
+
+_CONT_PREF_MEMO: dict[tuple, tuple] = {}
+_CONT_POST_MEMO: dict[tuple, tuple] = {}
+
+
+def _containment_prefix_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The containment probe-prefix at CONTAIN_TAU (shorter than the
+    Jaccard one, so not shared with _setsim_prefix_persisted), persisted
+    with the family's count barrier and memoized per (session,
+    table-state) — the _setsim_prefix_persisted rationale."""
+    from ..sources.io import _stat_sig, table_path
+    from ._memo import session_memo
+
+    return session_memo(
+        _CONT_PREF_MEMO, spark, sf_dir,
+        lambda: _stat_sig(table_path(sf_dir, "documents")),
+        lambda: _setsim_prefix(
+            _shingle_arrays_persisted(spark, sf_dir), CONTAIN_TAU
+        ),
+    )
+
+
+def _containment_postings_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full canonical posting relation (the indexed side), persisted +
+    memoized like the prefix — without the barrier each candidate-join
+    side re-runs the df shuffle + per-doc canonical sort."""
+    from ..sources.io import _stat_sig, table_path
+    from ._memo import session_memo
+
+    return session_memo(
+        _CONT_POST_MEMO, spark, sf_dir,
+        lambda: _stat_sig(table_path(sf_dir, "documents")),
+        lambda: _containment_postings(
+            _shingle_arrays_persisted(spark, sf_dir)
+        ),
+    )
+
+
+def _containment_oracle() -> str:
+    """Brute inverted-index containment in DuckDB on RAW shingle strings
+    — no prefix/positional filter anywhere, so a green hash certifies the
+    Spark candidate stage dropped NOTHING on this corpus."""
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / sa.n AS containment
+    FROM inter JOIN sz sa ON doc_a = sa.doc_id
+    WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAIN_TAU}
+    """
+
+
+@query("q_containment_join", oracle=_containment_oracle())
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment self-join at C(a→b) = |a∩b|/|a| ≥ τ over the
+    per-document distinct shingle sets (Broder '97's containment — the
+    ASYMMETRIC near-dup member the Jaccard join cannot express: quotation
+    detection, subset/boilerplate inclusion, clipped-page dedup; a short
+    document fully embedded in a long one is invisible to J but C = 1).
+    Both directions are reported as separate ordered rows. See
+    containment_join_sets for the lossless candidate theory (probe-side
+    prefix at τ, full-posting indexed side, length + positional prunes)
+    and the plan shape."""
+    return containment_join_sets(
+        _shingle_arrays_persisted(spark, sf_dir),
+        CONTAIN_TAU,
+        pref=_containment_prefix_persisted(spark, sf_dir),
+        post=_containment_postings_persisted(spark, sf_dir),
+    )

@@ -200,6 +200,8 @@ _RECHECK_CHANGED: dict[str, int] = {
     # asserted == the former inline 2^-(j+1) literals; oracle unchanged)
     "q_simhash_hamming_join": 11,  # simhash_candidates library split for
     # the --simhashcount certificate (pure extraction, plan-identical)
+    "q_setsim_join": 11,  # _canonical_ordered split out of _setsim_prefix
+    # so the containment join shares the order (pure extraction)
 }
 
 _RECHECK: frozenset[str] = frozenset(

@@ -104,9 +104,11 @@ HEADLINE = [
     "q_gopher_repetition",
     "q_c4_filters",
     # round 12: CCNet head/middle/tail perplexity bucketing (doc-level
-    # NTILE window after the unigram-LM aggregate) — compare r13+ totals
-    # against 42 queries
+    # NTILE window after the unigram-LM aggregate) and the exact
+    # containment join (asymmetric set-similarity: probe prefix ×
+    # full postings, lossless) — compare r13+ totals against 43 queries
     "q_ccnet_buckets",
+    "q_containment_join",
 ]
 
 

@@ -142,6 +142,10 @@ QUERIES = [
     # NTILE window (corpus tokens never enter the window sort); expected
     # ~linear like q_unigram_logprob.
     "q_ccnet_buckets",
+    # round 12f: exact containment join — probe-prefix × full-posting
+    # SHUFFLE_HASH candidates; decorrelated replicas pair only within a
+    # replica, so expected ~linear like the certified Jaccard member.
+    "q_containment_join",
 ]
 
 

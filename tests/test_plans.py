@@ -890,3 +890,16 @@ def test_ccnet_window_never_sees_the_corpus(spark):
     assert audit.count_exchanges(df) <= 4
     # exactly one Window node, fed by the post-aggregate relation
     assert p.count("Window") == 1
+
+
+def test_containment_join_is_blocked_not_pairwise(spark):
+    """q_containment_join (r12): candidates come from the probe-prefix ×
+    full-posting SHUFFLE_HASH equi join over the memoized persisted
+    relations — never a sort-merge, cartesian, or broadcast of a
+    corpus-scale side; the verify hydrates distinct pairs only."""
+    df = QS["q_containment_join"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p

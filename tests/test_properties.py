@@ -1882,3 +1882,69 @@ def test_c4_report_matches_python_reference(spark, docs):
         rep = got[f"l{i}"]
         for k, v in want.items():
             assert rep[k] == v, (i, k, rep[k], v, repr(t))
+
+
+@given(docs=_setsim_docs, tau=st.sampled_from([0.5, 0.75, 0.8, 1.0]))
+@settings(**_SETTINGS)
+def test_containment_join_lossless(spark, docs, tau):
+    """containment_join_sets must equal brute-force all-ORDERED-pairs
+    exact containment on random set corpora at several thresholds — the
+    direct certificate that the probe-prefix + full-posting + length +
+    positional candidate stage is lossless for the ASYMMETRIC measure
+    (|a∩b|/|a|, both directions), which the DuckDB oracle re-proves only
+    on the fixture corpus."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        containment_join_sets,
+    )
+    from pyspark.sql import functions as F
+
+    def shingles(toks):
+        ts = [f"w{t}" for t in toks]
+        if len(ts) >= 3:
+            return {" ".join(ts[i: i + 3]) for i in range(len(ts) - 2)}
+        return {" ".join(ts)}
+
+    interned: dict[str, int] = {}
+    sets = []
+    for i, toks in enumerate(docs):
+        ids = {interned.setdefault(s, len(interned)) for s in shingles(toks)}
+        sets.append((i, sorted(ids)))
+    d = spark.createDataFrame(
+        sets or [(None, None)], "doc_id long, sh array<long>"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_join_sets(d, tau).collect()
+    }
+    want = {}
+    for a in range(len(sets)):
+        for b in range(len(sets)):
+            if a == b:
+                continue
+            sa, sb = set(sets[a][1]), set(sets[b][1])
+            c = len(sa & sb) / len(sa)
+            if c >= tau:
+                want[(a, b)] = c
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-15
+
+
+def test_containment_is_asymmetric_on_planted_subset(spark):
+    """A short set fully inside a long one must report C(a→b) = 1.0 while
+    the reverse direction falls below τ — the Jaccard-invisible case the
+    operator exists for (J here = 3/10 < any useful τ)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        containment_join_sets,
+    )
+
+    a = list(range(3))
+    b = list(range(10))
+    d = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, sh array<long>"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_join_sets(d, 0.8).collect()
+    }
+    assert got == {(0, 1): 1.0}
