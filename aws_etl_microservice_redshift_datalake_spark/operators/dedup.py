@@ -1928,6 +1928,33 @@ def containment_join_sets(
     (both sides corpus-scale on a crawl), distinct before hydration;
     candidates pair only within decorrelated replicas at ×K, so the
     stage scales like the Jaccard member's certified-linear one."""
+    cand = containment_candidates(sets, tau, pref=pref, post=post)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size("sh_a")
+    )
+    return (
+        cand.join(sa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= tau)
+    )
+
+
+def containment_candidates(
+    sets: DataFrame,
+    tau: float,
+    pref: DataFrame | None = None,
+    post: DataFrame | None = None,
+) -> DataFrame:
+    """The containment candidate stage alone: DISTINCT ordered (doc_a,
+    doc_b) pairs surviving the probe-prefix + length + positional
+    filters, BEFORE hydration/verify — split out so `scale_check.py
+    --containcount` can certify candidate LINEARITY at ×10 with a direct
+    count (the setsim/simhash precedent; this stage's indexed side is
+    every token, the family's highest fan-out in principle)."""
     if pref is None:
         pref = _setsim_prefix(sets, tau)
     if post is None:
@@ -1941,7 +1968,7 @@ def containment_join_sets(
         F.col("pos").alias("jb"), F.col("h").alias("h2"),
     )
     need = F.ceil(F.lit(tau) * F.col("na") - F.lit(1e-9)).cast("int")
-    cand = (
+    return (
         a.join(
             b.hint("SHUFFLE_HASH"),
             (F.col("h") == F.col("h2"))
@@ -1952,18 +1979,6 @@ def containment_join_sets(
         )
         .select("doc_a", "doc_b")
         .distinct()
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    cont = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size("sh_a")
-    )
-    return (
-        cand.join(sa.hint("SHUFFLE_HASH"), "doc_a")
-        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
-        .select("doc_a", "doc_b", cont.alias("containment"))
-        .filter(F.col("containment") >= tau)
     )
 
 

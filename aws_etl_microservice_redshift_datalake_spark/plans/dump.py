@@ -312,6 +312,16 @@ COMMENTARY = {
         "page rules are contains/replace-length counts — row-local "
         "scan-bound work with ONE |langs|-group aggregate."
     ),
+    "q_containment_join": (
+        "Exact containment join (round 12): probe-side prefix at the "
+        "containment tau SHUFFLE_HASH-joined to the FULL canonical "
+        "posting relation (no upper bound on |b| exists for "
+        "containment), lossless length + positional prunes, distinct "
+        "pairs hydrated for the exact |∩|/|a| verify. Both relations "
+        "persisted + memoized (the setsim barrier discipline); "
+        "candidate linearity certified by a direct ×10 count "
+        "(scale_check.py --containcount)."
+    ),
     "q_ccnet_buckets": (
         "CCNet perplexity bucketing (round 12): the q_unigram_logprob "
         "plan (vocab-bounded unigram aggregate broadcast into the token "

@@ -400,6 +400,48 @@ def _simhashcount() -> None:
     )
 
 
+def _containcount() -> None:
+    """Subprocess entry (r12, the setsim/simhash precedent): count
+    q_containment_join's DISTINCT candidate pairs (post probe-prefix +
+    length + positional prunes, pre-verify) at both scales and assert
+    ~linear growth. The probe-prefix × FULL-posting join is the family's
+    highest-fan-out candidate stage in principle (the indexed side is
+    every token, not a prefix); decorrelated replicas keep candidates
+    within a replica, so the analytic expectation is K×."""
+    from pyspark.sql import functions as F  # noqa: F401 — session warm path
+
+    from aws_etl_microservice_redshift_datalake_spark import get_session
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        CONTAIN_TAU,
+        _containment_postings_persisted,
+        _containment_prefix_persisted,
+        _shingle_arrays_persisted,
+        containment_candidates,
+    )
+
+    spark = get_session("scale-containcount")
+    counts = {}
+    for sf_dir in (BASE, OUT):
+        counts[sf_dir] = containment_candidates(
+            _shingle_arrays_persisted(spark, sf_dir),
+            CONTAIN_TAU,
+            pref=_containment_prefix_persisted(spark, sf_dir),
+            post=_containment_postings_persisted(spark, sf_dir),
+        ).count()
+    factor = counts[OUT] / counts[BASE]
+    bound = K * 1.5
+    assert factor <= bound, (
+        f"containment candidate pairs grew {factor:.1f}× at {K}× rows "
+        f"(> linear bound {bound:.0f}×): the probe-prefix filter is "
+        "degrading toward all-pairs — check the canonical order / "
+        "positional prune in containment_join_sets"
+    )
+    print(
+        "CONTAIN_RESULT "
+        + json.dumps({"base": counts[BASE], "amplified": counts[OUT]})
+    )
+
+
 def main() -> None:
     # Measurement protocol: amplification runs in its OWN process (a 32-core
     # write job leaves the JVM/page cache in a state that measurably inflates
@@ -420,6 +462,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--simhashcount":
         _simhashcount()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--containcount":
+        _containcount()
         return
 
     from aws_etl_microservice_redshift_datalake_spark import get_session
@@ -489,6 +534,20 @@ def main() -> None:
         raise RuntimeError("simhash candidate-count certification failed")
     hc = json.loads(hline[-1][len("SIMHASH_RESULT "):])
     simhash_factor = hc["amplified"] / hc["base"]
+
+    # containment candidate-count certification (r12) — same protocol.
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--containcount"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    cline = [
+        l for l in p.stdout.splitlines() if l.startswith("CONTAIN_RESULT ")
+    ]
+    if not cline:
+        print(p.stdout[-2000:], p.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError("containment candidate-count certification failed")
+    cc = json.loads(cline[-1][len("CONTAIN_RESULT "):])
+    contain_factor = cc["amplified"] / cc["base"]
 
     lines = [
         "# SCALE — wall-clock scaling of headline operators",
@@ -636,6 +695,14 @@ def main() -> None:
         "pairs at the amplified scale — under 1% of the measured total, so",
         f"the factor reads the linear term, far from the K^2 = {K**2}x an",
         "all-pairs degradation would show.",
+        "",
+        "Round 12b: `q_containment_join`'s candidate stage (probe-prefix x",
+        "FULL postings — the family's highest fan-out in principle) is",
+        f"certified the same way: {cc['base']:,} distinct candidate pairs",
+        f"at sf0.1 -> {cc['amplified']:,} at x{K} = {contain_factor:.2f}x",
+        f"(bound {K}x + 1.5x slack, asserted in scale_check.py",
+        "--containcount on every regenerate; decorrelated replicas pair",
+        "only within a replica).",
         "",
     ]
     open("/root/repo/SCALE.md", "w").write("\n".join(lines))
