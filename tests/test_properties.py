@@ -1948,3 +1948,26 @@ def test_containment_is_asymmetric_on_planted_subset(spark):
         for r in containment_join_sets(d, 0.8).collect()
     }
     assert got == {(0, 1): 1.0}
+
+
+def test_containment_exact_threshold_boundary_pair_kept(spark):
+    """A pair sitting EXACTLY at C = τ with the required overlap exactly
+    at the ceil integer boundary must be reported — the 1e-9 slack in
+    containment_candidates' need and in the probe-prefix length pins
+    exactly this (the setsim boundary precedent, asymmetric form)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        containment_join_sets,
+    )
+
+    # |a| = 5, |a∩b| = 4, C = 4/5 = 0.8 exactly; need = ceil(0.8·5) = 4
+    a = [0, 1, 2, 3, 99]
+    b = [0, 1, 2, 3] + list(range(100, 120))
+    d = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, sh array<long>"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_join_sets(d, 0.8).collect()
+    }
+    assert got.get((0, 1)) == 0.8
+    assert (1, 0) not in got  # 4/24 in the reverse direction
