@@ -1971,3 +1971,100 @@ def test_containment_exact_threshold_boundary_pair_kept(spark):
     }
     assert got.get((0, 1)) == 0.8
     assert (1, 0) not in got  # 4/24 in the reverse direction
+
+
+# ---------------------------------------------------------------------------
+# DSIR weights (q_dsir_weights' library form) vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+def _brute_dsir(rows, target_lang, buckets):
+    """Reference DSIR replicating dsir_weights' exact arithmetic: md5
+    bucket hash, Laplace-smoothed fixed-parenthesization ln ratio rounded
+    HALF_UP on the 1e-6 grid (Decimal(repr(x)) — the bm25 rounding
+    spelling), exact Decimal per-doc sum."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def grams(text):
+        t = text.split(" ")
+        gs = list(t)
+        if len(t) >= 2:
+            gs += [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return gs
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % buckets
+
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    for _, lang, text in rows:
+        if text is None:
+            continue
+        for g in grams(text):
+            b = bucket(g)
+            c_r[b] = c_r.get(b, 0) + 1
+            if lang == target_lang:
+                c_t[b] = c_t.get(b, 0) + 1
+    t_tot = sum(c_t.values())
+    r_tot = sum(c_r.values())
+    lnr = {}
+    for b in c_r:
+        raw = math.log(
+            ((c_t.get(b, 0) + 1) / (t_tot + buckets))
+            / ((c_r[b] + 1) / (r_tot + buckets))
+        )
+        lnr[b] = Decimal(repr(raw)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    out = {}
+    for doc_id, _lang, text in rows:
+        if text is None:
+            continue
+        s = Decimal(0)
+        for g in grams(text):
+            s += lnr[bucket(g)]
+        out[doc_id] = float(s)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["the", "cat", "sat", "xyz", ""]), max_size=8
+            ).map(lambda ws: " ".join(ws)),
+        ),
+        max_size=8,
+    ),
+    langs=st.lists(st.sampled_from(["en", "xx"]), max_size=8),
+)
+@settings(**_SETTINGS)
+def test_dsir_weights_match_python_reference(spark, docs, langs):
+    """dsir_weights must equal the brute-force Python reference to the
+    exact double on random corpora — the bucket hash, the grid-rounded
+    ln ratios, and the order-independent decimal doc sums all replicated
+    independently (the separation pin checks semantics; this checks the
+    arithmetic)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        dsir_weights,
+    )
+
+    rows = [
+        (i, langs[i % len(langs)] if langs else "en", t)
+        for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, lang string, text string",
+    ).filter(F.col("doc_id").isNotNull())
+    got = {r.doc_id: r.logw for r in dsir_weights(df).collect()}
+    want = _brute_dsir(rows, "en", DSIR_BUCKETS)
+    assert got.keys() == want.keys()
+    for k in want:
+        # one exact decimal sum on each side; the only float step is the
+        # final DECIMAL->DOUBLE render (exact below 2^53/1e6)
+        assert abs(got[k] - want[k]) <= 1e-9, (k, got[k], want[k])
