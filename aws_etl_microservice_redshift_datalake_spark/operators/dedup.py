@@ -183,6 +183,50 @@ _PAIRS_CTES = f"""sh AS ({_SHINGLE_SQL}),
     )"""
 
 
+def minhash_bands(arrs, n_bands: int, rows_per_band: int):
+    """(doc_id, band, bh): the LSH band-hash relation from per-row minhash
+    signatures — split out of q_dedup_minhash_pairs (r12) so the
+    incremental A-vs-B dedup joins the SAME banding (any drift between
+    the two would silently change which candidate pairs exist).
+    Signatures are computed PER ROW from the shingle array — no explode,
+    no groupBy, no shuffle: m_i = array_min(transform(sh, h ->
+    xxhash64(h, i)))."""
+    n_hashes = n_bands * rows_per_band
+
+    def _seeded(seed: int):
+        # single-arg lambda on purpose: a two-arg lambda would make PySpark
+        # pass the ELEMENT INDEX as the second argument
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
+    sig = arrs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("sh", _seeded(i))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
+
 @query(
     "q_dedup_minhash_pairs",
     oracle=f"""
@@ -208,38 +252,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted + barriered + memoized — see _shingle_arrays_persisted
     arrs = _shingle_arrays_persisted(spark, sf_dir)
     n_bands, rows_per_band = _minhash_params(table_rows(sf_dir, "documents"))
-    n_hashes = n_bands * rows_per_band
-
-    # signatures computed PER ROW from the shingle array — no explode, no
-    # groupBy, no shuffle: m_i = array_min(transform(sh, h -> xxhash64(h, i)))
-    def _seeded(seed: int):
-        # single-arg lambda on purpose: a two-arg lambda would make PySpark
-        # pass the ELEMENT INDEX as the second argument
-        return lambda h: F.xxhash64(h, F.lit(seed))
-
-    sig = arrs.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("sh", _seeded(i))).alias(f"m{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    bands = minhash_bands(arrs, n_bands, rows_per_band)
 
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
@@ -2057,4 +2070,119 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         CONTAIN_TAU,
         pref=_containment_prefix_persisted(spark, sf_dir),
         post=_containment_postings_persisted(spark, sf_dir),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a NEW batch against the EXISTING corpus (the A-vs-B
+# production shape — r12 extension)
+# --------------------------------------------------------------------------
+
+INCR_NEW_PCT = 20  # the md5 doc_id split: buckets >= 80 play the new batch
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {{PAIRS_CTES}},
+    split AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 100 < {100 - INCR_NEW_PCT} AS is_base
+        FROM documents WHERE text IS NOT NULL
+    ),
+    xpairs AS (
+        SELECT CASE WHEN sn.is_base THEN p.doc_b ELSE p.doc_a END AS doc_new,
+               p.jaccard
+        FROM pairs p
+        JOIN split sn ON p.doc_a = sn.doc_id
+        JOIN split sb ON p.doc_b = sb.doc_id
+        WHERE sn.is_base <> sb.is_base
+    )
+    SELECT s.doc_id,
+           COUNT(x.jaccard) AS n_matches,
+           MAX(x.jaccard) AS best_jaccard,
+           COUNT(x.jaccard) = 0 AS is_new
+    FROM split s LEFT JOIN xpairs x ON s.doc_id = x.doc_new
+    WHERE NOT s.is_base
+    GROUP BY s.doc_id
+    """.format(PAIRS_CTES=_PAIRS_CTES),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission — the production shape every
+    continuously-built corpus runs: dedup a NEW batch of documents
+    against the EXISTING corpus only (never new-vs-new, never re-pairing
+    the base against itself), reporting per new doc how many base
+    near-duplicates it has (J ≥ 0.8), the best match score, and the
+    admission decision (is_new). The batch is the established portable
+    md5 doc_id split (the q_train_test_split F8 spelling; 20% plays the
+    arriving batch) so both twins derive the same membership.
+
+    Plan: the SAME memoized shingle arrays and the SAME adaptive LSH
+    banding as q_dedup_minhash_pairs (shared through minhash_bands — any
+    banding drift would silently change the candidate set), but the
+    candidate join is new-bands × base-bands (A-vs-B, not self): at
+    100 TB the base side's banding is the pre-computed index a
+    production build keeps between runs, and ONLY the new batch computes
+    signatures — the asymmetry is the whole point of the incremental
+    form. Exact Jaccard verify on distinct cross pairs (two key joins,
+    row-local array_intersect), then one per-new-doc aggregate with a
+    LEFT join so zero-match docs report is_new = true. Recall is exact
+    on this corpus for the same reason as q_dedup_minhash_pairs (module
+    docstring); the brute-force oracle certifies it per run.
+
+    Exactness: counts are BIGINTs, jaccard is one correctly-rounded
+    division of exact ints, MAX over identical doubles — no rounding
+    discipline needed anywhere."""
+    arrs = _shingle_arrays_persisted(spark, sf_dir)
+    n_bands, rows_per_band = _minhash_params(table_rows(sf_dir, "documents"))
+    bands = minhash_bands(arrs, n_bands, rows_per_band)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    is_base = bucket < (100 - INCR_NEW_PCT)
+    tagged = bands.select("doc_id", "band", "bh", is_base.alias("is_base"))
+    newb = tagged.filter(~F.col("is_base")).select(
+        F.col("doc_id").alias("doc_new"), "band", "bh"
+    )
+    baseb = tagged.filter(F.col("is_base")).select(
+        F.col("doc_id").alias("doc_base"), "band", "bh"
+    )
+    cand = (
+        newb.join(baseb.hint("SHUFFLE_HASH"), ["band", "bh"])
+        .select("doc_new", "doc_base")
+        .distinct()
+    )
+    a_arr = arrs.select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n")
+    )
+    b_arr = arrs.select(
+        F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b")
+    )
+    i = F.size(F.array_intersect("sh_n", "sh_b"))
+    jac = i.cast("double") / (F.size("sh_n") + F.size("sh_b") - i)
+    pairs = (
+        cand.join(a_arr, "doc_new")
+        .join(b_arr, "doc_base")
+        .select("doc_new", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    new_docs = arrs.select("doc_id").filter(~is_base)
+    return (
+        new_docs.join(
+            pairs.withColumnRenamed("doc_new", "doc_id").hint(
+                "SHUFFLE_HASH"  # batch-sized both sides; hash, never sort
+            ),
+            "doc_id",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("jaccard").alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+            (F.count("jaccard") == 0).alias("is_new"),
+        )
     )

@@ -202,6 +202,8 @@ _RECHECK_CHANGED: dict[str, int] = {
     # the --simhashcount certificate (pure extraction, plan-identical)
     "q_setsim_join": 11,  # _canonical_ordered split out of _setsim_prefix
     # so the containment join shares the order (pure extraction)
+    "q_dedup_minhash_pairs": 11,  # minhash_bands split so the incremental
+    # A-vs-B dedup shares the banding (pure extraction, plan-identical)
 }
 
 _RECHECK: frozenset[str] = frozenset(

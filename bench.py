@@ -109,6 +109,10 @@ HEADLINE = [
     # full postings, lossless) — compare r13+ totals against 43 queries
     "q_ccnet_buckets",
     "q_containment_join",
+    # round 12: incremental A-vs-B dedup (new batch vs base via the
+    # shared LSH banding; per-new-doc admission report) — compare r13+
+    # totals against 44 queries
+    "q_dedup_incremental",
 ]
 
 

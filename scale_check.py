@@ -146,6 +146,10 @@ QUERIES = [
     # SHUFFLE_HASH candidates; decorrelated replicas pair only within a
     # replica, so expected ~linear like the certified Jaccard member.
     "q_containment_join",
+    # round 12g: incremental A-vs-B dedup — the minhash banding shared
+    # with the pairs query, cross-split candidates only; expected ~linear
+    # (the banding is the certified-linear member's).
+    "q_dedup_incremental",
 ]
 
 

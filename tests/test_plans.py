@@ -903,3 +903,17 @@ def test_containment_join_is_blocked_not_pairwise(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_dedup_incremental_is_cross_join_only(spark):
+    """q_dedup_incremental (r12): candidates come from the new-bands ×
+    base-bands SHUFFLE_HASH equi join over the SHARED banding relation
+    (minhash_bands) — never a self-pairing of the base, never a
+    sort-merge/cartesian; the verify hydrates distinct cross pairs and
+    the final aggregate is per-new-doc with a left join for zero-match
+    admission."""
+    df = QS["q_dedup_incremental"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

@@ -1394,3 +1394,49 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         assert bs[1].min_mean_logp >= bs[2].max_mean_logp, lang
         assert bs[2].min_mean_logp >= bs[3].max_mean_logp, lang
+
+
+def test_dedup_incremental_planted_cross_split_duplicates(spark, tmp_path):
+    """Incremental-admission pins on a constructed corpus: a byte-identical
+    pair straddling the md5 batch split must report is_new = false with
+    best_jaccard = 1.0 on the NEW member; a new-batch doc whose only
+    duplicate is ALSO in the new batch stays is_new = true (new-vs-new is
+    deliberately not paired); unique new docs are admitted. Membership is
+    computed with the query's own md5 bucket so the plant is robust to
+    doc_id choice."""
+    import hashlib
+
+    def is_base(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100 < 80
+
+    base_ids = [i for i in range(200) if is_base(i)]
+    new_ids = [i for i in range(200) if not is_base(i)]
+    assert len(base_ids) >= 2 and len(new_ids) >= 3
+    dup = " ".join(f"w{i}" for i in range(30))
+    dup2 = " ".join(f"v{i}" for i in range(30))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    filler = " ".join(f"z{i}" for i in range(25))
+    docs = [
+        (base_ids[0], dup),          # base copy
+        (new_ids[0], dup),           # new copy of a BASE doc -> duplicate
+        (new_ids[1], dup2),          # new-vs-new pair: both stay admitted
+        (new_ids[2], dup2),
+        (base_ids[1], filler),       # unrelated base doc
+    ]
+    extra_new = new_ids[3] if len(new_ids) > 3 else None
+    if extra_new is not None:
+        docs.append((extra_new, uniq))  # unique new doc
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    QS = engine.all_queries()
+    rows = {r.doc_id: r for r in QS["q_dedup_incremental"](spark, sf).collect()}
+    assert set(rows) == {d for d, _ in docs if not is_base(d)}
+    assert rows[new_ids[0]].is_new is False
+    assert rows[new_ids[0]].n_matches == 1
+    assert rows[new_ids[0]].best_jaccard == 1.0
+    assert rows[new_ids[1]].is_new is True and rows[new_ids[2]].is_new is True
+    if extra_new is not None:
+        assert rows[extra_new].is_new is True
+        assert rows[extra_new].best_jaccard is None
