@@ -322,6 +322,18 @@ COMMENTARY = {
         "candidate linearity certified by a direct ×10 count "
         "(scale_check.py --containcount)."
     ),
+    "q_dedup_incremental": (
+        "Incremental A-vs-B dedup (round 12): the SHARED adaptive LSH "
+        "banding (minhash_bands — the pairs query's exact relation) "
+        "split new-vs-base by the portable md5 bucket; candidates are "
+        "the new × base SHUFFLE_HASH band join only (never base self-"
+        "pairs), exact Jaccard verify on distinct cross pairs, and the "
+        "zero-match admission left join is SHUFFLE_HASH-pinned (the "
+        "default left-outer SortMergeJoin was caught by the contract — "
+        "both sides are batch-sized, hash beats sort). At 100 TB the "
+        "base banding is the persisted index between runs; only the "
+        "batch computes signatures."
+    ),
     "q_ccnet_buckets": (
         "CCNet perplexity bucketing (round 12): the q_unigram_logprob "
         "plan (vocab-bounded unigram aggregate broadcast into the token "
