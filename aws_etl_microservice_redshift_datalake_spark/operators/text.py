@@ -1484,9 +1484,10 @@ def gopher_report(d: DataFrame) -> DataFrame:
         ),
         "wordlen": (F.lit(GOPHER_MIN_MWL) * F.col("n_words") <= wl)
         & (wl <= F.lit(GOPHER_MAX_MWL) * F.col("n_words")),
-        "symbol": F.lit(10) * (F.lit(3) * F.col("n_hash") + F.col("ell_chars"))
-        <= F.lit(3) * F.col("n_words"),
-        "bullet": F.lit(10) * F.col("n_bullet") <= F.col("n_lines"),
+        "symbol": (F.lit(10) * F.col("n_hash") <= F.col("n_words"))
+        & (F.lit(10) * F.col("ell_chars") <= F.lit(3) * F.col("n_words")),
+        "bullet": F.lit(10) * F.col("n_bullet")
+        <= F.lit(9) * F.col("n_lines"),
         "ellipsis": F.lit(10) * F.col("n_ellline")
         <= F.lit(3) * F.col("n_lines"),
         "alpha": F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words"),
@@ -1541,9 +1542,10 @@ def _gopher_oracle() -> str:
                         AND g_chars - (n_words - 1)
                             <= {GOPHER_MAX_MWL} * n_words,
                         FALSE) AS r_wordlen,
-               COALESCE(10 * (3 * n_hash + ell_chars) <= 3 * n_words,
+               COALESCE(10 * n_hash <= n_words
+                        AND 10 * ell_chars <= 3 * n_words,
                         FALSE) AS r_symbol,
-               COALESCE(10 * n_bullet <= n_lines, FALSE) AS r_bullet,
+               COALESCE(10 * n_bullet <= 9 * n_lines, FALSE) AS r_bullet,
                COALESCE(10 * n_ellline <= 3 * n_lines, FALSE) AS r_ellipsis,
                COALESCE(5 * n_alpha >= 4 * n_words, FALSE) AS r_alpha,
                COALESCE(n_stopkinds >= 2, FALSE) AS r_stop
@@ -1572,8 +1574,11 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in approximates, VERDICT r11 #7a): per lang, how many documents
     pass ALL rules and how many fail each of the seven — word count in
     [50, 100k], mean word length in [3, 10], symbol-to-word ratio ≤ 0.1
-    ('#' and '...'), ≤ 10% bullet-started lines, ≤ 30% ellipsis-ended
-    lines, ≥ 80% alphabetic words, and ≥ 2 distinct published stop words.
+    for EACH symbol separately ('#' and '...' — the published battery
+    applies the 0.1 bound per symbol, not pooled), ≤ 90% bullet-started
+    lines (Table A1 removes only when MORE than 90% of lines start with
+    a bullet), ≤ 30% ellipsis-ended lines, ≥ 80% alphabetic words, and
+    ≥ 2 distinct published stop words.
     This is the report a corpus build reads to pick which rules to relax
     per source before committing a filter pass over 100 TB.
 
@@ -1933,7 +1938,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is one pass per gram family; both engines run the IDENTICAL
     (gram, run, best) recurrence (Spark aggregate with a neutral init ≡
     DuckDB list_reduce's first-element init — equivalence argued at
-    _top_run_chars, property-tested on random corpora)."""
+    _run_stats, property-tested on random corpora)."""
     return gopher_repetition_report(load_spread(spark, sf_dir, "documents"))
 
 

@@ -292,6 +292,11 @@ def _paircount() -> None:
             .filter(F.col("id_a") < F.col("id_b"))
             .count()
         )
+    assert counts[BASE] > 0, (
+        f"base candidate count is 0 at {BASE} — the linearity "
+        "certification is vacuous (empty candidate stage means the "
+        "fixture or the blocking broke, not that growth is linear)"
+    )
     factor = counts[OUT] / counts[BASE]
     bound = K**1.5 * 1.5  # 1.5× slack for cell-size imbalance at √n cells
     assert factor <= bound, (
@@ -331,6 +336,11 @@ def _setsimcount() -> None:
             SETSIM_TAU,
             pref=_setsim_prefix_persisted(spark, sf_dir),
         ).count()
+    assert counts[BASE] > 0, (
+        f"base candidate count is 0 at {BASE} — the linearity "
+        "certification is vacuous (empty candidate stage means the "
+        "fixture or the blocking broke, not that growth is linear)"
+    )
     factor = counts[OUT] / counts[BASE]
     bound = K * 1.5  # 1.5× slack for boundary/df-tie noise on a K× corpus
     assert factor <= bound, (
@@ -380,6 +390,11 @@ def _simhashcount() -> None:
         counts[sf_dir] = simhash_candidates(
             simhash_wide(d), SIMHASH_HAM_K
         ).count()
+    assert counts[BASE] > 0, (
+        f"base candidate count is 0 at {BASE} — the linearity "
+        "certification is vacuous (empty candidate stage means the "
+        "fixture or the blocking broke, not that growth is linear)"
+    )
     factor = counts[OUT] / counts[BASE]
     n_out = ndocs[OUT]
     # expected cross-replica random collisions at the amplified scale
@@ -432,6 +447,11 @@ def _containcount() -> None:
             pref=_containment_prefix_persisted(spark, sf_dir),
             post=_containment_postings_persisted(spark, sf_dir),
         ).count()
+    assert counts[BASE] > 0, (
+        f"base candidate count is 0 at {BASE} — the linearity "
+        "certification is vacuous (empty candidate stage means the "
+        "fixture or the blocking broke, not that growth is linear)"
+    )
     factor = counts[OUT] / counts[BASE]
     bound = K * 1.5
     assert factor <= bound, (

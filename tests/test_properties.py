@@ -1742,9 +1742,9 @@ def _brute_gopher(text, n_chars):
         out["wordlen"] = 3 * n <= wl <= 10 * n
     n_hash = text.count("#")
     ell_chars = len(text) - len(text.replace("...", ""))
-    out["symbol"] = 10 * (3 * n_hash + ell_chars) <= 3 * n
+    out["symbol"] = 10 * n_hash <= n and 10 * ell_chars <= 3 * n
     n_bul = sum(1 for l in lines if l.startswith("- ") or l.startswith("• "))
-    out["bullet"] = 10 * n_bul <= len(lines)
+    out["bullet"] = 10 * n_bul <= 9 * len(lines)
     n_ell = sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
     out["ellipsis"] = 10 * n_ell <= 3 * len(lines)
     n_alpha = sum(1 for w in toks if any(c.isascii() and c.isalpha() for c in w))

@@ -1230,9 +1230,9 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
     )
 
     pass_words = ["the", "and"] + ["word"] * 58
-    bullet_lines = ["- the and word word word word"] * 2 + [
-        "the and word word word word"
-    ] * 8
+    # > 90% bullet-started lines (10/10) — the published removal regime;
+    # the former 20% planted doc now PASSES (see the borderline doc below)
+    bullet_lines = ["- the and word word word word"] * 10
     ell_lines = ["the and word word word word..."] * 4 + [
         "the and word word word word"
     ] * 6
@@ -1245,6 +1245,22 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
         "ellipsis": ("\n".join(ell_lines), len("\n".join(ell_lines))),
         "alpha": _gopher_doc(["the", "and"] + ["word"] * 40 + ["123"] * 15),
         "stop": _gopher_doc(["the"] + ["word"] * 59),
+        # per-symbol independence pin: 8% '#' + 8% '...' ratios — the
+        # pooled form (0.16 > 0.1) would fail this doc; the published
+        # per-symbol rule (0.08 <= 0.1 each) must pass it
+        "pass_symbol_split": _gopher_doc(
+            ["the", "and"] + ["word"] * 40 + ["#"] * 8 + ["..."] * 8
+            + ["word"] * 42
+        ),
+        # bullet borderline pin: exactly 90% bullet lines (9/10) is NOT
+        # "more than 90%" — must pass under the published threshold
+        "pass_bullet_90": (
+            "\n".join(
+                ["- the and word word word word"] * 9
+                + ["the and word word word word"]
+            ),
+            29 * 9 + 27 + 9,
+        ),
     }
     rows = [(lang, t, n) for lang, (t, n) in planted.items()]
     rows.append(("nulltext", None, None))
@@ -1254,6 +1270,8 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
     )
     got = {r["lang"]: r.asDict() for r in gopher_report(df).collect()}
     assert got["pass"]["n_pass"] == 1
+    assert got["pass_symbol_split"]["n_pass"] == 1, got["pass_symbol_split"]
+    assert got["pass_bullet_90"]["n_pass"] == 1, got["pass_bullet_90"]
     for rule in _GOPHER_RULES:
         rep = got[rule]
         assert rep["n_pass"] == 0, rule
