@@ -191,19 +191,17 @@ _RECHECK_CHANGED: dict[str, int] = {
     # green in CORRECTNESS_r11 on the changed code, so they expired and are
     # pruned (the r10 precedent).
     #
-    # r12 ADVICE-r11 batch, recorded at 11 (ships BEFORE the r12 driver
-    # run — the same-round green verifies the new code, the r7 convention):
-    "q_quantized_search": 11,  # recall@k denominator -> min(k, candidates)
-    # (byte-identical values on conforming corpora — candidates >= k — but
-    # the agg + oracle text changed, so it re-enters the window.)
-    "q_window_ewma": 11,  # ewma_chain library split (default weights
-    # asserted == the former inline 2^-(j+1) literals; oracle unchanged)
-    "q_simhash_hamming_join": 11,  # simhash_candidates library split for
-    # the --simhashcount certificate (pure extraction, plan-identical)
-    "q_setsim_join": 11,  # _canonical_ordered split out of _setsim_prefix
-    # so the containment join shares the order (pure extraction)
-    "q_dedup_minhash_pairs": 11,  # minhash_bands split so the incremental
-    # A-vs-B dedup shares the banding (pure extraction, plan-identical)
+    # All five r12 ADVICE-r11 entries (recorded at 11) were verified green
+    # in CORRECTNESS_r12 on the changed code, so they expired and are
+    # pruned (the r10/r11 precedent).
+    #
+    # r13 ADVICE-r12 batch, recorded at 12 (ships BEFORE the r13 driver
+    # run — the same-round green verifies the new code):
+    "q_gopher_rules": 12,  # bullet threshold aligned with the published
+    # >90% removal regime (was inverted at 10%) and the symbol rule split
+    # into per-symbol 0.1 bounds (was pooled) — a VALUE change on docs in
+    # the 10–90% bullet band or with split symbol ratios; both twins
+    # changed together so the fixture hashes moved identically.
 }
 
 _RECHECK: frozenset[str] = frozenset(
