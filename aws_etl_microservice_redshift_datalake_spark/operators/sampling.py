@@ -965,3 +965,394 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full hash oracle: counts are exact, the ln ratio is grid-rounded per
     bucket, and the per-doc sum is exact decimal — see dsir_weights."""
     return dsir_weights(load_spread(spark, sf_dir, "documents"))
+
+
+# DoReMi-style per-source mixture reweighting (Xie et al. '23 — DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining). The
+# published procedure trains a proxy model with Group DRO and reads the
+# averaged domain weights; the batch analog here is ONE exponentiated-
+# gradient step from the natural mixture using a hashed-unigram-LM loss
+# proxy: domains whose text the pool LM models WORSE (positive excess
+# NLL) are up-weighted multiplicatively, then smoothed toward uniform —
+# exactly the paper's update rule alpha·exp(eta·excess), (1-c)·norm + c·u,
+# with the trained-proxy per-domain loss replaced by the engine's own
+# unigram surprisal (the same stand-in q_quality_logistic uses for its
+# trained scorer). eta = 1, c = 1e-3 (the paper's smoothing), K = 5 fixed
+# fixture domains.
+DOREMI_LANGS = ("de", "en", "es", "fr", "zh")  # fixture domain, FIXTURES.md
+DOREMI_BUCKETS = 256  # hashed-unigram LM size (the DSIR_BUCKETS rationale)
+DOREMI_FRAC = 0.5  # realized-budget fraction for the membership report
+
+
+def doremi_mixture(d: DataFrame) -> DataFrame:
+    """Per-domain DoReMi-style mixture report: natural share, hashed-
+    unigram NLL loss proxy, excess loss vs the pool, one-step DoReMi
+    weight, and the realized hash-membership sample at DOREMI_FRAC of
+    corpus size. Library form so the planted separation/uniform pins can
+    drive constructed corpora (the bm25_rank precedent).
+
+    Float discipline (every output column is an exact BIGINT):
+    - the per-bucket ln p is the ONLY transcendental fed by corpus data
+      and is grid-rounded to 1e-6 (the dsir_weights precedent);
+      per-domain NLL sums then ride exact_sum's DECIMAL accumulation
+      (order-independent), so both engines hold bit-identical doubles
+      at the 5-row stage;
+    - exp(excess) is grid-rounded to 1e-6 (same precedent: ≤1-ulp engine
+      disagreement on a transcendental of identical inputs);
+    - everything downstream is correctly-rounded +,*,/ with a FIXED
+      parenthesization (folds run over DOREMI_LANGS alphabetically,
+      left-associated, on both sides), so weights/rates are bit-identical
+      cross-engine;
+    - outputs derived from QUOTIENTS (mean NLL, excess, weight) are
+      emitted as floor(x·1e6) ppm BIGINTs, never round(x, 6): a rational
+      quotient CAN sit exactly on a half-grid boundary where the engines'
+      round-half-up implementations may disagree, while floor of a
+      bit-identical double is exact (the registry.rnd docstring rule).
+
+    NULL/degenerate paths (mirrored in the oracle): a domain with docs
+    but zero tokens carries no NLL signal — excess coalesces to 0 and it
+    keeps its natural share (nll_mean_ppm NULL); a corpus with no tokens
+    anywhere degrades the whole report to the natural mixture; domains
+    outside the declared DOREMI_LANGS partition are out of scope in BOTH
+    twins (the report is a decision over a fixed source partition).
+
+    Scale shape: TWO gram passes over the corpus (the dsir_weights
+    explode discipline — bucket-stats aggregate with map-side partials,
+    then the scoring pass joining the BROADCAST 256-row ln-p relation
+    into a 5-group aggregate) plus two column-pruned documents scans
+    (per-domain doc counts; membership counting against the broadcast
+    5-row rates relation). The corpus itself never shuffles — only
+    partial-aggregate rows move; all cross joins are 1-row broadcasts."""
+    langs = DOREMI_LANGS
+    B = DOREMI_BUCKETS
+    in_tuple = F.col("lang").isin(*langs)
+
+    counts = (
+        d.filter(in_tuple)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    cw = counts.agg(
+        *[
+            F.min(F.when(F.col("lang") == k, F.col("n_docs"))).alias(f"n_{k}")
+            for k in langs
+        ]
+    )
+
+    toks = F.split("text", " ")
+    grams = (
+        d.filter(in_tuple & F.col("text").isNotNull())
+        .select("lang", F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    b = grams.select(
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("bigint")
+            % B
+        ).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    # pool totals ride a whole-relation window over the 256-row stats
+    # relation (the dsir_weights rule: a separate agg would plant a THIRD
+    # gram pass through the unshared aggregate subtree)
+    w_all = Window.partitionBy()
+    stats = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("bucket", "c", F.sum("c").over(w_all).alias("ct"))
+    )
+    lnp = F.round(
+        F.log((F.col("c") + 1).cast("double") / (F.col("ct") + B)), 6
+    )
+    ratio = stats.select("bucket", lnp.alias("lnp"))
+    nll = (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("lang")
+        .agg(
+            exact_sum(F.col("lnp"), 6, 6).alias("s"),
+            F.count(F.lit(1)).alias("tk"),
+        )
+    )
+    nw = nll.agg(
+        *[
+            c
+            for k in langs
+            for c in (
+                F.min(F.when(F.col("lang") == k, F.col("s"))).alias(f"s_{k}"),
+                F.min(F.when(F.col("lang") == k, F.col("tk"))).alias(
+                    f"tk_{k}"
+                ),
+            )
+        ]
+    )
+
+    def fold(cols):
+        acc = cols[0]
+        for x in cols[1:]:
+            acc = acc + x
+        return acc
+
+    n_total = fold([F.coalesce(F.col(f"n_{k}"), F.lit(0)) for k in langs])
+    s_tot = fold([F.coalesce(F.col(f"s_{k}"), F.lit(0.0)) for k in langs])
+    t_tot = fold([F.coalesce(F.col(f"tk_{k}"), F.lit(0)) for k in langs])
+    wide = cw.crossJoin(F.broadcast(nw)).select(
+        "*",
+        n_total.alias("n_total"),
+        (-s_tot / F.nullif(t_tot.cast("double"), F.lit(0.0))).alias(
+            "m_pool"
+        ),
+    )
+    wide = wide.select(
+        "*",
+        *[
+            (-F.col(f"s_{k}") / F.col(f"tk_{k}").cast("double")).alias(
+                f"m_{k}"
+            )
+            for k in langs
+        ],
+    )
+    wide = wide.select(
+        "*",
+        *[
+            F.greatest(
+                F.lit(0.0),
+                F.coalesce(F.col(f"m_{k}") - F.col("m_pool"), F.lit(0.0)),
+            ).alias(f"ex_{k}")
+            for k in langs
+        ],
+    )
+    wide = wide.select(
+        "*",
+        *[
+            c
+            for k in langs
+            for c in (
+                F.round(F.exp(F.col(f"ex_{k}")), 6).alias(f"r_{k}"),
+                (
+                    F.coalesce(F.col(f"n_{k}"), F.lit(0)).cast("double")
+                    / F.col("n_total").cast("double")
+                ).alias(f"p_{k}"),
+            )
+        ],
+    )
+    wide = wide.select(
+        "*",
+        *[(F.col(f"p_{k}") * F.col(f"r_{k}")).alias(f"w_{k}") for k in langs],
+    )
+    wide = wide.select(
+        "*", fold([F.col(f"w_{k}") for k in langs]).alias("z")
+    )
+
+    def by_lang(col_fmt: str):
+        expr = None
+        for k in langs:
+            cond = F.col("lang") == k
+            val = F.col(col_fmt.format(k=k))
+            expr = (
+                F.when(cond, val)
+                if expr is None
+                else expr.when(cond, val)
+            )
+        return expr
+
+    a = (
+        F.lit(0.999) * (by_lang("w_{k}") / F.col("z")) + F.lit(0.0002)
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (F.lit(DOREMI_FRAC) * F.col("n_total").cast("double")) * a
+        )
+        / F.col("n_docs").cast("double"),
+    )
+    rates = counts.crossJoin(F.broadcast(wide)).select(
+        "lang",
+        "n_docs",
+        F.coalesce(by_lang("tk_{k}"), F.lit(0)).alias("n_tokens"),
+        F.floor(by_lang("m_{k}") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("nll_mean_ppm"),
+        F.floor(by_lang("ex_{k}") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("excess_ppm"),
+        F.floor(a * F.lit(1000000.0)).cast("bigint").alias("weight_ppm"),
+        F.floor(rate * F.lit(10000.0)).cast("bigint").alias("cut_bp"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        d.filter(in_tuple)
+        .select("lang", "doc_id")
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("nll_mean_ppm").alias("nll_mean_ppm"),
+            F.min("excess_ppm").alias("excess_ppm"),
+            F.min("weight_ppm").alias("weight_ppm"),
+            F.min("cut_bp").alias("cut_bp"),
+            F.count(F.when(bucket < F.col("cut_bp"), 1)).alias("n_selected"),
+        )
+    )
+
+
+def _doremi_oracle() -> str:
+    B = DOREMI_BUCKETS
+    langs = DOREMI_LANGS
+    in_list = ", ".join(f"'{k}'" for k in langs)
+    cw_cols = ",\n               ".join(
+        f"MIN(CASE WHEN lang = '{k}' THEN n_docs END) AS n_{k}"
+        for k in langs
+    )
+    nw_cols = ",\n               ".join(
+        f"MIN(CASE WHEN lang = '{k}' THEN s END) AS s_{k},\n"
+        f"               MIN(CASE WHEN lang = '{k}' THEN tk END) AS tk_{k}"
+        for k in langs
+    )
+    n_total = " + ".join(f"COALESCE(n_{k}, 0)" for k in langs)
+    s_tot = " + ".join(f"COALESCE(s_{k}, 0.0)" for k in langs)
+    t_tot = " + ".join(f"COALESCE(tk_{k}, 0)" for k in langs)
+    m_cols = ",\n               ".join(
+        f"-(s_{k}) / CAST(tk_{k} AS DOUBLE) AS m_{k}" for k in langs
+    )
+    ex_cols = ",\n               ".join(
+        f"GREATEST(0.0, COALESCE(m_{k} - m_pool, 0.0)) AS ex_{k}"
+        for k in langs
+    )
+    rp_cols = ",\n               ".join(
+        f"ROUND(EXP(ex_{k}), 6) AS r_{k},\n"
+        f"               CAST(COALESCE(n_{k}, 0) AS DOUBLE)"
+        f" / CAST(n_total AS DOUBLE) AS p_{k}"
+        for k in langs
+    )
+    w_cols = ",\n               ".join(
+        f"p_{k} * r_{k} AS w_{k}" for k in langs
+    )
+    z = " + ".join(f"w_{k}" for k in langs)
+    w_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN w_{k}" for k in langs)
+        + " END"
+    )
+    tk_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN tk_{k}" for k in langs)
+        + " END"
+    )
+    m_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN m_{k}" for k in langs)
+        + " END"
+    )
+    ex_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN ex_{k}" for k in langs)
+        + " END"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents
+        WHERE lang IN ({in_list}) GROUP BY lang
+    ),
+    cw AS (SELECT {cw_cols} FROM counts),
+    grams AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE lang IN ({in_list}) AND text IS NOT NULL
+    ),
+    b AS (
+        SELECT lang,
+               ('0x' || substr(md5(tok), 1, 6))::BIGINT % {B} AS bucket
+        FROM grams
+    ),
+    stats AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(c) AS ct FROM stats),
+    ratio AS (
+        SELECT bucket,
+               ROUND(ln(CAST(c + 1 AS DOUBLE) / (ct + {B})), 6) AS lnp
+        FROM stats CROSS JOIN tot
+    ),
+    nll AS (
+        SELECT lang, {o_exact_sum("lnp", 6, 6)} AS s, COUNT(*) AS tk
+        FROM b JOIN ratio USING (bucket) GROUP BY lang
+    ),
+    nw AS (SELECT {nw_cols} FROM nll),
+    wide AS (
+        SELECT *, {n_total} AS n_total,
+               -({s_tot}) / NULLIF(CAST({t_tot} AS DOUBLE), 0.0) AS m_pool
+        FROM cw CROSS JOIN nw
+    ),
+    w2 AS (
+        SELECT *,
+               {m_cols}
+        FROM wide
+    ),
+    w3 AS (
+        SELECT *,
+               {ex_cols}
+        FROM w2
+    ),
+    w4 AS (
+        SELECT *,
+               {rp_cols}
+        FROM w3
+    ),
+    w5 AS (
+        SELECT *,
+               {w_cols}
+        FROM w4
+    ),
+    w6 AS (SELECT *, {z} AS z FROM w5),
+    rates AS (
+        SELECT c.lang, c.n_docs,
+               COALESCE({tk_case}, 0) AS n_tokens,
+               CAST(FLOOR(({m_case}) * 1000000.0) AS BIGINT)
+                   AS nll_mean_ppm,
+               CAST(FLOOR(({ex_case}) * 1000000.0) AS BIGINT)
+                   AS excess_ppm,
+               CAST(FLOOR(((0.999 * (({w_case}) / z)) + 0.0002)
+                          * 1000000.0) AS BIGINT) AS weight_ppm,
+               CAST(FLOOR(LEAST(1.0,
+                   (({DOREMI_FRAC} * CAST(n_total AS DOUBLE))
+                    * ((0.999 * (({w_case}) / z)) + 0.0002))
+                   / CAST(c.n_docs AS DOUBLE)) * 10000.0) AS BIGINT)
+                   AS cut_bp
+        FROM counts c CROSS JOIN w6
+    )
+    SELECT d.lang,
+           MIN(r.n_docs) AS n_docs,
+           MIN(r.n_tokens) AS n_tokens,
+           MIN(r.nll_mean_ppm) AS nll_mean_ppm,
+           MIN(r.excess_ppm) AS excess_ppm,
+           MIN(r.weight_ppm) AS weight_ppm,
+           MIN(r.cut_bp) AS cut_bp,
+           COUNT(*) FILTER (
+               WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+                     % 10000 < r.cut_bp) AS n_selected
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang
+    """
+
+
+@query("q_doremi_mixture", oracle=_doremi_oracle())
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style per-source mixture reweighting report (Xie et al.
+    2023; VERDICT r12 #3 — the last widely-used published data-mixing
+    member next to DSIR/temperature/token-budget): per fixture domain,
+    natural share, hashed-unigram NLL loss proxy, excess loss vs the
+    pool, the one-step exponentiated-gradient DoReMi weight
+    (0.999·(p·exp(excess))/Z + 0.0002 — the paper's update with its
+    c = 1e-3 uniform smoothing), and the realized hash-membership sample
+    at half corpus size. The report a 100 TB corpus build reads to set
+    per-source sampling rates before the pretraining mix is committed.
+
+    Full hash oracle with zero float exposure: every output column is an
+    exact BIGINT (quotient-derived values emitted as floor-ppm — see
+    doremi_mixture for the grid/fold discipline)."""
+    return doremi_mixture(load_spread(spark, sf_dir, "documents"))

@@ -113,6 +113,10 @@ HEADLINE = [
     # shared LSH banding; per-new-doc admission report) — compare r13+
     # totals against 44 queries
     "q_dedup_incremental",
+    # round 13: DoReMi-style per-source mixture reweighting (two gram
+    # passes + broadcast 256-row ln-p relation + 5-row rates broadcast
+    # back) — compare r14+ totals against 45 queries
+    "q_doremi_mixture",
 ]
 
 

@@ -833,6 +833,23 @@ def test_gopher_rules_is_scan_bound(spark):
     assert audit.count_exchanges(df) <= 1
 
 
+def test_doremi_corpus_never_shuffles(spark):
+    """q_doremi_mixture (r13): the dsir two-gram-pass discipline — the
+    single explode subtree feeds both the 256-bucket stats aggregate and
+    the broadcast-ln-p scoring pass — plus two column-pruned documents
+    scans (domain counts; membership against the broadcast 5-row rates).
+    No sort-merge join, no cartesian, no Python; only tiny aggregates
+    and map-side partials move rows — the corpus never shuffles."""
+    df = QS["q_doremi_mixture"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert p.count("Generate explode") == 2
+    assert audit.count_broadcast_joins(df) >= 4
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert audit.count_exchanges(df) <= 8
+
+
 def test_dsir_corpus_never_shuffles(spark):
     """q_dsir_weights (r12): two gram passes over the corpus — the
     bucket-stats aggregate and the scoring pass — with the 256-row

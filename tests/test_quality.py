@@ -1289,6 +1289,67 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
     assert sum(bs[f"n_fail_{k}"] for k in _GOPHER_RULES) == 1
 
 
+def test_doremi_upweights_high_excess_domain(spark):
+    """DoReMi pins no twin compare can give: on a corpus where the
+    minority domain uses vocabulary the pool LM models badly (disjoint
+    rare tokens), that domain must carry positive excess loss and a
+    weight ABOVE its natural share while the majority domain lands at
+    zero excess and below its natural share; domains outside the fixed
+    tuple must not appear; and on a perfectly uniform corpus (identical
+    text everywhere) the report must degrade to exactly the smoothed
+    natural mixture (the eta-step is a no-op at zero excess)."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import (
+        doremi_mixture,
+    )
+
+    common = "the cat sat on the mat with a dog and a bird near the tree"
+    rare = "zqxj wvuk ploc mnbd qrst uvwx yzab cdef ghij klmn"
+    rows = (
+        [(i, "en", common) for i in range(40)]
+        + [(100 + i, "de", rare) for i in range(10)]
+        + [(200, "xx", common)]  # outside the declared domain tuple
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r.asDict() for r in doremi_mixture(df).collect()}
+    assert set(got) == {"en", "de"}
+    assert got["en"]["excess_ppm"] == 0
+    assert got["de"]["excess_ppm"] > 0
+    # natural shares: en 0.8, de 0.2 — smoothed ppm floors
+    assert got["de"]["weight_ppm"] > 200000  # 0.999*0.2 + 0.0002
+    assert got["en"]["weight_ppm"] < 799400  # 0.999*0.8 + 0.0002
+    # sum = 0.999 + 2·0.0002 — the three ABSENT tuple domains keep their
+    # c/K smoothing mass (faithful to the paper's uniform mixing over K
+    # declared domains, present or not)
+    assert abs(got["en"]["weight_ppm"] + got["de"]["weight_ppm"] - 999_400) <= 2
+    for k in ("en", "de"):
+        assert 0 <= got[k]["n_selected"] <= got[k]["n_docs"]
+
+    uni = spark.createDataFrame(
+        [(i, k, common) for i, k in enumerate(["en"] * 6 + ["de"] * 3 + ["fr"])],
+        "doc_id long, lang string, text string",
+    )
+    got_u = {r.lang: r.asDict() for r in doremi_mixture(uni).collect()}
+    # mirror the engine's EXACT float chain: w_k = p_k·1.0, Z folded
+    # left-associated over DOREMI_LANGS (absent langs contribute 0.0 —
+    # 0.6+0.3+0.1 is NOT 1.0 in doubles, and floor(·1e6) feels the ulp)
+    import math
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.sampling import (
+        DOREMI_LANGS,
+    )
+
+    shares = {"en": 6 / 10, "de": 3 / 10, "fr": 1 / 10}
+    z = 0.0
+    for k in DOREMI_LANGS:
+        z = z + shares.get(k, 0.0) * 1.0
+    for k, n in (("en", 6), ("de", 3), ("fr", 1)):
+        assert got_u[k]["excess_ppm"] == 0, (k, got_u[k])
+        expected = math.floor(
+            (0.999 * ((shares[k] * 1.0) / z) + 0.0002) * 1_000_000.0
+        )
+        assert got_u[k]["weight_ppm"] == expected, (k, got_u[k], expected)
+
+
 def test_dsir_weights_separate_target_from_offtarget(spark):
     """DSIR pins no twin compare can give: on a corpus where the target
     lang uses vocabulary A and the off-target lang uses disjoint
