@@ -2186,3 +2186,132 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("jaccard") == 0).alias("is_new"),
         )
     )
+
+
+def containment_apply(
+    sets: DataFrame,
+    tau: float = CONTAIN_TAU,
+    pref: DataFrame | None = None,
+    post: DataFrame | None = None,
+) -> DataFrame:
+    """The asymmetric REMOVAL decision q_containment_join exists to
+    inform (VERDICT r12 #5 — the clipped-page/boilerplate-subset case):
+    per document, whether it is contained at C ≥ τ in a canonically
+    LARGER document and must be dropped, keeping the container. Library
+    form so the planted subset/mutual pins can drive constructed corpora
+    (the bm25_rank precedent).
+
+    Canonical rule (one deterministic pass, no iteration): doc a is
+    removed iff some pair a→b exists with |b| > |a|, or |b| = |a| and
+    b.doc_id < a.doc_id — strictly-larger container wins, equal-size
+    mutual pairs keep exactly the smallest doc_id. Removal is judged
+    against the ORIGINAL corpus, not re-evaluated after removals (the
+    apply_substring_spans precedent: every flagged occurrence acts;
+    production containment dedup is this same one-pass greedy).
+
+    Scale shape: the pair relation is the certified-linear containment
+    candidate stage + verify (see containment_join_sets); the decision
+    adds two 2-column size lookups joined onto the PAIRS (pair-sized,
+    SHUFFLE_HASH-pinned — sizes are corpus-scale on a crawl, a static
+    broadcast could OOM), one per-doc aggregate over flagged pairs, and
+    one LEFT join back to the per-doc size relation so untouched docs
+    report removed = false. No new corpus-side shuffle beyond doc_id
+    hash partitioning."""
+    pairs = containment_join_sets(sets, tau, pref=pref, post=post)
+    sizes = sets.select("doc_id", F.size("sh").alias("n_set"))
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_set").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_set").alias("nb")
+    )
+    flagged = (
+        pairs.join(na.hint("SHUFFLE_HASH"), "doc_a")
+        .join(nb.hint("SHUFFLE_HASH"), "doc_b")
+        .filter(
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("doc_b") < F.col("doc_a")))
+        )
+        .select("doc_a", "containment")
+    )
+    agg = flagged.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.max("containment").alias("best_containment"),
+    )
+    return (
+        sizes.join(
+            agg.withColumnRenamed("doc_a", "doc_id").hint("SHUFFLE_HASH"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_set",
+            F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
+            "best_containment",
+            F.col("n_containers").isNotNull().alias("removed"),
+        )
+    )
+
+
+def _containment_apply_oracle() -> str:
+    """Brute inverted-index pairs (the q_containment_join certification
+    argument: raw strings, no prune anywhere) + the same canonical
+    removal rule. Unlike the pair oracles — where _SHINGLE_SQL's one
+    (doc_id, NULL) row per NULL-text doc vanishes structurally because
+    NULL never equi-joins — this report's per-doc LEFT JOIN would KEEP
+    those rows, so sz filters them explicitly (the _shingle_arrays
+    contract: no text, no shingles, no report row; real shingles are
+    never NULL — split of non-null text yields non-null strings)."""
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh
+        WHERE s IS NOT NULL GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT doc_a, CAST(i AS DOUBLE) / sa.n AS containment
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAIN_TAU}
+          AND (sb.n > sa.n OR (sb.n = sa.n AND doc_b < doc_a))
+    ),
+    agg AS (
+        SELECT doc_a, COUNT(*) AS n_containers,
+               MAX(containment) AS best_containment
+        FROM flagged GROUP BY doc_a
+    )
+    SELECT s.doc_id, s.n AS n_set,
+           COALESCE(a.n_containers, 0) AS n_containers,
+           a.best_containment,
+           a.n_containers IS NOT NULL AS removed
+    FROM sz s LEFT JOIN agg a ON s.doc_id = a.doc_a
+    """
+
+
+@query("q_containment_apply", oracle=_containment_apply_oracle())
+def q_containment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-dedup APPLICATION — the per-document keep/remove
+    report completing the q_containment_join pipeline the way
+    q_dedup_substring_apply completes ExactSubstr: every document with
+    text, its shingle-set size, how many canonically-larger documents
+    contain it at C ≥ 0.8, its best containment score, and the removal
+    decision (drop the contained member, keep the container; equal-size
+    mutual pairs keep exactly the smallest doc_id). The decision a
+    100 TB clipped-page/boilerplate pass commits before rewriting the
+    corpus. Rides the same memoized shingle/prefix/posting relations as
+    q_containment_join — any candidate-stage drift would move both
+    hashes. best_containment is one correctly-rounded division of exact
+    ints (MAX over identical doubles) — no rounding discipline needed."""
+    return containment_apply(
+        _shingle_arrays_persisted(spark, sf_dir),
+        CONTAIN_TAU,
+        pref=_containment_prefix_persisted(spark, sf_dir),
+        post=_containment_postings_persisted(spark, sf_dir),
+    )

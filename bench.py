@@ -115,8 +115,11 @@ HEADLINE = [
     "q_dedup_incremental",
     # round 13: DoReMi-style per-source mixture reweighting (two gram
     # passes + broadcast 256-row ln-p relation + 5-row rates broadcast
-    # back) — compare r14+ totals against 45 queries
+    # back) and the containment-dedup APPLY (keep/remove decision joined
+    # back over the certified-linear pair stage) — compare r14+ totals
+    # against 46 queries
     "q_doremi_mixture",
+    "q_containment_apply",
 ]
 
 

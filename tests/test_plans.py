@@ -922,6 +922,20 @@ def test_containment_join_is_blocked_not_pairwise(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_containment_apply_decision_is_pair_sized(spark):
+    """q_containment_apply (r13): the decision layer joins the SIZE
+    lookups onto the PAIR relation (pair-sized, SHUFFLE_HASH-pinned) and
+    LEFT-joins the per-doc aggregate back onto sizes — never a
+    sort-merge, cartesian, or nested-loop; the candidate stage underneath
+    is the same certified-linear containment plan."""
+    df = QS["q_containment_apply"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_dedup_incremental_is_cross_join_only(spark):
     """q_dedup_incremental (r12): candidates come from the new-bands ×
     base-bands SHUFFLE_HASH equi join over the SHARED banding relation

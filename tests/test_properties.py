@@ -1950,6 +1950,38 @@ def test_containment_is_asymmetric_on_planted_subset(spark):
     assert got == {(0, 1): 1.0}
 
 
+def test_containment_apply_removes_subset_keeps_container(spark):
+    """The subset-removal pins no twin compare can give (both engines
+    could share a wrong decision rule): a clipped subset inside a larger
+    container must be REMOVED and the container KEPT even when the
+    container is itself contained in the subset at τ (|a∩b|/|b| ≥ τ with
+    |b| > |a∩b|... the 8-in-10 case: C(big→small) = 0.8 but small is not
+    larger, so big survives); an equal-size mutual pair must keep exactly
+    the smallest doc_id; an untouched doc reports removed = false with a
+    NULL best score."""
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        containment_apply,
+    )
+
+    rows = [
+        (1, list(range(10))),        # container: C(1→2) = 8/10 = 0.8, but
+        (2, list(range(8))),         #   |2| < |1| so 1 is kept; 2 removed
+        (3, list(range(100, 106))),  # mutual equal pair: keep 3 (smaller
+        (4, list(range(100, 106))),  #   id), remove 4
+        (5, list(range(200, 211))),  # disjoint: untouched
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, sh array<long>")
+    got = {r.doc_id: r.asDict() for r in containment_apply(d, 0.8).collect()}
+    assert len(got) == 5
+    assert got[2]["removed"] and got[2]["best_containment"] == 1.0
+    assert not got[1]["removed"], got[1]
+    assert not got[3]["removed"], got[3]
+    assert got[4]["removed"] and got[4]["n_containers"] == 1
+    assert not got[5]["removed"]
+    assert got[5]["n_containers"] == 0
+    assert got[5]["best_containment"] is None
+
+
 def test_containment_exact_threshold_boundary_pair_kept(spark):
     """A pair sitting EXACTLY at C = τ with the required overlap exactly
     at the ceil integer boundary must be reported — the 1e-9 slack in
