@@ -1743,23 +1743,31 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     )
 
 
-def gopher_repetition_report(d: DataFrame) -> DataFrame:
+def gopher_repetition_report(
+    d: DataFrame, pct: dict[str, int] | None = None
+) -> DataFrame:
     """Per-lang Gopher repetition report: document counts, full-battery
-    pass count, per-signal failure counts (see GOPHER_REP_PCT)."""
+    pass count, per-signal failure counts (see GOPHER_REP_PCT). ``pct``
+    overrides the published thresholds so the hypothesis twin can draw
+    RANDOM grid points — certifying the 100·metric > pct·denominator
+    integer restatement itself, not just its value at the published
+    constants (VERDICT r12 #4); the query always runs the default."""
+    if pct is None:
+        pct = GOPHER_REP_PCT
     m = repetition_stats(d)
     fails = {
         "dupline": F.lit(100) * F.col("dupline_inst")
-        > F.lit(GOPHER_REP_PCT["dupline"]) * F.col("n_lines"),
+        > F.lit(pct["dupline"]) * F.col("n_lines"),
         "dupline_chars": F.lit(100) * F.col("dupline_chars")
-        > F.lit(GOPHER_REP_PCT["dupline_chars"]) * F.col("chars"),
+        > F.lit(pct["dupline_chars"]) * F.col("chars"),
     }
     for n in _REP_TOP_NS:
         fails[f"top{n}"] = F.lit(100) * F.col(f"top{n}_chars") > F.lit(
-            GOPHER_REP_PCT[f"top{n}"]
+            pct[f"top{n}"]
         ) * F.col("chars")
     for n in _REP_DUP_NS:
         fails[f"dup{n}"] = F.lit(100) * F.col(f"dup{n}_chars") > F.lit(
-            GOPHER_REP_PCT[f"dup{n}"]
+            pct[f"dup{n}"]
         ) * F.col("chars")
     order = ["dupline", "dupline_chars"] + [
         f"top{n}" for n in _REP_TOP_NS

@@ -1718,6 +1718,75 @@ def test_repetition_stats_match_counter_reference(spark, docs):
             assert got[i][k] == v, (i, k, got[i][k], v, repr(t))
 
 
+_rep_pcts = st.fixed_dictionaries(
+    {
+        k: st.integers(0, 100)
+        for k in (
+            "dupline", "dupline_chars", "top2", "top3", "top4",
+            "dup5", "dup6", "dup7", "dup8", "dup9", "dup10",
+        )
+    }
+)
+
+
+@given(docs=_rep_docs, pcts=_rep_pcts)
+@settings(**_SETTINGS)
+def test_repetition_report_flags_match_fractions_at_random_thresholds(
+    spark, docs, pcts
+):
+    """The REPORT layer at RANDOM threshold grid points (VERDICT r12 #4):
+    the engine's 100·metric > pct·denominator integer restatement must
+    equal the published FRACTION comparison metric/denom > pct/100 —
+    exact rational arithmetic via fractions.Fraction, metrics from the
+    independent Counter reference — for every signal, at thresholds the
+    published constants never visit (0, 100, and everything between).
+    Each doc gets its own lang so the per-lang report rows are per-doc."""
+    from fractions import Fraction
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import (
+        gopher_repetition_report,
+    )
+
+    texts = ["\n".join(" ".join(line) for line in doc) for doc in docs]
+    rows = [(i, f"l{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)],
+        "doc_id long, lang string, text string",
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        r.lang: r.asDict()
+        for r in gopher_repetition_report(df, pcts).collect()
+    }
+    assert len(got) == len(texts)
+
+    def flag(metric, p, denom):
+        if denom == 0:
+            return metric > 0  # 100·m > p·0 in the engine spelling
+        return Fraction(metric, denom) > Fraction(p, 100)
+
+    for i, t in enumerate(texts):
+        m = _brute_rep(t)
+        want = {
+            "dupline": flag(m["dupline_inst"], pcts["dupline"], m["n_lines"]),
+            "dupline_chars": flag(
+                m["dupline_chars"], pcts["dupline_chars"], m["chars"]
+            ),
+        }
+        for n in (2, 3, 4):
+            want[f"top{n}"] = flag(
+                m[f"top{n}_chars"], pcts[f"top{n}"], m["chars"]
+            )
+        for n in (5, 6, 7, 8, 9, 10):
+            want[f"dup{n}"] = flag(
+                m[f"dup{n}_chars"], pcts[f"dup{n}"], m["chars"]
+            )
+        rep = got[f"l{i}"]
+        assert rep["n_docs"] == 1
+        for k, w in want.items():
+            assert rep[f"n_fail_{k}"] == int(w), (i, k, pcts[k], m, rep)
+        assert rep["n_pass"] == int(not any(want.values())), (i, m, rep)
+
+
 # ---------------------------------------------------------------------------
 # Gopher rules report (q_gopher_rules' library form) vs a Python reference
 # ---------------------------------------------------------------------------
