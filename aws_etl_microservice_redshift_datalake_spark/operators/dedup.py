@@ -2315,3 +2315,144 @@ def q_containment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref=_containment_prefix_persisted(spark, sf_dir),
         post=_containment_postings_persisted(spark, sf_dir),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter dedup (the Dolma "BFF" shape — Soldaini et al. '24; the
+# filter-backed exact-dedup every streaming corpus build runs) — r13
+# --------------------------------------------------------------------------
+
+BLOOM_M_BITS = 4096  # filter size: small enough that FPs exist at test SF
+BLOOM_K = 3          # hash functions
+
+
+def _bloom_bits(text, m: int, k: int):
+    """The k portable bit positions of a document: md5 over a salt-prefixed
+    text, first 12 hex digits (48 bits) mod m — the established md5-bucket
+    idiom, one independent position per salt."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bff{j}:"), text)), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_dedup_report(
+    d: DataFrame, m: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Per-lang Bloom-dedup accounting: documents flagged by a BFF-style
+    Bloom filter processed in doc_id order, split into true exact
+    duplicates and false positives — the report a production build reads
+    to size m and k before committing a filter pass. Library form so the
+    sequential-simulation property twin can drive random corpora at
+    adversarially small m (the bm25_rank precedent).
+
+    Orderless restatement, EXACTLY equivalent to the sequential filter:
+    in BFF, doc i is flagged iff all k of its bits are set when it
+    arrives; since docs arrive in doc_id order, bit b is set at i's
+    arrival iff SOME doc j < i carries b — i.e. min_setter(b) < i. A
+    flagged doc contributes nothing to the filter state (all its bits
+    are already set), so drop-on-flag and insert-always are the same
+    filter — which is why the one-pass min-per-bit aggregate below
+    reproduces the streaming semantics bit-for-bit (property-tested
+    against a literal Python simulation at randomized m, k).
+
+    No false negatives by construction: an exact duplicate's bits equal
+    its original's, and the original has the smaller id (pinned on the
+    all-duplicates corpus).
+
+    Scale shape (100 TB): the filter never materializes as a bitmap —
+    membership is a hash join on the bit id, so the filter SHARDS across
+    executors (the Spark-first restatement of BFF's per-node in-memory
+    bitmap; at 100 TB m becomes 2^40 and the bit relation is still just
+    k rows per doc). One map-side-combinable MIN per bit, one k-row-
+    per-doc conjunction aggregate, one exact-truth shuffle keyed on
+    md5(text) (16-byte keys, never the text itself — the oracle's raw-
+    text GROUP BY certifies per run that no md5 collision bit), and the
+    final |langs|-group aggregate."""
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    bits = base.select(
+        "doc_id", F.explode(_bloom_bits(F.col("text"), m, k)).alias("bit")
+    )
+    first = bits.groupBy("bit").agg(F.min("doc_id").alias("first_id"))
+    flags = (
+        bits.join(first.hint("SHUFFLE_HASH"), "bit")
+        .groupBy("doc_id")
+        .agg(F.bool_and(F.col("first_id") < F.col("doc_id")).alias("flagged"))
+    )
+    keyed = base.select("doc_id", "lang", F.md5("text").alias("h"))
+    truth = keyed.groupBy("h").agg(F.min("doc_id").alias("t_first"))
+    return (
+        keyed.join(flags.hint("SHUFFLE_HASH"), "doc_id")
+        .join(truth.hint("SHUFFLE_HASH"), "h")
+        .select(
+            "lang",
+            "flagged",
+            (F.col("t_first") < F.col("doc_id")).alias("is_dup"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_true_dup"),
+            F.count(F.when(F.col("flagged") & ~F.col("is_dup"), 1)).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    m, k = BLOOM_M_BITS, BLOOM_K
+    pos = ", ".join(
+        f"('0x' || substr(md5('bff{j}:' || text), 1, 12))::BIGINT % {m}"
+        for j in range(k)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+    ),
+    bits AS (SELECT doc_id, unnest([{pos}]) AS bit FROM d),
+    first AS (SELECT bit, MIN(doc_id) AS first_id FROM bits GROUP BY bit),
+    flags AS (
+        SELECT b.doc_id, bool_and(f.first_id < b.doc_id) AS flagged
+        FROM bits b JOIN first f USING (bit) GROUP BY b.doc_id
+    ),
+    truth AS (SELECT text, MIN(doc_id) AS t_first FROM d GROUP BY text)
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE fl.flagged) AS n_flagged,
+           COUNT(*) FILTER (WHERE t.t_first < d.doc_id) AS n_true_dup,
+           COUNT(*) FILTER (WHERE fl.flagged AND NOT t.t_first < d.doc_id)
+               AS n_false_pos
+    FROM d
+    JOIN flags fl USING (doc_id)
+    JOIN truth t ON d.text = t.text
+    GROUP BY d.lang
+    """
+
+
+@query("q_bloom_dedup", oracle=_bloom_oracle())
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter exact-dedup accounting (the Dolma BFF shape): per
+    lang, how many documents a BFF-style filter (m = 4096 bits, k = 3,
+    doc_id arrival order) would drop, split into true exact duplicates
+    (never missed — Bloom has no false negatives) and false positives —
+    the m/k sizing report. The filter is restated as a SHARDED bit
+    relation (min-setter per bit + per-doc conjunction), provably
+    equivalent to the sequential pass — see bloom_dedup_report. The
+    oracle recomputes truth from RAW text, so a green hash also
+    certifies the Spark side's md5 truth keying was collision-free."""
+    return bloom_dedup_report(load_spread(spark, sf_dir, "documents"))

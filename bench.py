@@ -120,6 +120,9 @@ HEADLINE = [
     # against 46 queries
     "q_doremi_mixture",
     "q_containment_apply",
+    # round 13: BFF-style Bloom dedup accounting (sharded bit relation:
+    # min-per-bit + per-doc conjunction + md5-keyed exact truth)
+    "q_bloom_dedup",
 ]
 
 

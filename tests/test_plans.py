@@ -922,6 +922,20 @@ def test_containment_join_is_blocked_not_pairwise(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_bloom_dedup_is_sharded_filter(spark):
+    """q_bloom_dedup (r13): the filter is a SHARDED bit relation — a
+    min-per-bit aggregate (map-side combinable) + SHUFFLE_HASH joins on
+    bit/doc_id/md5 keys; never a sort-merge, cartesian, or nested loop,
+    no Python, and the text column itself is never a join key (16-byte
+    md5 keys only)."""
+    df = QS["q_bloom_dedup"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_containment_apply_decision_is_pair_sized(spark):
     """q_containment_apply (r13): the decision layer joins the SIZE
     lookups onto the PAIR relation (pair-sized, SHUFFLE_HASH-pinned) and

@@ -2019,6 +2019,65 @@ def test_containment_is_asymmetric_on_planted_subset(spark):
     assert got == {(0, 1): 1.0}
 
 
+@given(
+    docs=st.lists(
+        st.sampled_from(["aa bb", "cc dd", "ee", "ff gg hh", "ii", "jj kk"]),
+        min_size=1,
+        max_size=12,
+    ),
+    m=st.integers(2, 64),
+    k=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_bloom_dedup_equals_sequential_simulation(spark, docs, m, k):
+    """The orderless min-per-bit restatement must equal a LITERAL
+    sequential Bloom pass (insert in doc_id order, flag when all k bits
+    already set) at adversarially small m — where false positives are
+    the norm, not the tail — and randomized k. Positions come from the
+    same salted-md5 scheme, computed independently via hashlib."""
+    import hashlib
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        bloom_dedup_report,
+    )
+
+    def positions(text):
+        return {
+            int(
+                hashlib.md5(f"bff{j}:{text}".encode()).hexdigest()[:12], 16
+            )
+            % m
+            for j in range(k)
+        }
+
+    filt = set()
+    expect_flagged = []
+    expect_dup = []
+    seen_texts = set()
+    for i, t in enumerate(docs):
+        ps = positions(t)
+        expect_flagged.append(ps <= filt)
+        expect_dup.append(t in seen_texts)
+        filt |= ps
+        seen_texts.add(t)
+
+    df = spark.createDataFrame(
+        [(i, f"l{i}", t) for i, t in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.lang: r.asDict() for r in bloom_dedup_report(df, m, k).collect()
+    }
+    assert len(got) == len(docs)
+    for i in range(len(docs)):
+        rep = got[f"l{i}"]
+        assert rep["n_flagged"] == int(expect_flagged[i]), (i, m, k, docs)
+        assert rep["n_true_dup"] == int(expect_dup[i]), (i, docs)
+        # Bloom never misses: a true duplicate is always flagged
+        assert rep["n_flagged"] >= rep["n_true_dup"]
+        assert rep["n_false_pos"] == rep["n_flagged"] - rep["n_true_dup"]
+
+
 def test_containment_apply_removes_subset_keeps_container(spark):
     """The subset-removal pins no twin compare can give (both engines
     could share a wrong decision rule): a clipped subset inside a larger
