@@ -2456,3 +2456,123 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes truth from RAW text, so a green hash also
     certifies the Spark side's md5 truth keying was collision-free."""
     return bloom_dedup_report(load_spread(spark, sf_dir, "documents"))
+
+
+BLOOM_SWEEP_GRID = (1024, 4096, 16384, 65536)  # filter sizes swept
+
+
+def bloom_sweep_report(
+    d: DataFrame, grid: tuple[int, ...] = BLOOM_SWEEP_GRID, k: int = BLOOM_K
+) -> DataFrame:
+    """The m-SIZING sweep q_bloom_dedup's single-m report exists to feed:
+    ONE corpus pass evaluates the BFF filter at every size in ``grid``
+    simultaneously — per m: docs flagged, true duplicates (invariant in
+    m), and false positives (the curve a production build reads to pick
+    the smallest filter with acceptable FP mass, BEFORE allocating 2^40
+    bits per node). Positions at every m derive from the SAME 48-bit
+    salted-md5 base (h48 % m) — exactly how a production filter re-sizes
+    without re-hashing; the bloom_dedup_report equivalence argument
+    applies per m unchanged (min-setter < i ≡ sequential flagging).
+
+    Scale shape: the k-row-per-doc base hash relation fans out by
+    |grid| (still O(k·|grid|) rows per doc), one min-per-(m, bit)
+    aggregate with map-side partials, one per-(doc, m) conjunction, the
+    md5-keyed exact truth shuffle SHARED once across the whole grid, and
+    a |grid|-group final aggregate. The corpus text is scanned and
+    hashed ONCE for all sizes."""
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "text"
+    )
+    h48 = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bff{j}:"), F.col("text"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            for j in range(k)
+        ]
+    )
+    hs = base.select("doc_id", F.explode(h48).alias("h48"))
+    bits = hs.select(
+        "doc_id",
+        "h48",
+        F.explode(F.array(*[F.lit(m) for m in grid])).alias("m"),
+    ).select("doc_id", "m", (F.col("h48") % F.col("m")).alias("bit"))
+    first = bits.groupBy("m", "bit").agg(F.min("doc_id").alias("first_id"))
+    flags = (
+        bits.join(first.hint("SHUFFLE_HASH"), ["m", "bit"])
+        .groupBy("doc_id", "m")
+        .agg(F.bool_and(F.col("first_id") < F.col("doc_id")).alias("flagged"))
+    )
+    keyed = base.select("doc_id", F.md5("text").alias("h"))
+    truth = keyed.groupBy("h").agg(F.min("doc_id").alias("t_first"))
+    return (
+        keyed.join(truth.hint("SHUFFLE_HASH"), "h")
+        .join(flags.hint("SHUFFLE_HASH"), "doc_id")
+        .select(
+            "m",
+            "flagged",
+            (F.col("t_first") < F.col("doc_id")).alias("is_dup"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_true_dup"),
+            F.count(F.when(F.col("flagged") & ~F.col("is_dup"), 1)).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+
+
+def _bloom_sweep_oracle() -> str:
+    k = BLOOM_K
+    pos = ", ".join(
+        f"('0x' || substr(md5('bff{j}:' || text), 1, 12))::BIGINT"
+        for j in range(k)
+    )
+    ms = ", ".join(f"({m})" for m in BLOOM_SWEEP_GRID)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (SELECT doc_id, unnest([{pos}]) AS h48 FROM d),
+    bits AS (
+        SELECT doc_id, g.m, h48 % g.m AS bit
+        FROM h CROSS JOIN (VALUES {ms}) g(m)
+    ),
+    first AS (SELECT m, bit, MIN(doc_id) AS first_id FROM bits GROUP BY m, bit),
+    flags AS (
+        SELECT b.doc_id, b.m, bool_and(f.first_id < b.doc_id) AS flagged
+        FROM bits b JOIN first f ON b.m = f.m AND b.bit = f.bit
+        GROUP BY b.doc_id, b.m
+    ),
+    truth AS (SELECT text, MIN(doc_id) AS t_first FROM d GROUP BY text)
+    SELECT fl.m,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE fl.flagged) AS n_flagged,
+           COUNT(*) FILTER (WHERE t.t_first < d.doc_id) AS n_true_dup,
+           COUNT(*) FILTER (WHERE fl.flagged AND NOT t.t_first < d.doc_id)
+               AS n_false_pos
+    FROM d
+    JOIN flags fl USING (doc_id)
+    JOIN truth t ON d.text = t.text
+    GROUP BY fl.m
+    """
+
+
+@query("q_bloom_sweep", oracle=_bloom_sweep_oracle())
+def q_bloom_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SIZING sweep: the BFF accounting of q_bloom_dedup
+    evaluated at m ∈ {1k, 4k, 16k, 64k} in ONE corpus pass (text hashed
+    once; positions at every m derive from the same 48-bit base, exactly
+    how a production filter re-sizes) — per m, flagged / true-dup /
+    false-positive counts. The curve a 100 TB build reads to pick the
+    smallest filter with acceptable FP mass; at sf0.01 it reads
+    79 → 3 → 0 → 0 FPs across the grid. True duplicates are flagged at
+    EVERY m (no false negatives at any size — the sweep pin)."""
+    return bloom_sweep_report(load_spread(spark, sf_dir, "documents"))

@@ -342,6 +342,42 @@ COMMENTARY = {
         "rows are reduced before any window sort — and a ≤ |langs|·3 "
         "group final aggregate."
     ),
+    "q_doremi_mixture": (
+        "DoReMi mixture reweighting (round 13): the dsir two-gram-pass "
+        "discipline — one explode subtree feeds the 256-bucket stats "
+        "aggregate (totals via a window over the 256-row relation, "
+        "never a third gram pass) and the broadcast-ln-p scoring pass "
+        "into a 5-group NLL aggregate — plus two column-pruned doc "
+        "scans (domain counts; membership vs the broadcast 5-row rates "
+        "relation). All cross joins are 1-row broadcasts; the corpus "
+        "never shuffles (explode==2, exchanges<=8 pinned)."
+    ),
+    "q_containment_apply": (
+        "Containment-dedup apply (round 13): the certified-linear "
+        "containment pair stage (probe-prefix × full postings, "
+        "SHUFFLE_HASH) feeding a PAIR-SIZED decision layer — two "
+        "2-column size lookups joined onto the pairs (SHUFFLE_HASH: "
+        "sizes are corpus-scale on a crawl, a static broadcast could "
+        "OOM), one per-doc aggregate over flagged pairs, one doc_id "
+        "LEFT join back so untouched docs report removed=false."
+    ),
+    "q_bloom_dedup": (
+        "BFF Bloom dedup (round 13): the filter never materializes — "
+        "k=3 bit rows per doc, min-per-bit aggregate (map-side "
+        "combinable), SHUFFLE_HASH membership join + per-doc "
+        "conjunction, exact truth shuffled on md5(text) (16-byte keys; "
+        "the raw text is never a join key), final |langs|-group "
+        "aggregate. At 100 TB m widens to 2^40 and the bit relation "
+        "still carries k rows per doc — the filter shards by key."
+    ),
+    "q_bloom_sweep": (
+        "Bloom sizing sweep (round 13): the q_bloom_dedup shape with "
+        "the whole m grid evaluated in ONE corpus pass — text hashed "
+        "once into the 48-bit base relation, the grid explode rides "
+        "that (re-size without re-hash), min-per-(m,bit) aggregate, "
+        "per-(doc,m) conjunction, the truth shuffle shared across the "
+        "grid, |grid|-group final aggregate."
+    ),
 }
 
 

@@ -121,8 +121,11 @@ HEADLINE = [
     "q_doremi_mixture",
     "q_containment_apply",
     # round 13: BFF-style Bloom dedup accounting (sharded bit relation:
-    # min-per-bit + per-doc conjunction + md5-keyed exact truth)
+    # min-per-bit + per-doc conjunction + md5-keyed exact truth) and its
+    # m-sizing sweep (whole grid in one corpus pass) — compare r14+
+    # totals against 48 queries
     "q_bloom_dedup",
+    "q_bloom_sweep",
 ]
 
 

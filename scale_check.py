@@ -150,6 +150,25 @@ QUERIES = [
     # with the pairs query, cross-split candidates only; expected ~linear
     # (the banding is the certified-linear member's).
     "q_dedup_incremental",
+    # round 13: DoReMi mixture — the dsir two-gram-pass plan plus two
+    # column-pruned doc scans and 1-row/5-row broadcasts; expected
+    # ~linear (gram-volume-bound).
+    "q_doremi_mixture",
+    # round 13b: containment apply — the certified-linear containment
+    # pair stage plus pair-sized size joins, one per-doc aggregate, and
+    # a doc_id LEFT join; expected to track q_containment_join.
+    "q_containment_apply",
+    # round 13c: Bloom dedup — k bit rows per doc, min-per-bit with
+    # map-side partials, per-doc conjunction, md5-keyed truth shuffle;
+    # expected ~linear (hash-only shuffles). At ×10 the 4096-bit filter
+    # SATURATES (15k docs × 3 bits >> m) so n_false_pos approaches
+    # n_docs − n_true_dup — the report correctly says "resize m", which
+    # is exactly its production job; wall stays linear regardless.
+    "q_bloom_dedup",
+    # round 13d: Bloom sizing sweep — the same hash relation fanned out
+    # by the 4-size grid (text hashed once); expected ~linear with a
+    # ~|grid|× constant on the bit shuffle.
+    "q_bloom_sweep",
 ]
 
 

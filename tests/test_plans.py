@@ -936,6 +936,19 @@ def test_bloom_dedup_is_sharded_filter(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_bloom_sweep_hashes_text_once(spark):
+    """q_bloom_sweep (r13): ONE corpus text scan/hash fans out to the
+    whole m grid (the grid explode rides the 48-bit base relation —
+    re-size without re-hash); min-per-(m,bit) aggregate + SHUFFLE_HASH
+    joins, never sort-merge/cartesian/nested-loop/Python."""
+    df = QS["q_bloom_sweep"](spark, SF_MED)
+    p = audit.plan_str(df, "simple")
+    assert not audit.has_sort_merge_join(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_containment_apply_decision_is_pair_sized(spark):
     """q_containment_apply (r13): the decision layer joins the SIZE
     lookups onto the PAIR relation (pair-sized, SHUFFLE_HASH-pinned) and

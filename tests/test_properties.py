@@ -2078,6 +2078,62 @@ def test_bloom_dedup_equals_sequential_simulation(spark, docs, m, k):
         assert rep["n_false_pos"] == rep["n_flagged"] - rep["n_true_dup"]
 
 
+@given(
+    docs=st.lists(
+        st.sampled_from(["aa bb", "cc dd", "ee", "ff gg hh", "ii", "jj kk"]),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_bloom_sweep_equals_per_m_simulation(spark, docs, k):
+    """The one-pass sweep must equal an INDEPENDENT sequential Bloom pass
+    per grid size (positions = the same 48-bit base mod m — the re-size-
+    without-re-hash property), summed over the corpus; true duplicates
+    must be flagged at EVERY m (no false negatives at any size)."""
+    import hashlib
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
+        bloom_sweep_report,
+    )
+
+    grid = (2, 8, 32)
+
+    def h48(text):
+        return [
+            int(hashlib.md5(f"bff{j}:{text}".encode()).hexdigest()[:12], 16)
+            for j in range(k)
+        ]
+
+    want = {}
+    for m in grid:
+        filt = set()
+        seen = set()
+        n_fl = n_dup = n_fp = 0
+        for i, t in enumerate(docs):
+            ps = {h % m for h in h48(t)}
+            fl = ps <= filt
+            dup = t in seen
+            n_fl += fl
+            n_dup += dup
+            n_fp += fl and not dup
+            assert not dup or fl  # no false negatives, per m
+            filt |= ps
+            seen.add(t)
+        want[m] = (len(docs), n_fl, n_dup, n_fp)
+
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.m: (r.n_docs, r.n_flagged, r.n_true_dup, r.n_false_pos)
+        for r in bloom_sweep_report(df, grid, k).collect()
+    }
+    assert got == want, (docs, k)
+
+
 def test_containment_apply_removes_subset_keeps_container(spark):
     """The subset-removal pins no twin compare can give (both engines
     could share a wrong decision rule): a clipped subset inside a larger
