@@ -1424,11 +1424,15 @@ _GOPHER_RULES = (
 )
 
 
-def gopher_report(d: DataFrame) -> DataFrame:
-    """Per-lang Gopher-rules quality report (Rae et al. '21): document
-    counts, full-battery pass count, and per-rule failure counts over
-    (lang, text, n_chars) rows. Library form so the planted-document pins
-    can drive each rule on constructed frames (the bm25_rank precedent).
+def gopher_doc_flags(
+    d: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """DOC-level Gopher-rule conformance flags over (lang, text, n_chars)
+    rows — one coalesced boolean per rule (``r_<rule>``) plus the
+    full-battery ``gopher_pass`` — with ``carry`` columns passed through.
+    The shared core of gopher_report and the corpus-filter funnel
+    (r13): the report aggregates THIS relation, so the funnel's pass
+    flag can never drift from the report's battery.
 
     Exactness: every rule is an integer comparison on row-local counts —
     word/line splits, LIKE/char-class membership, replace-length deltas —
@@ -1449,6 +1453,7 @@ def gopher_report(d: DataFrame) -> DataFrame:
     lns = F.split("text", "\n")
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP])
     t = d.select(
+        *carry,
         "lang",
         F.size(toks).cast("bigint").alias("n_words"),
         F.when(
@@ -1497,21 +1502,46 @@ def gopher_report(d: DataFrame) -> DataFrame:
     allpass = None
     for k in _GOPHER_RULES:
         allpass = conf[k] if allpass is None else allpass & conf[k]
-    return t.groupBy("lang").agg(
+    return t.select(
+        *carry,
+        "lang",
+        *[conf[k].alias(f"r_{k}") for k in _GOPHER_RULES],
+        allpass.alias("gopher_pass"),
+    )
+
+
+def gopher_report(d: DataFrame) -> DataFrame:
+    """Per-lang Gopher-rules quality report (Rae et al. '21): document
+    counts, full-battery pass count, and per-rule failure counts over
+    (lang, text, n_chars) rows — ONE aggregate over gopher_doc_flags.
+    Library form so the planted-document pins can drive each rule on
+    constructed frames (the bm25_rank precedent); see gopher_doc_flags
+    for the exactness/conformance contract and the plan shape (the flag
+    projection collapses into the aggregate — zero joins, one exchange)."""
+    f = gopher_doc_flags(d)
+    return f.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(allpass, 1)).alias("n_pass"),
+        F.count(F.when(F.col("gopher_pass"), 1)).alias("n_pass"),
         *[
-            F.count(F.when(~conf[k], 1)).alias(f"n_fail_{k}")
+            F.count(F.when(~F.col(f"r_{k}"), 1)).alias(f"n_fail_{k}")
             for k in _GOPHER_RULES
         ],
     )
 
 
-def _gopher_oracle() -> str:
+_GOPHER_PASS_SQL = (
+    "r_words AND r_wordlen AND r_symbol AND r_bullet AND r_ellipsis"
+    " AND r_alpha AND r_stop"
+)
+
+
+def _gopher_doc_cte(src: str = "documents", t: str = "t", r: str = "r") -> str:
+    """The per-doc Gopher-rule CTE pair (features + coalesced flags),
+    doc_id carried — the shared SQL core of the report oracle and the
+    corpus-filter funnel oracle (the twin of gopher_doc_flags)."""
     stop_list = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOP) + "]"
-    return f"""
-    WITH t AS (
-        SELECT lang,
+    return f"""{t} AS (
+        SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
                CASE WHEN n_chars BETWEEN 0 AND {N_CHARS_MAX}
                     THEN n_chars END AS g_chars,
@@ -1531,10 +1561,10 @@ def _gopher_oracle() -> str:
                    AS n_alpha,
                CAST(len(list_intersect(string_split(text, ' '),
                     {stop_list})) AS BIGINT) AS n_stopkinds
-        FROM documents
+        FROM {src}
     ),
-    r AS (
-        SELECT lang,
+    {r} AS (
+        SELECT doc_id, lang,
                COALESCE(n_words BETWEEN {GOPHER_MIN_WORDS}
                         AND {GOPHER_MAX_WORDS}, FALSE) AS r_words,
                COALESCE({GOPHER_MIN_MWL} * n_words
@@ -1549,12 +1579,16 @@ def _gopher_oracle() -> str:
                COALESCE(10 * n_ellline <= 3 * n_lines, FALSE) AS r_ellipsis,
                COALESCE(5 * n_alpha >= 4 * n_words, FALSE) AS r_alpha,
                COALESCE(n_stopkinds >= 2, FALSE) AS r_stop
-        FROM t
-    )
+        FROM {t}
+    )"""
+
+
+def _gopher_oracle() -> str:
+    return f"""
+    WITH {_gopher_doc_cte()}
     SELECT lang,
            COUNT(*) AS n_docs,
-           COUNT(*) FILTER (WHERE r_words AND r_wordlen AND r_symbol
-               AND r_bullet AND r_ellipsis AND r_alpha AND r_stop)
+           COUNT(*) FILTER (WHERE {_GOPHER_PASS_SQL})
                AS n_pass,
            COUNT(*) FILTER (WHERE NOT r_words) AS n_fail_words,
            COUNT(*) FILTER (WHERE NOT r_wordlen) AS n_fail_wordlen,
@@ -1698,7 +1732,9 @@ def _run_stats(s):
     return F.aggregate(s, init, merge, finish)
 
 
-def repetition_stats(d: DataFrame) -> DataFrame:
+def repetition_stats(
+    d: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document Gopher repetition metrics (exact BIGINT char/instance
     masses; fractions never materialize — the report compares
     100·metric > pct·denominator). Library form so the hypothesis twin
@@ -1715,6 +1751,7 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     toks = F.split("text", " ")
     line_stats = _run_stats(F.array_sort(F.split("text", "\n")))
     base = d.filter(F.col("text").isNotNull()).select(
+        *carry,
         "doc_id",
         "lang",
         F.length("text").cast("bigint").alias("chars"),
@@ -1726,6 +1763,7 @@ def repetition_stats(d: DataFrame) -> DataFrame:
         ],
     )
     return base.select(
+        *carry,
         "doc_id",
         "lang",
         "chars",
@@ -1743,18 +1781,27 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     )
 
 
-def gopher_repetition_report(
-    d: DataFrame, pct: dict[str, int] | None = None
+_REP_ORDER = ["dupline", "dupline_chars"] + [
+    f"top{n}" for n in _REP_TOP_NS
+] + [f"dup{n}" for n in _REP_DUP_NS]
+
+
+def repetition_doc_flags(
+    d: DataFrame,
+    pct: dict[str, int] | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-lang Gopher repetition report: document counts, full-battery
-    pass count, per-signal failure counts (see GOPHER_REP_PCT). ``pct``
-    overrides the published thresholds so the hypothesis twin can draw
-    RANDOM grid points — certifying the 100·metric > pct·denominator
-    integer restatement itself, not just its value at the published
-    constants (VERDICT r12 #4); the query always runs the default."""
+    """DOC-level repetition failure flags (``f_<signal>`` per _REP_ORDER
+    member) plus the full-battery ``rep_pass``, with ``carry`` columns
+    passed through — the shared core of gopher_repetition_report and the
+    corpus-filter funnel (r13). ``pct`` overrides the published
+    thresholds so the hypothesis twin can draw RANDOM grid points —
+    certifying the 100·metric > pct·denominator integer restatement
+    itself, not just its value at the published constants (VERDICT r12
+    #4); the query always runs the default."""
     if pct is None:
         pct = GOPHER_REP_PCT
-    m = repetition_stats(d)
+    m = repetition_stats(d, carry=carry)
     fails = {
         "dupline": F.lit(100) * F.col("dupline_inst")
         > F.lit(pct["dupline"]) * F.col("n_lines"),
@@ -1769,17 +1816,34 @@ def gopher_repetition_report(
         fails[f"dup{n}"] = F.lit(100) * F.col(f"dup{n}_chars") > F.lit(
             pct[f"dup{n}"]
         ) * F.col("chars")
-    order = ["dupline", "dupline_chars"] + [
-        f"top{n}" for n in _REP_TOP_NS
-    ] + [f"dup{n}" for n in _REP_DUP_NS]
     allpass = None
-    for k in order:
+    for k in _REP_ORDER:
         ok = ~fails[k]
         allpass = ok if allpass is None else allpass & ok
-    return m.groupBy("lang").agg(
+    return m.select(
+        *carry,
+        "doc_id",
+        "lang",
+        *[fails[k].alias(f"f_{k}") for k in _REP_ORDER],
+        allpass.alias("rep_pass"),
+    )
+
+
+def gopher_repetition_report(
+    d: DataFrame, pct: dict[str, int] | None = None
+) -> DataFrame:
+    """Per-lang Gopher repetition report: document counts, full-battery
+    pass count, per-signal failure counts (see GOPHER_REP_PCT) — ONE
+    aggregate over repetition_doc_flags (the flag projection collapses
+    into the aggregate; plan shape unchanged)."""
+    f = repetition_doc_flags(d, pct)
+    return f.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(allpass, 1)).alias("n_pass"),
-        *[F.count(F.when(fails[k], 1)).alias(f"n_fail_{k}") for k in order],
+        F.count(F.when(F.col("rep_pass"), 1)).alias("n_pass"),
+        *[
+            F.count(F.when(F.col(f"f_{k}"), 1)).alias(f"n_fail_{k}")
+            for k in _REP_ORDER
+        ],
     )
 
 
@@ -1843,7 +1907,38 @@ def _rep_final_sql(r: str, field: str) -> str:
     return f"CAST(CASE WHEN {r} IS NULL THEN 0 ELSE {body} END AS BIGINT)"
 
 
-def _gopher_repetition_oracle() -> str:
+def _rep_fail_exprs(qual: str = "") -> dict[str, str]:
+    """The 11 threshold-failure predicate strings (100·metric >
+    pct·denominator), column refs optionally qualified (``qual`` =
+    e.g. ``"rm."`` for the funnel join) — shared by the report oracle
+    and the corpus-filter funnel oracle."""
+
+    def metric(k: str) -> str:
+        if k == "dupline":
+            return "dupline_inst"
+        if k == "dupline_chars":
+            return "dupline_chars"
+        return f"{k}_chars"
+
+    def denom(k: str) -> str:
+        return "n_lines" if k == "dupline" else "chars"
+
+    return {
+        k: f"100 * {qual}{metric(k)} > {GOPHER_REP_PCT[k]} * {qual}{denom(k)}"
+        for k in _REP_ORDER
+    }
+
+
+def _rep_doc_cte(
+    src: str = "documents",
+    base: str = "base",
+    folds: str = "folds",
+    m: str = "m",
+) -> str:
+    """The per-doc repetition-metric CTE triple (gram build → fused
+    folds → metrics), doc_id carried — the shared SQL core of the report
+    oracle and the corpus-filter funnel oracle (the twin of
+    repetition_stats)."""
     gram_cols = ",\n               ".join(
         f"{_rep_sorted_gram_sql(n)} AS g{n}"
         for n in (*_REP_TOP_NS, *_REP_DUP_NS)
@@ -1863,52 +1958,39 @@ def _gopher_repetition_oracle() -> str:
         f"{_rep_final_sql(f'r{n}', 'dup')} AS dup{n}_chars"
         for n in _REP_DUP_NS
     )
-    order = ["dupline", "dupline_chars"] + [
-        f"top{n}" for n in _REP_TOP_NS
-    ] + [f"dup{n}" for n in _REP_DUP_NS]
-
-    def metric(k: str) -> str:
-        if k == "dupline":
-            return "dupline_inst"
-        if k == "dupline_chars":
-            return "dupline_chars"
-        return f"{k}_chars"
-
-    def denom(k: str) -> str:
-        return "n_lines" if k == "dupline" else "chars"
-
-    fail_exprs = {
-        k: f"100 * {metric(k)} > {GOPHER_REP_PCT[k]} * {denom(k)}"
-        for k in order
-    }
-    fail_counts = ",\n           ".join(
-        f"COUNT(*) FILTER (WHERE {fail_exprs[k]}) AS n_fail_{k}"
-        for k in order
-    )
-    allpass = " AND ".join(f"NOT ({fail_exprs[k]})" for k in order)
-    return f"""
-    WITH base AS (
+    return f"""{base} AS (
         SELECT doc_id, lang,
                CAST(length(text) AS BIGINT) AS chars,
                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
                list_sort(string_split(text, chr(10))) AS ls,
                {gram_cols}
         FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t
-              FROM documents WHERE text IS NOT NULL)
+              FROM {src} WHERE text IS NOT NULL)
     ),
-    folds AS (
+    {folds} AS (
         SELECT *,
                {fold_cols}
-        FROM base
+        FROM {base}
     ),
-    m AS (
-        SELECT lang, chars, n_lines,
+    {m} AS (
+        SELECT doc_id, lang, chars, n_lines,
                {_rep_final_sql("rl", "inst")} AS dupline_inst,
                {_rep_final_sql("rl", "dup")} AS dupline_chars,
                {top_cols},
                {dup_cols}
-        FROM folds
+        FROM {folds}
+    )"""
+
+
+def _gopher_repetition_oracle() -> str:
+    fail_exprs = _rep_fail_exprs()
+    fail_counts = ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE {fail_exprs[k]}) AS n_fail_{k}"
+        for k in _REP_ORDER
     )
+    allpass = " AND ".join(f"NOT ({fail_exprs[k]})" for k in _REP_ORDER)
+    return f"""
+    WITH {_rep_doc_cte()}
     SELECT lang,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE {allpass}) AS n_pass,
@@ -1962,19 +2044,19 @@ C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
 
 
-def c4_report(d: DataFrame) -> DataFrame:
-    """Per-lang C4 cleaning report over (lang, text) rows: line-keep
-    counts (a line survives iff it ends in terminal punctuation . ! ? ",
-    has >= 5 words, and does not mention 'javascript' case-insensitively)
-    and page-drop counts (any 'lorem ipsum', any '{', any bad-word TOKEN,
-    or fewer than 3 sentences among the KEPT lines — sentence count =
-    terminal-punctuation characters in kept lines, the delimiter the
-    paper's sentence spans are built from). Exact BIGINTs throughout;
-    NULL-text rows are outside the population by contract (the
-    repetition/DSIR convention).
-
-    Scale shape: fully row-local HOF filters and replace-length counts —
-    no explode, no joins, no Python; ONE |langs|-group aggregate."""
+def c4_doc_flags(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """DOC-level C4 flags over (lang, text) rows — line stats (n_lines,
+    n_kept), the four page-drop flags, and the page-level ``c4_keep`` —
+    with ``carry`` columns passed through. The shared core of c4_report
+    and the corpus-filter funnel (r13): a line survives iff it ends in
+    terminal punctuation . ! ? ", has >= 5 words, and does not mention
+    'javascript' case-insensitively; a page survives iff no 'lorem
+    ipsum', no '{', no bad-word TOKEN, and >= 3 sentences among KEPT
+    lines (sentence count = terminal-punctuation characters in kept
+    lines). Exact BIGINTs; NULL-text rows are outside the population by
+    contract (the repetition/DSIR convention). Fully row-local HOF
+    filters and replace-length counts — no explode, no joins, no
+    Python."""
     lns = F.split("text", "\n")
 
     def keep(x):
@@ -2012,6 +2094,7 @@ def c4_report(d: DataFrame) -> DataFrame:
         F.array_intersect(toks_low, F.array(*[F.lit(w) for w in C4_BADWORDS]))
     ) > 0
     t = d.filter(F.col("text").isNotNull()).select(
+        *carry,
         "lang",
         F.size(lns).cast("bigint").alias("n_lines"),
         F.size(kept).cast("bigint").alias("n_kept"),
@@ -2022,19 +2105,47 @@ def c4_report(d: DataFrame) -> DataFrame:
     )
     f_short = F.col("n_sent") < C4_MIN_SENTENCES
     retained = ~F.col("f_lorem") & ~F.col("f_brace") & ~F.col("f_bad") & ~f_short
-    return t.groupBy("lang").agg(
+    return t.select(
+        *carry,
+        "lang",
+        "n_lines",
+        "n_kept",
+        "f_lorem",
+        "f_brace",
+        "f_bad",
+        f_short.alias("f_short"),
+        retained.alias("c4_keep"),
+    )
+
+
+def c4_report(d: DataFrame) -> DataFrame:
+    """Per-lang C4 cleaning report (Raffel et al. '20 §2.2) — ONE
+    aggregate over c4_doc_flags (see it for the rule battery and the
+    exactness/population contract; the flag projection collapses into
+    the aggregate — no explode, no joins, one exchange)."""
+    f = c4_doc_flags(d)
+    return f.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_lines").alias("n_lines"),
         F.sum("n_kept").alias("n_kept_lines"),
         F.count(F.when(F.col("f_lorem"), 1)).alias("n_fail_lorem"),
         F.count(F.when(F.col("f_brace"), 1)).alias("n_fail_brace"),
         F.count(F.when(F.col("f_bad"), 1)).alias("n_fail_badword"),
-        F.count(F.when(f_short, 1)).alias("n_fail_sentences"),
-        F.count(F.when(retained, 1)).alias("n_retained"),
+        F.count(F.when(F.col("f_short"), 1)).alias("n_fail_sentences"),
+        F.count(F.when(F.col("c4_keep"), 1)).alias("n_retained"),
     )
 
 
-def _c4_oracle() -> str:
+_C4_KEEP_SQL = (
+    "NOT f_lorem AND NOT f_brace AND NOT f_bad"
+    f" AND n_sent >= {C4_MIN_SENTENCES}"
+)
+
+
+def _c4_doc_cte(src: str = "documents", t: str = "t", m: str = "m") -> str:
+    """The per-doc C4 CTE pair (line filter + page stats), doc_id
+    carried — the shared SQL core of the report oracle and the
+    corpus-filter funnel oracle (the twin of c4_doc_flags)."""
     bad_list = "[" + ", ".join(f"'{w}'" for w in C4_BADWORDS) + "]"
     keep = (
         "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"')"
@@ -2045,24 +2156,28 @@ def _c4_oracle() -> str:
         "length(x) - length(replace(replace(replace(x, '.', ''),"
         " '!', ''), '?', ''))"
     )
-    return f"""
-    WITH t AS (
-        SELECT lang,
+    return f"""{t} AS (
+        SELECT doc_id, lang,
                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
                list_filter(string_split(text, chr(10)), l -> {keep}) AS kept,
                contains(lower(text), 'lorem ipsum') AS f_lorem,
                contains(text, '{{') AS f_brace,
                len(list_intersect(string_split(lower(text), ' '),
                    {bad_list})) > 0 AS f_bad
-        FROM documents WHERE text IS NOT NULL
+        FROM {src} WHERE text IS NOT NULL
     ),
-    m AS (
-        SELECT lang, n_lines, f_lorem, f_brace, f_bad,
+    {m} AS (
+        SELECT doc_id, lang, n_lines, f_lorem, f_brace, f_bad,
                CAST(len(kept) AS BIGINT) AS n_kept,
                CAST(COALESCE(list_sum(list_transform(kept,
                    x -> {punct})), 0) AS BIGINT) AS n_sent
-        FROM t
-    )
+        FROM {t}
+    )"""
+
+
+def _c4_oracle() -> str:
+    return f"""
+    WITH {_c4_doc_cte()}
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_lines) AS BIGINT) AS n_lines,
@@ -2072,8 +2187,7 @@ def _c4_oracle() -> str:
            COUNT(*) FILTER (WHERE f_bad) AS n_fail_badword,
            COUNT(*) FILTER (WHERE n_sent < {C4_MIN_SENTENCES})
                AS n_fail_sentences,
-           COUNT(*) FILTER (WHERE NOT f_lorem AND NOT f_brace AND NOT f_bad
-               AND n_sent >= {C4_MIN_SENTENCES}) AS n_retained
+           COUNT(*) FILTER (WHERE {_C4_KEEP_SQL}) AS n_retained
     FROM m GROUP BY lang
     """
 
@@ -2182,3 +2296,102 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_logp").alias("min_mean_logp"),
         F.max("mean_logp").alias("max_mean_logp"),
     )
+
+
+# --------------------------------------------------------------------------
+# The full published filter stack as one attrition funnel (r13) — the
+# FineWeb-style pipeline: C4 cleaning + Gopher quality rules + Gopher
+# repetition, per-doc flags from the SAME shared cores the three
+# drill-down reports aggregate (gopher_doc_flags / c4_doc_flags /
+# repetition_doc_flags — the composite cannot drift from the
+# drill-downs, the q_decontaminate_report discipline done by extraction
+# instead of re-spelling).
+# --------------------------------------------------------------------------
+
+
+def corpus_filter_funnel(d: DataFrame) -> DataFrame:
+    """Per-lang attrition funnel over documents WITH text (the filterable
+    population — a production pass drops NULL payloads before any rule
+    runs): independent pass counts for each battery (n_c4, n_rules,
+    n_rep), the sequential survivor counts in the published order
+    (n_c4_rules = C4 ∧ rules; n_kept = all three), and n_docs. The
+    single number a corpus build reads before committing the filter
+    pass: how much of each source survives the full stack.
+
+    Scale shape: ONE corpus pass — the three flag stages are chained
+    row-local projections (each battery's expensive subtrees — the
+    repetition folds, the rule HOFs — are referenced exactly once in
+    the flag columns; Spark's subexpression elimination covers the
+    flags' reuse across the aggregate's conditional counts), then one
+    |langs|-group aggregate. No explode, no joins, no Python."""
+    base = d.filter(F.col("text").isNotNull())
+    g = gopher_doc_flags(base, carry=("doc_id", "text"))
+    c = c4_doc_flags(g, carry=("doc_id", "text", "gopher_pass"))
+    r = repetition_doc_flags(c, carry=("gopher_pass", "c4_keep"))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("c4_keep"), 1)).alias("n_c4"),
+        F.count(F.when(F.col("gopher_pass"), 1)).alias("n_rules"),
+        F.count(F.when(F.col("rep_pass"), 1)).alias("n_rep"),
+        F.count(
+            F.when(F.col("c4_keep") & F.col("gopher_pass"), 1)
+        ).alias("n_c4_rules"),
+        F.count(
+            F.when(
+                F.col("c4_keep") & F.col("gopher_pass") & F.col("rep_pass"),
+                1,
+            )
+        ).alias("n_kept"),
+    )
+
+
+def _funnel_oracle() -> str:
+    rep_fails = _rep_fail_exprs(qual="rm.")
+    rep_pass = " AND ".join(f"NOT ({rep_fails[k]})" for k in _REP_ORDER)
+    c4_keep = (
+        "NOT cm.f_lorem AND NOT cm.f_brace AND NOT cm.f_bad"
+        f" AND cm.n_sent >= {C4_MIN_SENTENCES}"
+    )
+    g_pass = " AND ".join(
+        f"gr.r_{k}" for k in _GOPHER_RULES
+    )
+    return f"""
+    WITH pop AS (
+        SELECT doc_id, lang, text, n_chars FROM documents
+        WHERE text IS NOT NULL
+    ),
+    {_gopher_doc_cte(src="pop", t="gt", r="gr")},
+    {_c4_doc_cte(src="pop", t="ct", m="cm")},
+    {_rep_doc_cte(src="pop", base="rb", folds="rf", m="rm")}
+    SELECT gr.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE {c4_keep}) AS n_c4,
+           COUNT(*) FILTER (WHERE {g_pass}) AS n_rules,
+           COUNT(*) FILTER (WHERE {rep_pass}) AS n_rep,
+           COUNT(*) FILTER (WHERE ({c4_keep}) AND ({g_pass}))
+               AS n_c4_rules,
+           COUNT(*) FILTER (WHERE ({c4_keep}) AND ({g_pass})
+               AND ({rep_pass})) AS n_kept
+    FROM gr
+    JOIN cm ON gr.doc_id = cm.doc_id
+    JOIN rm ON gr.doc_id = rm.doc_id
+    GROUP BY gr.lang
+    """
+
+
+@query("q_corpus_filter_funnel", oracle=_funnel_oracle())
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full published corpus-filter stack as ONE attrition funnel
+    (the FineWeb recipe: C4 cleaning + Gopher quality rules + Gopher
+    repetition): per lang, the independent pass count of each battery
+    and the sequential survivors through the stack (n_c4_rules, n_kept).
+    Every flag comes from the SAME shared doc-level cores the three
+    drill-down reports aggregate (gopher_doc_flags / c4_doc_flags /
+    repetition_doc_flags, and their CTE twins in the oracle), so the
+    funnel can never disagree with the reports it summarizes. The
+    decision a 100 TB build commits — which sources survive, and which
+    battery is doing the cutting — read per source before the filter
+    pass rewrites the lake. Population = docs with text (doc_id-unique
+    corpus; the oracle's per-doc join is the q_dedup_incremental
+    convention). One corpus pass, zero joins Spark-side, one exchange."""
+    return corpus_filter_funnel(load_spread(spark, sf_dir, "documents"))

@@ -370,6 +370,15 @@ COMMENTARY = {
         "aggregate. At 100 TB m widens to 2^40 and the bit relation "
         "still carries k rows per doc — the filter shards by key."
     ),
+    "q_corpus_filter_funnel": (
+        "Corpus-filter funnel (round 13): the FULL published stack — C4 "
+        "cleaning, Gopher quality rules, Gopher repetition — as ONE "
+        "chained row-local projection (each battery's flags extracted "
+        "from the same shared cores its drill-down report aggregates) "
+        "into ONE |langs|-group aggregate. Generate==0, join-free, one "
+        "exchange; measured +11% wall over the repetition battery alone "
+        "— the stack rides a single corpus pass."
+    ),
     "q_bloom_sweep": (
         "Bloom sizing sweep (round 13): the q_bloom_dedup shape with "
         "the whole m grid evaluated in ONE corpus pass — text hashed "

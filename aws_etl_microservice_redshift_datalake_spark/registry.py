@@ -202,6 +202,15 @@ _RECHECK_CHANGED: dict[str, int] = {
     # into per-symbol 0.1 bounds (was pooled) — a VALUE change on docs in
     # the 10–90% bullet band or with split symbol ratios; both twins
     # changed together so the fixture hashes moved identically.
+    # (Its Spark body ALSO took the doc-flags extraction below in the
+    # same round, so one entry covers both changes.)
+    "q_gopher_repetition": 12,  # doc-flags library extraction
+    # (repetition_doc_flags split + carry param on repetition_stats +
+    # oracle rebuilt from _rep_doc_cte/_rep_fail_exprs) for the
+    # corpus-filter funnel — value-identical by construction, compares
+    # green at both SFs; re-enters for fresh driver signal.
+    "q_c4_filters": 12,  # same extraction (c4_doc_flags split + oracle
+    # rebuilt from _c4_doc_cte/_C4_KEEP_SQL) — value-identical.
 }
 
 _RECHECK: frozenset[str] = frozenset(

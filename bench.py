@@ -126,6 +126,10 @@ HEADLINE = [
     # totals against 48 queries
     "q_bloom_dedup",
     "q_bloom_sweep",
+    # round 13: the full published filter stack (C4 + Gopher rules +
+    # Gopher repetition) as one single-pass attrition funnel — compare
+    # r14+ totals against 49 queries
+    "q_corpus_filter_funnel",
 ]
 
 

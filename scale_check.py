@@ -158,6 +158,10 @@ QUERIES = [
     # pair stage plus pair-sized size joins, one per-doc aggregate, and
     # a doc_id LEFT join; expected to track q_containment_join.
     "q_containment_apply",
+    # round 13e: the filter-stack funnel — the repetition battery's
+    # zero-shuffle pass plus the (cheap) C4/Gopher flag columns chained
+    # row-local; expected ~linear, tracking q_gopher_repetition.
+    "q_corpus_filter_funnel",
     # round 13c: Bloom dedup — k bit rows per doc, min-per-bit with
     # map-side partials, per-doc conjunction, md5-keyed truth shuffle;
     # expected ~linear (hash-only shuffles). At ×10 the 4096-bit filter

@@ -1350,6 +1350,74 @@ def test_doremi_upweights_high_excess_domain(spark):
         assert got_u[k]["weight_ppm"] == expected, (k, got_u[k], expected)
 
 
+def test_corpus_filter_funnel_batteries_cut_independently(spark):
+    """Funnel pins no twin compare can give: four constructed documents,
+    each passing/failing exactly one battery combination — full pass;
+    repetition-only fail (a duplicated 10-word span); C4-only fail
+    ('lorem ipsum'); Gopher-rules-only fail (21 words < 50) — must land
+    in exactly the right funnel columns, and a NULL-text doc must be
+    outside the population entirely."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_microservice_redshift_datalake_spark.operators.text import (
+        corpus_filter_funnel,
+    )
+
+    def line(words):
+        return " ".join(words) + "."
+
+    def mk(lines):
+        t = "\n".join(lines)
+        return t, len(t)
+
+    w = [f"w{i:02d}" for i in range(60)]
+    a_lines = [
+        line(w[0:8] + ["the"] + w[8:18]),
+        line(w[18:28] + ["and"] + w[28:37]),
+        line(w[37:56]),
+    ]
+    pass_doc = mk(a_lines)
+    rep_doc = mk(a_lines + [line(w[0:10])])  # duplicated 10-word span
+    c4_doc = mk(
+        [a_lines[0], line(["lorem", "ipsum", "and"] + w[18:34]), a_lines[2]]
+    )
+    # 45 pieces − 4 newline merges = 41 words < 50: fails ONLY the words
+    # rule; long enough that the top-n gram signals (char-mass over a
+    # small denominator) stay quiet
+    rules_doc = mk(
+        [
+            line(w[0:4] + ["the"] + w[4:8]),
+            line(w[8:12] + ["and"] + w[12:16]),
+            line(w[16:25]),
+            line(w[25:34]),
+            line(w[34:43]),
+        ]
+    )
+    rows = [
+        ("A", *pass_doc),
+        ("B", *rep_doc),
+        ("C", *c4_doc),
+        ("D", *rules_doc),
+        ("N", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, text string, n_chars bigint"
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    got = {r.lang: r.asDict() for r in corpus_filter_funnel(df).collect()}
+    assert set(got) == {"A", "B", "C", "D"}  # NULL-text outside population
+
+    def row(lang, c4, rules, rep, c4_rules, kept):
+        g = got[lang]
+        assert (
+            g["n_c4"], g["n_rules"], g["n_rep"], g["n_c4_rules"], g["n_kept"]
+        ) == (c4, rules, rep, c4_rules, kept), (lang, g)
+
+    row("A", 1, 1, 1, 1, 1)
+    row("B", 1, 1, 0, 1, 0)
+    row("C", 0, 1, 1, 0, 0)
+    row("D", 1, 0, 1, 0, 0)
+
+
 def test_dsir_weights_separate_target_from_offtarget(spark):
     """DSIR pins no twin compare can give: on a corpus where the target
     lang uses vocabulary A and the off-target lang uses disjoint
