@@ -23,6 +23,46 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+# Only use tmpfs scratch when it has real headroom beyond any plausible
+# local-mode shuffle volume (the test corpora are ≤ tens of MB; 8 GiB free
+# keeps a safety margin of ~1000× while never touching a memory-tight box).
+_TMPFS_MIN_FREE_BYTES = 8 << 30
+
+
+def _fast_local_dir() -> str | None:
+    """Shuffle/spill scratch directory for LOCAL mode, or None for Spark's
+    default.
+
+    Spark's shuffle is disk-backed even in local mode, so local-disk write
+    bandwidth bounds every exchange (optimization guide §2.1: "local disk
+    bandwidth for shuffle files can be the tighter limit — check both").
+    On this sandbox the root disk sustains ~36 MB/s buffered writes while
+    tmpfs sustains GB/s; a 32-map × 32-reduce no-op shuffle measures ~2×
+    faster end-to-end with scratch on /dev/shm (0.22 s vs 0.45 s steady-
+    state stage latency).
+
+    Scale posture: this is the LOCAL analog of pointing ``spark.local.dir``
+    at the provisioned NVMe scratch array on a real cluster — standard
+    practice, not a local-only trick. It deliberately does NOT apply outside
+    local mode (a 100 TB shuffle exceeds RAM; executors must keep the
+    cluster's disks), and ``SPARK_GRAFT_LOCAL_DIR`` overrides the choice in
+    both directions (set it to '' to force Spark's default)."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            import shutil
+
+            if shutil.disk_usage(shm).free >= _TMPFS_MIN_FREE_BYTES:
+                d = os.path.join(shm, f"spark-graft-local-{os.getuid()}")
+                os.makedirs(d, exist_ok=True)
+                return d
+        except OSError:
+            return None
+    return None
+
 
 def get_session(
     app_name: str = "aws-etl-datalake-spark",
@@ -46,6 +86,11 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    fast_dir = _fast_local_dir()
+    if fast_dir:
+        # shuffle/spill scratch on the fastest local storage (see
+        # _fast_local_dir) — local mode only, env-overridable
+        builder = builder.config("spark.local.dir", fast_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
