@@ -22,8 +22,26 @@ _REGISTERED: set[str] = set()
 def scratch_root() -> str:
     """Resolved at CALL time, not import: the env override must work even
     when set after the package was first imported, and a fork()ed child
-    re-resolves its own pid below rather than inheriting the parent's."""
-    return os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(_REPO, ".tmp")
+    re-resolves its own pid below rather than inheriting the parent's.
+
+    r14: default to tmpfs when it has real headroom — the scratch verbs
+    (fragment/compact roundtrips, stream staging, checkpoints) are rewrite
+    *protocol* checks, not disk benchmarks, and this host's root disk
+    writes back at ~36 MB/s (measured) while tmpfs runs at memory speed.
+    Production deployments point SPARK_GRAFT_SCRATCH at the lake/fast
+    array exactly as before; contents stay per-process and are removed at
+    interpreter exit either way."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            if shutil.disk_usage(shm).free >= 8 << 30:
+                return os.path.join(shm, f"spark-graft-scratch-{os.getuid()}")
+        except OSError:
+            pass
+    return os.path.join(_REPO, ".tmp")
 
 
 def process_scratch() -> str:
