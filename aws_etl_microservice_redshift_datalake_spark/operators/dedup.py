@@ -2280,6 +2280,12 @@ def containment_apply(
         F.count(F.lit(1)).alias("n_containers"),
         F.max("containment").alias("best_containment"),
     )
+    # compute the pre-coalesce count ONCE and derive both outputs from it:
+    # the old spelling aliased a coalesced column to the same name
+    # 'n_containers' its 'removed' expression read — it resolved against
+    # the pre-projection join output, but the shadowed name was fragile
+    # under refactoring (ADVICE r13)
+    nc = F.col("n_containers")
     return (
         sizes.join(
             agg.withColumnRenamed("doc_a", "doc_id").hint("SHUFFLE_HASH"),
@@ -2289,10 +2295,11 @@ def containment_apply(
         .select(
             "doc_id",
             "n_set",
-            F.coalesce("n_containers", F.lit(0)).alias("n_containers"),
+            F.coalesce(nc, F.lit(0)).alias("n_containers_out"),
             "best_containment",
-            F.col("n_containers").isNotNull().alias("removed"),
+            nc.isNotNull().alias("removed"),
         )
+        .withColumnRenamed("n_containers_out", "n_containers")
     )
 
 
@@ -2368,25 +2375,22 @@ BLOOM_M_BITS = 4096  # filter size: small enough that FPs exist at test SF
 BLOOM_K = 3          # hash functions
 
 
+def _bloom_h48(text, j: int):
+    """The 48-bit salted-md5 position BASE for hash j: md5 over a
+    salt-prefixed text, first 12 hex digits as a BIGINT. ONE definition
+    shared by _bloom_bits (single-m filter) and bloom_sweep_report (m-grid
+    re-sizing of the same base) — a salt/substring change in one place can
+    no longer diverge q_bloom_dedup from q_bloom_sweep (ADVICE r13)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bff{j}:"), text)), 1, 12), 16, 10
+    ).cast("bigint")
+
+
 def _bloom_bits(text, m: int, k: int):
-    """The k portable bit positions of a document: md5 over a salt-prefixed
-    text, first 12 hex digits (48 bits) mod m — the established md5-bucket
-    idiom, one independent position per salt."""
-    return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"bff{j}:"), text)), 1, 12
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % m
-            )
-            for j in range(k)
-        ]
-    )
+    """The k portable bit positions of a document: the shared 48-bit base
+    (_bloom_h48) mod m — the established md5-bucket idiom, one independent
+    position per salt."""
+    return F.array(*[_bloom_h48(text, j) % m for j in range(k)])
 
 
 def bloom_dedup_report(
@@ -2525,18 +2529,7 @@ def bloom_sweep_report(
     base = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "lang", "text"
     )
-    h48 = F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bff{j}:"), F.col("text"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            for j in range(k)
-        ]
-    )
+    h48 = F.array(*[_bloom_h48(F.col("text"), j) for j in range(k)])
     hs = base.select("doc_id", F.explode(h48).alias("h48"))
     bits = hs.select(
         "doc_id",

@@ -165,7 +165,8 @@ QUERIES = [
     # round 13c: Bloom dedup — k bit rows per doc, min-per-bit with
     # map-side partials, per-doc conjunction, md5-keyed truth shuffle;
     # expected ~linear (hash-only shuffles). At ×10 the 4096-bit filter
-    # SATURATES (15k docs × 3 bits >> m) so n_false_pos approaches
+    # SATURATES (5k docs × 3 bits = 15k insertions at base, 150k at ×10,
+    # both >> m=4096) so n_false_pos approaches
     # n_docs − n_true_dup — the report correctly says "resize m", which
     # is exactly its production job; wall stays linear regardless.
     "q_bloom_dedup",
@@ -758,7 +759,8 @@ def main() -> None:
         f"stage; `q_bloom_dedup` ({_fac('q_bloom_dedup'):.1f}x) and `q_bloom_sweep`",
         f"({_fac('q_bloom_sweep'):.1f}x) are hash-only shuffles (k bit rows per doc,",
         "min-per-bit partials, md5-keyed truth). At x10 the fixed 4096-bit",
-        "filter SATURATES (150k docs x 3 bits >> m), so n_false_pos",
+        "filter SATURATES (50k docs x 3 bits = 150k insertions >> m=4096),",
+        "so n_false_pos",
         "approaches n_docs - n_true_dup — the report correctly reads",
         '"resize m" (its production job; the sweep shows the working',
         "sizes); wall stays linear regardless because the work is",
