@@ -195,22 +195,24 @@ _RECHECK_CHANGED: dict[str, int] = {
     # in CORRECTNESS_r12 on the changed code, so they expired and are
     # pruned (the r10/r11 precedent).
     #
-    # r13 ADVICE-r12 batch, recorded at 12 (ships BEFORE the r13 driver
-    # run — the same-round green verifies the new code):
-    "q_gopher_rules": 12,  # bullet threshold aligned with the published
-    # >90% removal regime (was inverted at 10%) and the symbol rule split
-    # into per-symbol 0.1 bounds (was pooled) — a VALUE change on docs in
-    # the 10–90% bullet band or with split symbol ratios; both twins
-    # changed together so the fixture hashes moved identically.
-    # (Its Spark body ALSO took the doc-flags extraction below in the
-    # same round, so one entry covers both changes.)
-    "q_gopher_repetition": 12,  # doc-flags library extraction
-    # (repetition_doc_flags split + carry param on repetition_stats +
-    # oracle rebuilt from _rep_doc_cte/_rep_fail_exprs) for the
-    # corpus-filter funnel — value-identical by construction, compares
-    # green at both SFs; re-enters for fresh driver signal.
-    "q_c4_filters": 12,  # same extraction (c4_doc_flags split + oracle
-    # rebuilt from _c4_doc_cte/_C4_KEEP_SQL) — value-identical.
+    # The three r13 ADVICE-r12 entries (q_gopher_rules, q_gopher_repetition,
+    # q_c4_filters — recorded at 12) were verified green in CORRECTNESS_r13
+    # on the changed code (50/50 full green window), so they expired and are
+    # pruned (the r10–r12 precedent; VERDICT r13 next-round item 2).
+    #
+    # r14 OPTIMIZATION batch, recorded at 13 (ships BEFORE the r14 driver
+    # run — the same-round green verifies the new code). All five are
+    # value-identical plan/refactor changes, each verified against its
+    # DuckDB oracle at sf0.01 before commit:
+    "q_cluster_split": 13,  # consumes the shared memoized CC label
+    # relation (_cc_labels_persisted) instead of re-running the live CC
+    # loop + sizes join per call — labels deterministic, values identical.
+    "q_training_pipeline": 13,  # same label-relation consumer switch.
+    "q_bloom_dedup": 13,  # _bloom_h48 shared-base extraction (ADVICE r13)
+    # — expression-identical, plan byte-identical.
+    "q_bloom_sweep": 13,  # same extraction.
+    "q_containment_apply": 13,  # n_containers shadowed-name projection fix
+    # (ADVICE r13) — value-identical.
 }
 
 _RECHECK: frozenset[str] = frozenset(
