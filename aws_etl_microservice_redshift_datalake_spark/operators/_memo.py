@@ -58,6 +58,38 @@ from pyspark.sql import DataFrame, SparkSession
 _LOCKS_MUTEX = threading.Lock()
 _LOCKS: dict[tuple, list] = {}  # key -> [lock, pin_count]
 
+# every memo table that ever reached session_memo, keyed by id() (dict
+# equality compares CONTENTS, so a plain list/set membership test would
+# conflate two empty tables) — the inventory clear_session_memos sweeps
+_ALL_MEMOS: dict[int, dict] = {}
+
+
+def clear_session_memos(spark: SparkSession) -> int:
+    """Unpersist and drop every memoized relation belonging to ``spark``
+    (plus entries whose session weakref already cleared). Diagnostic /
+    cold-path-bench hook (r15, VERDICT r14 #3): the memo families
+    (minhash pairs, CC labels, LSH buckets, IVF model, prefix postings)
+    are write-once artifacts within a session, so a shared-session bench
+    reports their consumers warm; clearing between reps exposes the cold
+    first-call cost. Returns the number of entries dropped. Never called
+    on any query path — only bench.py's opt-in SPARK_GRAFT_BENCH_COLD
+    mode and tests use it."""
+    dropped: list[DataFrame] = []
+    with _LOCKS_MUTEX:
+        for memo in _ALL_MEMOS.values():
+            for k in list(memo):
+                ref, _, df = memo[k]
+                s = ref()
+                if s is spark or s is None:
+                    del memo[k]
+                    dropped.append(df)
+    for df in dropped:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return len(dropped)
+
 
 def _pin_key_lock(key: tuple) -> threading.Lock:
     """Fetch (creating if needed) the build lock for ``key`` and pin its
@@ -140,6 +172,9 @@ def session_memo(
 
     skey = (id(spark), sf_dir)
     lkey = (id(memo), *skey)
+    with _LOCKS_MUTEX:
+        _ALL_MEMOS[id(memo)] = memo  # inventory for clear_session_memos
+
     lk = _pin_key_lock(lkey)
     try:
         with lk:

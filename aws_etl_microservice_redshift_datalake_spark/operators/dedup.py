@@ -463,33 +463,31 @@ def simhash_wide(d: DataFrame) -> DataFrame:
     doc would collide with 1/16 of the corpus: quadratic candidates; at
     15-bit blocks random collisions are ~2^-15 — linear). Bit b is the
     sign of the token-vote sum on bit (b mod 4) of hex digit (b div 4) of
-    md5(token); md5 digits are parsed ONCE per token into 15 int columns
-    (never 60 md5 calls), and the 60 vote sums are associative SUMs —
-    two-phase map-side aggregation, 100 TB-clean. Zero-vote ties sign to
-    0 in both engines (strict > 0)."""
+    md5(token); the 15 hex digits are parsed ONCE per token into a single
+    60-bit BIGINT (r15, guide §4 expression cost — previously 15 separate
+    1-char conv() parses per token; digit i sits at weight 16^(14-i), so
+    old bit (d[b div 4] >> (b mod 4)) & 1 ≡ new (th >> (4*(14 - b div 4)
+    + b mod 4)) & 1 — bit-identical by positional arithmetic, and the
+    vote ±1 is the branch-free 2*bit-1), and the 60 vote sums stay
+    associative SUMs — two-phase map-side aggregation, 100 TB-clean.
+    Zero-vote ties sign to 0 in both engines (strict > 0)."""
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
-    ).select("doc_id", F.md5("word").alias("h"))
-    dv = toks.select(
+    ).select(
         "doc_id",
-        *[
-            F.conv(F.substring("h", i + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"d{i}")
-            for i in range(15)
-        ],
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("th"),
     )
-    votes = dv.groupBy("doc_id").agg(
+    votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(
-                        F.lit(1)
-                    )
-                    == 1,
-                    1,
-                ).otherwise(-1)
+                F.shiftright("th", 4 * (14 - b // 4) + b % 4).bitwiseAND(
+                    F.lit(1)
+                )
+                * 2
+                - 1
             ).alias(f"v{b}")
             for b in range(SIMHASH_JOIN_BITS)
         ]
@@ -646,6 +644,11 @@ CC_MAX_ROUNDS = 20  # safety cap; large-star/small-star needs O(log² n)
 #   the only shape that survives mega-hub components.
 CC_WINDOW_MAX_EDGES = 5_000_000  # below this, per-round fixed cost dominates
 
+CC_EDGES_PER_TASK = 50_000  # reduce-task sizing for the round shuffles: the
+# loop lowers spark.sql.shuffle.partitions to ~1 task per 50k edges (never
+# above the session default) — see the adaptive block in
+# connected_components; pure scheduler-overhead control, label-neutral
+
 
 def _large_star(e: DataFrame, use_window: bool) -> DataFrame:
     """Large-star (Kiveris et al. '14): every node u links each strictly
@@ -782,54 +785,81 @@ def connected_components(
         # persist must not stay pinned for the session lifetime
         _drain()
     converged = False
-    for _ in range(CC_MAX_ROUNDS):
-        # localCheckpoint, not cache: each round's plan references the
-        # previous round's edges TWICE (the symmetrizing union), so the
-        # logical plan doubles per round and Catalyst analysis alone goes
-        # exponential by round ~6 (measured: 1 s/round → 67 s at round 6 on
-        # a 60-node path). Checkpointing truncates lineage to the
-        # materialized partitions — constant per-round plan. LAZY (r5): the
-        # fixpoint signature is the round's FIRST action, so it computes,
-        # persists, and fingerprints the edges in ONE job — the eager form
-        # ran two actions per round and the extra fixed job latency was 27%
-        # of the headline bench (VERDICT r4 #5). On a real cluster use
-        # reliable checkpoint() (localCheckpoint loses partitions on
-        # executor failure) — same one-line swap.
-        # the spelling decision now holds for TWO star rounds, and a single
-        # large-star pass can roughly double the edge set — so the window
-        # spelling is only safe up to HALF the cap, or the second round
-        # could run min-over-window on a graph past the mega-hub threshold
-        use_window = (sig[0] or 0) <= CC_WINDOW_MAX_EDGES // 2
-        # TWO star rounds per checkpoint/signature (r5): per-action fixed
-        # cost (job scheduling + Catalyst on a multi-exchange DAG) dominates
-        # at bench scale (~0.9 s/action on a 256-edge graph), so halving the
-        # action count nearly halves wall time; lineage depth stays bounded
-        # at two rounds, far from the exponential regime, and a fixpoint of
-        # one star round is a fixpoint of two, so convergence detection is
-        # unchanged (at worst detected one odd round late).
-        new = e
-        for _ in range(2):
-            new = _small_star(_large_star(new, use_window), use_window)
-        new = _ckpt(new)
-        try:
-            new_sig = _sig(new)
-        finally:
-            # same backstop per round: a failed action must not leak the
-            # round's persist (a retrying long-lived driver would stack one
-            # corpus-scale cached edge set per failed attempt)
-            _drain()
-        if new_sig == sig and new.exceptAll(e).isEmpty():
-            # signature match is probabilistic (~2^-64 collision); both
-            # relations are already materialized, so confirming set equality
-            # exactly (equal counts + empty one-sided difference) costs one
-            # cheap scan ONCE at convergence — deterministic termination
-            # (ADVICE r4). On the vanishing collision branch the loop just
-            # keeps iterating.
+    # Scale-ADAPTIVE loop parallelism (r15, guide §2.2 "fewer, larger reduce
+    # partitions" sized from the DATA, not the core count): each star round
+    # is ~4-6 exchanges, so one fixpoint action schedules ~12 shuffles × the
+    # session's reduce-partition count of tasks — on a few-hundred-edge
+    # verified-pair graph that is hundreds of near-empty tasks of pure
+    # scheduler latency per action (the measured ~0.9 s/action floor).
+    # Reduce tasks are sized from the MEASURED per-round edge count
+    # (~CC_EDGES_PER_TASK edges each, re-derived every round because
+    # large-star can grow the edge set); the session default is the CEILING
+    # — never raised, so corpus-scale graphs keep the configured cluster
+    # parallelism. The conf is session-scoped: a concurrent query planned in
+    # another driver thread during a round would transiently see the lower
+    # value (single-threaded drivers — this bench, the driver harness, the
+    # tests — are unaffected); restored in the finally.
+    sess = pairs.sparkSession
+    orig_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _ in range(CC_MAX_ROUNDS):
+            loop_parts = min(
+                int(orig_parts), (sig[0] or 0) // CC_EDGES_PER_TASK + 1
+            )
+            sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+            # localCheckpoint, not cache: each round's plan references the
+            # previous round's edges TWICE (the symmetrizing union), so the
+            # logical plan doubles per round and Catalyst analysis alone goes
+            # exponential by round ~6 (measured: 1 s/round → 67 s at round 6
+            # on a 60-node path). Checkpointing truncates lineage to the
+            # materialized partitions — constant per-round plan. LAZY (r5):
+            # the fixpoint signature is the round's FIRST action, so it
+            # computes, persists, and fingerprints the edges in ONE job — the
+            # eager form ran two actions per round and the extra fixed job
+            # latency was 27% of the headline bench (VERDICT r4 #5). On a
+            # real cluster use reliable checkpoint() (localCheckpoint loses
+            # partitions on executor failure) — same one-line swap.
+            # the spelling decision now holds for TWO star rounds, and a
+            # single large-star pass can roughly double the edge set — so the
+            # window spelling is only safe up to HALF the cap, or the second
+            # round could run min-over-window on a graph past the mega-hub
+            # threshold
+            use_window = (sig[0] or 0) <= CC_WINDOW_MAX_EDGES // 2
+            # TWO star rounds per checkpoint/signature (r5): per-action fixed
+            # cost (job scheduling + Catalyst on a multi-exchange DAG)
+            # dominates at bench scale (~0.9 s/action on a 256-edge graph),
+            # so halving the action count nearly halves wall time; lineage
+            # depth stays bounded at two rounds, far from the exponential
+            # regime, and a fixpoint of one star round is a fixpoint of two,
+            # so convergence detection is unchanged (at worst detected one
+            # odd round late).
+            new = e
+            for _ in range(2):
+                new = _small_star(_large_star(new, use_window), use_window)
+            new = _ckpt(new)
+            try:
+                new_sig = _sig(new)
+            finally:
+                # same backstop per round: a failed action must not leak the
+                # round's persist (a retrying long-lived driver would stack
+                # one corpus-scale cached edge set per failed attempt)
+                _drain()
+            if new_sig == sig and new.exceptAll(e).isEmpty():
+                # signature match is probabilistic (~2^-64 collision); both
+                # relations are already materialized, so confirming set
+                # equality exactly (equal counts + empty one-sided
+                # difference) costs one cheap scan ONCE at convergence —
+                # deterministic termination (ADVICE r4). On the vanishing
+                # collision branch the loop just keeps iterating.
+                e = new
+                converged = True
+                break
             e = new
-            converged = True
-            break
-        e = new
-        sig = new_sig
+            sig = new_sig
+    finally:
+        # restore BEFORE the consumer plans the converged star/singleton
+        # relations below — only the round-internal shuffles are data-sized
+        sess.conf.set("spark.sql.shuffle.partitions", orig_parts)
     if not converged:
         import warnings
 
@@ -967,10 +997,15 @@ def _cc_labels_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _stat_sig, table_path
     from ._memo import session_memo
 
-    def _build() -> DataFrame:
-        import os
+    import os
 
-        reliable = os.environ.get("SPARK_GRAFT_CC_RELIABLE", "") == "1"
+    # the reliable flag is part of the memo IDENTITY (ADVICE r14): labels
+    # are equal either way, but lost-executor recompute goes through
+    # different checkpoint lineage — flipping the flag mid-session must not
+    # serve labels built under the other mode
+    reliable = os.environ.get("SPARK_GRAFT_CC_RELIABLE", "") == "1"
+
+    def _build() -> DataFrame:
         pairs = _minhash_pairs_persisted(spark, sf_dir).select("doc_a", "doc_b")
         return (
             connected_components(pairs, "doc_a", "doc_b", reliable=reliable)
@@ -979,7 +1014,7 @@ def _cc_labels_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_memo(
-        _CC_LABELS_MEMO, spark, f"{sf_dir}|cc-labels",
+        _CC_LABELS_MEMO, spark, f"{sf_dir}|cc-labels|reliable={reliable}",
         lambda: _stat_sig(table_path(sf_dir, "documents")),  # fresh-at-build
         _build,
     )

@@ -19,10 +19,19 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _REGISTERED: set[str] = set()
 
 
+# (pid, resolved default root): the free-space probe must run ONCE per
+# process (ADVICE r14 — re-evaluating per call lets the root FLIP mid-run
+# when tmpfs fills, silently stranding staged fragment/compact state in the
+# old root); a fork()ed child re-probes under its own pid.
+_DEFAULT_ROOT: tuple[int, str] | None = None
+
+
 def scratch_root() -> str:
     """Resolved at CALL time, not import: the env override must work even
     when set after the package was first imported, and a fork()ed child
     re-resolves its own pid below rather than inheriting the parent's.
+    The DEFAULT (no env) decision is cached per pid so the root is stable
+    for the process lifetime (ADVICE r14).
 
     r14: default to tmpfs when it has real headroom — the scratch verbs
     (fragment/compact roundtrips, stream staging, checkpoints) are rewrite
@@ -31,17 +40,28 @@ def scratch_root() -> str:
     Production deployments point SPARK_GRAFT_SCRATCH at the lake/fast
     array exactly as before; contents stay per-process and are removed at
     interpreter exit either way."""
+    global _DEFAULT_ROOT
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
         return env
+    if _DEFAULT_ROOT is not None and _DEFAULT_ROOT[0] == os.getpid():
+        return _DEFAULT_ROOT[1]
+    root = os.path.join(_REPO, ".tmp")
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         try:
             if shutil.disk_usage(shm).free >= 8 << 30:
-                return os.path.join(shm, f"spark-graft-scratch-{os.getuid()}")
+                d = os.path.join(shm, f"spark-graft-scratch-{os.getuid()}")
+                # world-writable /dev/shm: own the dir 0o700 or fall back
+                # (ADVICE r14, same check as session._fast_local_dir)
+                os.makedirs(d, mode=0o700, exist_ok=True)
+                if os.stat(d).st_uid == os.getuid():
+                    os.chmod(d, 0o700)
+                    root = d
         except OSError:
             pass
-    return os.path.join(_REPO, ".tmp")
+    _DEFAULT_ROOT = (os.getpid(), root)
+    return root
 
 
 def process_scratch() -> str:

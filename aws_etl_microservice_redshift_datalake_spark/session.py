@@ -57,7 +57,16 @@ def _fast_local_dir() -> str | None:
 
             if shutil.disk_usage(shm).free >= _TMPFS_MIN_FREE_BYTES:
                 d = os.path.join(shm, f"spark-graft-local-{os.getuid()}")
-                os.makedirs(d, exist_ok=True)
+                # /dev/shm is world-writable: create 0o700 and verify WE own
+                # the directory (ADVICE r14 — another user pre-creating the
+                # predictable path could read/delete our shuffle files).
+                # On ownership mismatch fall back to Spark's default scratch
+                # rather than silently sharing.
+                os.makedirs(d, mode=0o700, exist_ok=True)
+                st = os.stat(d)
+                if st.st_uid != os.getuid():
+                    return None
+                os.chmod(d, 0o700)
                 return d
         except OSError:
             return None

@@ -151,10 +151,22 @@ def main() -> None:
     # contended-machine run must not read as a plan regression — the min is
     # the best available estimate of the plan's actual cost on this box
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # SPARK_GRAFT_BENCH_COLD=1 (r15, VERDICT r14 #3): clear the session
+    # memos (minhash pairs, CC labels, LSH buckets, IVF model, prefix
+    # postings) before EVERY rep, so memoized composites report their cold
+    # first-call cost instead of a warm persisted read. Opt-in only — the
+    # default path (driver protocol) is unchanged.
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    if cold:
+        from aws_etl_microservice_redshift_datalake_spark.operators._memo import (
+            clear_session_memos,
+        )
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(reps):
+            if cold:
+                clear_session_memos(spark)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
