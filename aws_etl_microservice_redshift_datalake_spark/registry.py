@@ -200,19 +200,27 @@ _RECHECK_CHANGED: dict[str, int] = {
     # on the changed code (50/50 full green window), so they expired and are
     # pruned (the r10–r12 precedent; VERDICT r13 next-round item 2).
     #
-    # r14 OPTIMIZATION batch, recorded at 13 (ships BEFORE the r14 driver
-    # run — the same-round green verifies the new code). All five are
-    # value-identical plan/refactor changes, each verified against its
-    # DuckDB oracle at sf0.01 before commit:
-    "q_cluster_split": 13,  # consumes the shared memoized CC label
-    # relation (_cc_labels_persisted) instead of re-running the live CC
-    # loop + sizes join per call — labels deterministic, values identical.
-    "q_training_pipeline": 13,  # same label-relation consumer switch.
-    "q_bloom_dedup": 13,  # _bloom_h48 shared-base extraction (ADVICE r13)
-    # — expression-identical, plan byte-identical.
-    "q_bloom_sweep": 13,  # same extraction.
-    "q_containment_apply": 13,  # n_containers shadowed-name projection fix
-    # (ADVICE r13) — value-identical.
+    # All five r14 OPTIMIZATION entries (q_cluster_split,
+    # q_training_pipeline, q_bloom_dedup, q_bloom_sweep,
+    # q_containment_apply — recorded at 13) were verified green in
+    # CORRECTNESS_r14 on the changed code (VERDICT r14 checked all five are
+    # in the r14 window and pass), so they expired and are pruned (the
+    # r10–r13 precedent).
+    #
+    # r15 OPTIMIZATION batch, recorded at 14 (ships BEFORE the r15 driver
+    # run — the same-round green verifies the new code). All four are
+    # value-identical plan/physical changes, each verified against its
+    # DuckDB oracle at sf0.001 + sf0.01 before commit
+    # (plans/r15/verify_changes.py):
+    "q_simhash_hamming_join": 14,  # simhash_wide parses the 15 md5 hex
+    # digits with ONE conv into a 60-bit bigint (was 15 per-digit convs);
+    # bit extraction proven identical (exceptAll symdiff 0 on sf0.1).
+    "q_dedup_clusters": 14,  # the CC loop sizes its round shuffles'
+    # reduce-task count from the measured edge count (session default as
+    # ceiling, restored after) — labels partitioning-independent.
+    "q_cluster_split": 14,  # consumes the CC labels (inherits the loop
+    # change through _cc_labels_persisted; reliable flag now in memo key).
+    "q_training_pipeline": 14,  # same label-relation consumer.
 }
 
 _RECHECK: frozenset[str] = frozenset(

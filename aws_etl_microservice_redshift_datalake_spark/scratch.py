@@ -30,20 +30,22 @@ def scratch_root() -> str:
     """Resolved at CALL time, not import: the env override must work even
     when set after the package was first imported, and a fork()ed child
     re-resolves its own pid below rather than inheriting the parent's.
-    The DEFAULT (no env) decision is cached per pid so the root is stable
+    The probed (env=auto) decision is cached per pid so the root is stable
     for the process lifetime (ADVICE r14).
 
-    r14: default to tmpfs when it has real headroom — the scratch verbs
-    (fragment/compact roundtrips, stream staging, checkpoints) are rewrite
-    *protocol* checks, not disk benchmarks, and this host's root disk
-    writes back at ~36 MB/s (measured) while tmpfs runs at memory speed.
-    Production deployments point SPARK_GRAFT_SCRATCH at the lake/fast
-    array exactly as before; contents stay per-process and are removed at
-    interpreter exit either way."""
+    r15 (VERDICT r14 #1): the r14 tmpfs DEFAULT did not reproduce its win
+    under the driver's protocol (see session._fast_local_dir — Spark-
+    default scratch won all four A/B pairs on whole-run totals), so the
+    default is back to ``<repo>/.tmp``. ``SPARK_GRAFT_SCRATCH=auto`` keeps
+    the tmpfs probe as an explicit opt-in (≥8 GiB free, 0700 + ownership
+    check); any other non-empty value is used as the root. Contents stay
+    per-process and are removed at interpreter exit either way."""
     global _DEFAULT_ROOT
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
-    if env:
+    if env and env != "auto":
         return env
+    if not env:
+        return os.path.join(_REPO, ".tmp")
     if _DEFAULT_ROOT is not None and _DEFAULT_ROOT[0] == os.getpid():
         return _DEFAULT_ROOT[1]
     root = os.path.join(_REPO, ".tmp")

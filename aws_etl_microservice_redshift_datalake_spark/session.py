@@ -33,22 +33,22 @@ def _fast_local_dir() -> str | None:
     """Shuffle/spill scratch directory for LOCAL mode, or None for Spark's
     default.
 
-    Spark's shuffle is disk-backed even in local mode, so local-disk write
-    bandwidth bounds every exchange (optimization guide §2.1: "local disk
-    bandwidth for shuffle files can be the tighter limit — check both").
-    On this sandbox the root disk sustains ~36 MB/s buffered writes while
-    tmpfs sustains GB/s; a 32-map × 32-reduce no-op shuffle measures ~2×
-    faster end-to-end with scratch on /dev/shm (0.22 s vs 0.45 s steady-
-    state stage latency).
-
-    Scale posture: this is the LOCAL analog of pointing ``spark.local.dir``
-    at the provisioned NVMe scratch array on a real cluster — standard
-    practice, not a local-only trick. It deliberately does NOT apply outside
-    local mode (a 100 TB shuffle exceeds RAM; executors must keep the
-    cluster's disks), and ``SPARK_GRAFT_LOCAL_DIR`` overrides the choice in
-    both directions (set it to '' to force Spark's default)."""
+    r15 ADJUDICATION (VERDICT r14 #1): the r14 tmpfs DEFAULT was A/B'd
+    under the driver's own protocol — one fresh ``python bench.py`` per
+    measurement, local[32], sf0.1, 4 alternating pairs, /proc/stat steal
+    recorded (plans/r15/ab_localdir_results.jsonl). Spark-default scratch
+    won ALL FOUR pairs on whole-run totals (63.2–79.5 s vs 73.2–155.3 s);
+    only per-query minima showed a small tmpfs edge (geomean 0.934), i.e.
+    the r14 win never reproduced where it counts. Per the verdict's
+    decision rule the default is REVERTED to Spark's own scratch;
+    ``SPARK_GRAFT_LOCAL_DIR=auto`` keeps the r14 behavior as an explicit
+    opt-in (probe /dev/shm, require ≥8 GiB free, create 0700 and verify
+    ownership), any other non-empty value is used as the directory, and
+    '' / unset means Spark's default. Never applied outside local mode
+    (a 100 TB shuffle exceeds RAM; executors must keep the cluster's
+    disks)."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if env is not None:
+    if env != "auto":
         return env or None
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):

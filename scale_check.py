@@ -536,8 +536,28 @@ def main() -> None:
             reps[sf_dir].append(json.loads(line[-1][len("SCALE_RESULT "):]))
             print(f"rep {rep} {sf_dir}: done", file=sys.stderr)
 
+    # core-scaling column (r15, VERDICT r14 #8): the amplified corpus again
+    # at 8 cores — queries that look serial at sf0.1 (fixed per-job latency
+    # dominates) must show their data parallelism where the data is big
+    # enough to use the cores. ratio = t(8c)/t(32c) at ×K; ≈4 = perfect,
+    # ≈1 = still latency-bound at this scale.
+    c8_reps: list[dict] = []
+    env8 = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    for rep in range(2):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure", OUT],
+            capture_output=True, text=True, timeout=3600, env=env8,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("SCALE_RESULT ")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"8-core measurement failed (rep {rep})")
+        c8_reps.append(json.loads(line[-1][len("SCALE_RESULT "):]))
+        print(f"rep {rep} {OUT} @8c: done", file=sys.stderr)
+
     base_t = {q: min(r[q] for r in reps[BASE]) for q in QUERIES}
     big_t = {q: min(r[q] for r in reps[OUT]) for q in QUERIES}
+    c8_t = {q: min(r[q] for r in c8_reps) for q in QUERIES}
 
     # candidate-pair-count certification for the clustered semantic family
     # (VERDICT r6 #2) — runs in its own process like the timings, asserts
@@ -605,18 +625,25 @@ def main() -> None:
         "replica). Each scale is timed in a fresh process, min of 2 reps. A "
         "shuffle-minimal operator should scale ≈ linearly in rows (factor "
         f"≈ {K} or below on 32 cores as fixed overhead amortizes); "
-        "super-linear growth flags a pairwise/quadratic plan. Regenerate: "
-        "`python scale_check.py`.",
+        "super-linear growth flags a pairwise/quadratic plan. The last two "
+        f"columns (r15) re-time the ×{K} corpus at 8 cores: 8c/32c ≈ 4 is "
+        "perfect core scaling, ≈ 1 means the query is still per-job-latency "
+        "bound even at this scale. Regenerate: `python scale_check.py`.",
         "",
-        "| query | sf0.1 (s) | ×" + str(K) + " (s) | factor |",
-        "| --- | --- | --- | --- |",
+        "| query | sf0.1 (s) | ×" + str(K) + " (s) | factor | ×"
+        + str(K) + "@8c (s) | 8c/32c |",
+        "| --- | --- | --- | --- | --- | --- |",
     ]
     def _fac(name: str) -> float:
         return big_t[name] / base_t[name] if base_t[name] > 0 else float("nan")
 
+    def _core(name: str) -> float:
+        return c8_t[name] / big_t[name] if big_t[name] > 0 else float("nan")
+
     for name in QUERIES:
         lines.append(
-            f"| {name} | {base_t[name]:.2f} | {big_t[name]:.2f} | {_fac(name):.1f}× |"
+            f"| {name} | {base_t[name]:.2f} | {big_t[name]:.2f} | "
+            f"{_fac(name):.1f}× | {c8_t[name]:.2f} | {_core(name):.1f} |"
         )
     lines += [
         "",
