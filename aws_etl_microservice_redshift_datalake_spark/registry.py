@@ -221,6 +221,10 @@ _RECHECK_CHANGED: dict[str, int] = {
     "q_cluster_split": 14,  # consumes the CC labels (inherits the loop
     # change through _cc_labels_persisted; reliable flag now in memo key).
     "q_training_pipeline": 14,  # same label-relation consumer.
+    "q_compact_roundtrip": 14,  # the fragmentation fixture write is
+    # parallelized (one task per ~8 planned fragments, footer-derived) —
+    # fragment multiset and compacted aggregate identical; verified at
+    # sf0.001/sf0.01/sf0.1.
 }
 
 _RECHECK: frozenset[str] = frozenset(

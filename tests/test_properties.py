@@ -9,6 +9,8 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
+from tests.conftest import full_sweeps_only
+
 from aws_etl_microservice_redshift_datalake_spark.operators.events import (
     asof_join,
     sessionize,
@@ -51,6 +53,7 @@ def _brute_asof(probe, build):
 
 @given(probe=_events, build=_builds)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_asof_join_matches_bruteforce(spark, probe, build):
     pdf = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(probe)] or [(None, None, None)],
@@ -112,6 +115,7 @@ def _brute_sessions(events, gap):
 
 @given(events=_events, gap=st.integers(1, 10))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_sessionize_matches_bruteforce(spark, events, gap):
     df = spark.createDataFrame(
         [(k, t) for k, t in events] or [(None, None)], "k long, t long"
@@ -127,6 +131,7 @@ def test_sessionize_matches_bruteforce(spark, events, gap):
 
 @given(xs=st.lists(st.integers(-5, 5), max_size=30), ys=st.lists(st.integers(-5, 5), max_size=30))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_union_all_counts(spark, xs, ys):
     a = spark.createDataFrame([(x,) for x in xs] or [(None,)], "v long").filter(
         F.col("v").isNotNull()
@@ -141,6 +146,7 @@ def test_union_all_counts(spark, xs, ys):
 
 @given(xs=st.lists(st.integers(0, 8), max_size=30))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_distinct_idempotent_and_exact(spark, xs):
     df = spark.createDataFrame([(x,) for x in xs] or [(None,)], "v long").filter(
         F.col("v").isNotNull()
@@ -184,6 +190,7 @@ def _brute_components(edges):
 
 @given(_edges)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_connected_components_matches_union_find(spark, edges):
     from aws_etl_microservice_redshift_datalake_spark.operators.dedup import (
         connected_components,
@@ -236,6 +243,7 @@ def _brute_jaccard_pairs(docs, cap, thresh):
 
 @given(docs=_docs)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_posting_list_jaccard_matches_bruteforce(spark, docs):
     """The bounded-posting-list candidate generation + exact verify must
     equal all-pairs capped Jaccard on random corpora (cap 3 so the stopword
@@ -300,6 +308,7 @@ _cms_vals = st.lists(st.integers(0, 30), min_size=1, max_size=60)
 
 @given(vals=_cms_vals)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_cms_never_undercounts(spark, vals):
     """CMS one-sided error on random data: estimate >= true count for every
     key, and total over-estimation bounded by depth x eps x N in the worst
@@ -416,6 +425,7 @@ def test_connected_components_deep_path(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+@full_sweeps_only
 def test_connected_components_random_graph_400(spark):
     """Seeded 400-node / 300-edge random graph vs brute union-find — the
     hypothesis strategy stays tiny (≤ 13 nodes) for per-example Spark cost,
@@ -501,6 +511,7 @@ def test_connected_components_warns_when_rounds_exhausted(spark, monkeypatch):
     assert set(got) == {0, 1, 2}  # one label per node even unconverged
 
 
+@full_sweeps_only
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """reliable=True routes round state through the fault-tolerant
     checkpoint dir (the 100 TB executor-churn path) and must produce the
@@ -541,6 +552,7 @@ def test_connected_components_reliable_requires_checkpoint_dir(spark):
             connected_components(pairs, "a", "b", reliable=True)
 
 
+@full_sweeps_only
 def test_dedup_clusters_reliable_env_switch(spark, tmp_path, monkeypatch):
     """SPARK_GRAFT_CC_RELIABLE=1 flips q_dedup_clusters (and therefore
     q_training_pipeline) onto the fault-tolerant checkpoint path and must
@@ -570,6 +582,7 @@ _us_band = st.integers(40_000_000_000_001, 9_200_000_000_000_000)
 
 @given(us=st.lists(_us_band, min_size=1, max_size=20))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_normalize_epoch_ts_dual_encoding_agrees(spark, us):
     """normalize_epoch_ts property (VERDICT r5 #7): for any instant in the
     unambiguous band, the µs encoding and the ns encoding (×1000) of the
@@ -656,6 +669,7 @@ def _brute_substring_spans(docs, k):
 
 @given(docs=_substr_docs, k=st.integers(min_value=2, max_value=5))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_exact_substring_spans_matches_bruteforce(spark, docs, k):
     """exact_substring_spans vs a brute-force Python reference on random
     tiny-alphabet corpora (duplicated runs everywhere): identical span sets,
@@ -698,6 +712,7 @@ def _brute_apply_spans(docs, k):
 
 @given(docs=_substr_docs, k=st.integers(min_value=2, max_value=5))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_apply_substring_spans_matches_bruteforce(spark, docs, k):
     """apply_substring_spans (the cleaned-corpus surgery) vs a brute-force
     reference at randomized k: every covered token removed, every other
@@ -720,6 +735,7 @@ def test_apply_substring_spans_matches_bruteforce(spark, docs, k):
 
 @given(_edges)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_connected_components_groupby_spelling_matches(spark, monkeypatch, edges):
     """The at-scale per-node-minimum spelling (groupBy-min + skew-splittable
     join — the only shape that survives a mega-hub component) is never
@@ -761,6 +777,7 @@ def _brute_levenshtein(a: str, b: str) -> int:
 
 @given(pairs=_lev_pairs, thr=st.integers(min_value=0, max_value=3))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_threshold_levenshtein_sentinel_semantics(spark, pairs, thr):
     """The banded THRESHOLD levenshtein the fuzzy join verifies with
     (r7 dimension-strings fix) vs a brute-force full DP: the threshold
@@ -869,6 +886,7 @@ def _duck_from_indexed(vals) -> str:
 
 @given(case=_sum_cases)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_exact_sum_twin_property(spark, duck, case):
     """registry.exact_sum(x) on Spark must equal o_exact_sum('x') on DuckDB
     for ANY mix of on-grid money and non-conforming garbage — bit-identical
@@ -888,6 +906,7 @@ def test_exact_sum_twin_property(spark, duck, case):
 
 @given(vals=_money_vals(2))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_dec_twin_property(spark, duck, vals):
     """registry.dec(x) per row must equal o_dec('x') per row on DuckDB —
     equal DECIMAL or both NULL, for conforming and garbage money alike."""
@@ -969,6 +988,7 @@ def test_rnd_twin_property(spark, duck, cents, ulps, scale):
 
 @given(vals=_money_vals(2))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_money_col_sum_twin_property(spark, duck, vals):
     """The r8 conformance-guard pair: ROUND(SUM(money_col(x)), 2) on Spark
     must equal ROUND(SUM(o_money_col('x')), 2) on DuckDB for ANY mix of
@@ -1003,6 +1023,7 @@ def test_money_col_sum_twin_property(spark, duck, vals):
     )
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_guarded_bigint_twin_property(spark, duck, qtys):
     """guarded_bigint(x) per row must equal o_guarded_bigint('x') on DuckDB
     for INTEGRAL-valued doubles (the FIXTURES quantity contract — Spark's
@@ -1067,6 +1088,7 @@ _vec_element = st.one_of(
     width=st.sampled_from([63, 64]),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_vec_conform_twin_property(spark, duck, vec, width):
     """_finite_vec(embedding) on Spark must agree with O_VEC_CONFORM on
     DuckDB for ANY element mix — real-scale floats, NULL, NaN, ±Inf, the
@@ -1094,6 +1116,7 @@ def test_vec_conform_twin_property(spark, duck, vec, width):
     vec=st.lists(_vec_element, min_size=64, max_size=64),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_pandas_finite_absurd_twin_property(spark, duck, vec):
     """The pandas twins' NARROWER exclusion (r9): _has_finite_absurd on
     Spark must agree with _O_NO_FINITE_ABSURD's filter on DuckDB for any
@@ -1136,6 +1159,7 @@ _nchars_extremes = [
     )
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_nchars_guard_sum_twin_property(spark, duck, vals):
     """The document-stats conformance guard (registry.N_CHARS_MAX, r7
     stats axis): SUM over `CASE WHEN x BETWEEN 0 AND 2^40` must agree
@@ -1205,6 +1229,7 @@ def _brute_winnow(docs, k, w, dfmax):
 
 @given(docs=_winnow_docs)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_winnow_report_matches_bruteforce(spark, docs):
     """q_winnow_fingerprint's whole pipeline (gram md5 → window min →
     distinct selection → df-capped partner count) must equal a
@@ -1244,6 +1269,7 @@ _setsim_docs = st.lists(
 
 @given(docs=_setsim_docs, tau=st.sampled_from([0.3, 0.5, 0.7, 0.9]))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_setsim_prefix_filter_lossless(spark, docs, tau):
     """The AllPairs prefix filter must be LOSSLESS: q_setsim_join's
     library form equals brute-force all-pairs exact Jaccard on random
@@ -1377,6 +1403,7 @@ def _brute_bm25(docs, terms, k1, b):
     b=st.sampled_from([0.75, 0.0, 0.4, 1.0]),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_bm25_matches_bruteforce(spark, docs, k1, b):
     """bm25_rank must equal a brute-force Python BM25 on random corpora at
     RANDOMIZED k1/b (incl. b=0 length-norm off and b=1 full norm) — the
@@ -1459,6 +1486,7 @@ _simjoin_docs = st.lists(
 
 @given(docs=_simjoin_docs, k=st.sampled_from([1, 2, 3, 5]))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_simhash_hamming_join_matches_bruteforce(spark, docs, k):
     """simhash_hamming_join must equal brute-force all-pairs Hamming <= k
     on random corpora at several k — the direct certificate of BOTH the
@@ -1570,6 +1598,7 @@ def _ewma_df(spark, rows):
 
 @given(rows=_ewma_rows, lags=st.sampled_from([1, 2, 3, 7, 16, 20]))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_ewma_chain_bitexact_vs_bruteforce(spark, rows, lags):
     """ewma_chain at the registered alpha = 1/2 must be BIT-IDENTICAL to
     the brute-force Python fold at RANDOMIZED truncation depth (VERDICT
@@ -1602,6 +1631,7 @@ def test_ewma_chain_bitexact_vs_bruteforce(spark, rows, lags):
     alpha=st.sampled_from([0.3, 0.1, 0.9, 0.05]),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_ewma_chain_nondyadic_alpha(spark, rows, alpha):
     """At NON-DYADIC alpha the weights are no longer exactly representable,
     so the value-level guarantee degrades from bit-exact-vs-math to
@@ -1699,6 +1729,7 @@ _rep_docs = st.lists(
 
 @given(docs=_rep_docs)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_repetition_stats_match_counter_reference(spark, docs):
     from aws_etl_microservice_redshift_datalake_spark.operators.text import (
         repetition_stats,
@@ -1731,6 +1762,7 @@ _rep_pcts = st.fixed_dictionaries(
 
 @given(docs=_rep_docs, pcts=_rep_pcts)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_repetition_report_flags_match_fractions_at_random_thresholds(
     spark, docs, pcts
 ):
@@ -1848,6 +1880,7 @@ _gopher_docs = st.lists(
 
 @given(docs=_gopher_docs)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_gopher_rules_match_python_reference(spark, docs):
     from aws_etl_microservice_redshift_datalake_spark.operators.text import (
         _GOPHER_RULES,
@@ -1934,6 +1967,7 @@ _c4_docs = st.lists(
 
 @given(docs=_c4_docs)
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_c4_report_matches_python_reference(spark, docs):
     from aws_etl_microservice_redshift_datalake_spark.operators.text import c4_report
 
@@ -1955,6 +1989,7 @@ def test_c4_report_matches_python_reference(spark, docs):
 
 @given(docs=_setsim_docs, tau=st.sampled_from([0.5, 0.75, 0.8, 1.0]))
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_containment_join_lossless(spark, docs, tau):
     """containment_join_sets must equal brute-force all-ORDERED-pairs
     exact containment on random set corpora at several thresholds — the
@@ -2029,6 +2064,7 @@ def test_containment_is_asymmetric_on_planted_subset(spark):
     k=st.integers(1, 4),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_bloom_dedup_equals_sequential_simulation(spark, docs, m, k):
     """The orderless min-per-bit restatement must equal a LITERAL
     sequential Bloom pass (insert in doc_id order, flag when all k bits
@@ -2087,6 +2123,7 @@ def test_bloom_dedup_equals_sequential_simulation(spark, docs, m, k):
     k=st.integers(1, 3),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_bloom_sweep_equals_per_m_simulation(spark, docs, k):
     """The one-pass sweep must equal an INDEPENDENT sequential Bloom pass
     per grid size (positions = the same 48-bit base mod m — the re-size-
@@ -2258,6 +2295,7 @@ def _brute_dsir(rows, target_lang, buckets):
     langs=st.lists(st.sampled_from(["en", "xx"]), max_size=8),
 )
 @settings(**_SETTINGS)
+@full_sweeps_only
 def test_dsir_weights_match_python_reference(spark, docs, langs):
     """dsir_weights must equal the brute-force Python reference to the
     exact double on random corpora — the bucket hash, the grid-rounded

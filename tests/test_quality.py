@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import full_sweeps_only
+
 import aws_etl_microservice_redshift_datalake_spark as engine
 from aws_etl_microservice_redshift_datalake_spark.sources.io import load_table
 
@@ -65,6 +67,7 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"LSH ANN recall too low: {recall:.2f}"
 
 
+@full_sweeps_only
 def test_ivf_ann_recall_vs_exact(spark):
     """IVF-Flat ANN (rows-only contract): probing IVF_NPROBE of ~√n spherical
     k-means cells must recover most true neighbors — recall ≥ 0.6 at k=5 on
@@ -418,6 +421,7 @@ def test_hash_native_deterministic_across_runs(spark):
         assert a[row.doc_id][1] == want, (row.doc_id, a[row.doc_id][1], want)
 
 
+@full_sweeps_only
 def test_semdedup_clustered_subset_and_recall(spark):
     """The published clustered SemDeDup vs the exact broadcast twin: the
     clustered drop REPORT must be dominated by the exact one per label
@@ -464,6 +468,7 @@ def test_decontaminate_clustered_subset_and_recall(spark):
         assert tc / te >= 0.5, f"clustered decon recall too low at {sf}: {tc}/{te}"
 
 
+@full_sweeps_only
 def test_cross_lingual_clustered_subset_and_recall(spark):
     """The at-scale (within-cell) cross-lingual near-dup report vs the exact
     broadcast twin (VERDICT r4 #3): clustered verified pairs ⊆ exact pairs,
@@ -553,6 +558,7 @@ def test_session_memo_concurrent_single_build(spark):
     got[0].unpersist()
 
 
+@full_sweeps_only
 def test_concurrent_queries_one_session(spark):
     """Multi-tenant driver shape: the memo-heavy dedup/vector family run
     from 6 threads on ONE session must all succeed with the same row counts
@@ -1289,6 +1295,7 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
     assert sum(bs[f"n_fail_{k}"] for k in _GOPHER_RULES) == 1
 
 
+@full_sweeps_only
 def test_doremi_upweights_high_excess_domain(spark):
     """DoReMi pins no twin compare can give: on a corpus where the
     minority domain uses vocabulary the pool LM models badly (disjoint
@@ -1451,6 +1458,7 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     assert again == got
 
 
+@full_sweeps_only
 def test_gopher_repetition_planted_signals(spark):
     """Hand-computed plants per repetition family: a 2-gram-stuffed doc, a
     repeated-line doc, a duplicated-5-gram doc, a unique-words doc — with
